@@ -1,0 +1,247 @@
+"""Runtime configuration for cubep3m_tpu.
+
+Replaces the reference's compile-time configuration stack — the `parameters`
+file of Fortran constants, `source_threads/cubepm.par` secondary constants,
+and the ~30 cpp `-D` makefile flags (reference `parameters.example`,
+`source_threads/cubepm.par`, `source_threads/Make_PP_THREADS`) — with a single
+frozen dataclass whose fields become static arguments at `jit` time.
+
+Also subsumes the sizing calculator `utils/mem_usage.f90` (memory_estimate).
+
+Unit system (reference `cubepm.par:148-157`): comoving fine-mesh cell units,
+`G = 1/(6*pi)`, mean density 1, particle mass `mass_p = nf**3 / np_total`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+PI = math.pi
+# Gravitational constant in grid units (cubepm.par:149).
+G = 1.0 / (6.0 * PI)
+# Expansion-limiter defaults (cubepm.par:27-32).
+DEFAULT_RA_MAX = 0.01
+DEFAULT_DA_MAX = 0.01
+DEFAULT_DT_MAX = 1.0
+DEFAULT_DT_SCALE = 1.0
+# dt_pp limiter scale (cubepm.par:77-79).
+DEFAULT_DT_PP_SCALE = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Cosmology:
+    """FLRW background + primordial power settings.
+
+    Mirrors `parameters.example:37-46` (omega fractions, dark-energy EoS)
+    and the Chaplygin-gas extension (`cubepm.par`, `timestep.f90:296-339`).
+    """
+
+    omega_m: float = 0.24
+    omega_l: float = 0.76
+    omega_b: float = 0.04
+    h0: float = 0.7          # H0 / (100 km/s/Mpc); used by ICs/analysis only
+    sigma8: float = 0.8      # normalization for ICs
+    n_s: float = 0.96        # primordial spectral index
+    wde: float = -1.0        # dark energy EoS
+    # Chaplygin gas (optional alternative background)
+    chaplygin: bool = False
+    omega_ch: float = 0.7
+    A_ch: float = 1.0
+    alpha_ch: float = 0.0
+
+    @property
+    def omega_k(self) -> float:
+        if self.chaplygin:
+            return 1.0 - self.omega_m - self.omega_ch
+        return 1.0 - self.omega_m - self.omega_l
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Full simulation configuration.
+
+    Geometry contract (parameters.example, cubepm.par:190-215):
+      nf_physical_tile_dim = nf_tile - 2*nf_buf
+      nf_physical_node_dim = nf_physical_tile_dim * tiles_node_dim
+      nf_physical_dim      = nf_physical_node_dim * nodes_dim   (global)
+      coarse mesh = fine / mesh_scale
+      particles   = (nf_physical_dim / 2)**3  (one per 8 fine cells)
+    """
+
+    # --- decomposition ---
+    nodes_dim: int = 1          # devices per mesh axis; devices = nodes_dim**3
+    tiles_node_dim: int = 2     # fine tiles per device per axis
+    nf_tile: int = 96           # fine tile size incl. 2*nf_buf cells of buffer
+
+    # --- force split geometry ---
+    nf_cutoff: int = 16         # fine force cutoff radius (fine cells)
+    buf_extra: int = 8          # nf_buf = nf_cutoff + buf_extra (parameters.example)
+    mesh_scale: int = 4         # fine cells per coarse cell (cubepm.par:157)
+
+    # --- physics ---
+    box: float = 200.0          # Mpc/h box side (for ICs/analysis)
+    z_i: float = 200.0          # initial redshift
+    cosmo: Cosmology = dataclasses.field(default_factory=Cosmology)
+    cosmo_expansion: bool = True  # `cosmo` flag: False = static force tests
+
+    # --- force options (cpp flags PPINT/PP_EXT/NGP in the reference) ---
+    pp: bool = True             # particle-particle force within fine cells
+    pp_ext: bool = False        # extended pp over pp_range fine-cell neighborhood
+    pp_range: int = 2
+    ngp: bool = True            # NGP fine deposit/gather (reference default build)
+    rsoft: float = 0.1          # pp softening: no force below (cubepm.par:76)
+    pp_bias: float = 1.0        # pp force bias (cubepm.par:80)
+    lrckcorr: bool = True       # long-range coarse kernel k-space correction
+
+    # --- time stepping ---
+    dt_scale: float = DEFAULT_DT_SCALE
+    dt_max: float = DEFAULT_DT_MAX
+    ra_max: float = DEFAULT_RA_MAX
+    da_max: float = DEFAULT_DA_MAX
+    restrict_da: bool = False
+    dt_pp_scale: float = DEFAULT_DT_PP_SCALE
+    dt_pp_ext_scale: float = DEFAULT_DT_PP_SCALE
+    max_nts: int = 4000         # max timesteps (cubepm.par:36)
+
+    # --- particle capacity ---
+    density_buffer: float = 2.0  # max_np headroom factor (parameters.example)
+    pp_cell_capacity: int = 32   # max particles per fine cell for pp bucketing
+    pp_coarse_capacity: int = 256  # max particles per coarse cell (pp bucket)
+
+    # --- lifecycle / outputs ---
+    shake: bool = True          # DISP_MESH random mesh shake each step
+    move_grid_back: bool = True # subtract accumulated shake before outputs
+    pid: bool = True            # track particle IDs (PID_FLAG)
+    verbosity: int = 1
+
+    # ------------------------------------------------------------------
+    # derived geometry
+    # ------------------------------------------------------------------
+    @property
+    def nf_buf(self) -> int:
+        return self.nf_cutoff + self.buf_extra
+
+    @property
+    def nf_physical_tile_dim(self) -> int:
+        return self.nf_tile - 2 * self.nf_buf
+
+    @property
+    def nf_physical_node_dim(self) -> int:
+        return self.nf_physical_tile_dim * self.tiles_node_dim
+
+    @property
+    def nf_physical_dim(self) -> int:
+        """Global fine mesh cells per axis."""
+        return self.nf_physical_node_dim * self.nodes_dim
+
+    @property
+    def nodes(self) -> int:
+        return self.nodes_dim ** 3
+
+    @property
+    def tiles_node(self) -> int:
+        return self.tiles_node_dim ** 3
+
+    # coarse mesh
+    @property
+    def nc_tile_dim(self) -> int:
+        return self.nf_physical_tile_dim // self.mesh_scale
+
+    @property
+    def nc_node_dim(self) -> int:
+        return self.nf_physical_node_dim // self.mesh_scale
+
+    @property
+    def nc_dim(self) -> int:
+        """Global coarse mesh cells per axis."""
+        return self.nf_physical_dim // self.mesh_scale
+
+    @property
+    def nc_buf(self) -> int:
+        return self.nf_buf // self.mesh_scale
+
+    # particles
+    @property
+    def np_total(self) -> int:
+        return (self.nf_physical_dim // 2) ** 3
+
+    @property
+    def np_node_avg(self) -> int:
+        return (self.nf_physical_node_dim // 2) ** 3
+
+    @property
+    def max_np(self) -> int:
+        """Per-device particle capacity (cubepm.par:170-172 analog)."""
+        return int(self.density_buffer * self.np_node_avg)
+
+    @property
+    def mass_p(self) -> float:
+        """Particle mass in grid units: nf**3 / np_total = 8 at standard loading."""
+        return float(self.nf_physical_dim) ** 3 / float(self.np_total)
+
+    @property
+    def a_i(self) -> float:
+        return 1.0 / (1.0 + self.z_i)
+
+    # ------------------------------------------------------------------
+    # validation + sizing
+    # ------------------------------------------------------------------
+    def validate(self) -> None:
+        if self.nf_physical_tile_dim <= 0:
+            raise ValueError(
+                f"nf_tile={self.nf_tile} must exceed 2*nf_buf={2 * self.nf_buf}")
+        if self.nf_physical_tile_dim % self.mesh_scale != 0:
+            raise ValueError(
+                "nf_physical_tile_dim must be divisible by mesh_scale "
+                f"({self.nf_physical_tile_dim} % {self.mesh_scale})")
+        if self.nf_buf % self.mesh_scale != 0:
+            raise ValueError("nf_buf must be divisible by mesh_scale")
+        if self.nc_dim % self.nodes_dim != 0:
+            raise ValueError("coarse mesh must divide evenly across devices")
+        if self.pp_ext and self.pp_range + 1 > self.nf_cutoff:
+            raise ValueError("pp_range+1 must be < nf_cutoff")
+
+    def memory_estimate(self) -> dict:
+        """Static per-device memory budget in bytes (mem_usage.f90 analog)."""
+        f4 = 4
+        nf_node = self.nf_physical_node_dim
+        nf_halo = nf_node + 2 * self.nf_buf
+        est = {
+            "particles_xv": self.max_np * 6 * f4,
+            "particles_pid": self.max_np * 8 if self.pid else 0,
+            "fine_density_halo": nf_halo ** 3 * f4,
+            "fine_force": 3 * nf_node ** 3 * f4,
+            "fine_kernel_k": 3 * (self.nf_tile // 2 + 1) * self.nf_tile ** 2 * 2 * f4,
+            "coarse_density": (self.nc_node_dim + 2) ** 3 * f4,
+            "coarse_force": 3 * (self.nc_node_dim + 2) ** 3 * f4,
+            "coarse_kernel_k": 3 * (self.nc_dim // 2 + 1) * self.nc_dim
+                               * (self.nc_dim // self.nodes) * 2 * f4,
+        }
+        est["total"] = sum(est.values())
+        return est
+
+    def summary(self) -> str:
+        m = self.memory_estimate()
+        return (
+            f"cubep3m_tpu config: {self.np_total} particles "
+            f"({self.nf_physical_dim // 2}^3), fine mesh {self.nf_physical_dim}^3, "
+            f"coarse {self.nc_dim}^3, devices {self.nodes} "
+            f"({self.nodes_dim}^3), tiles/device {self.tiles_node}, "
+            f"tile {self.nf_tile}^3 (physical {self.nf_physical_tile_dim}^3), "
+            f"max_np/device {self.max_np}, est. memory "
+            f"{m['total'] / 2**30:.2f} GiB/device"
+        )
+
+
+def test_config(nodes_dim: int = 1, tiles_node_dim: int = 2,
+                nf_tile: int = 40, **kw) -> SimConfig:
+    """Small config for unit tests: cutoff 8, buf 12, tile 40 -> physical 16."""
+    defaults = dict(
+        nodes_dim=nodes_dim, tiles_node_dim=tiles_node_dim, nf_tile=nf_tile,
+        nf_cutoff=8, buf_extra=4, box=20.0, shake=False, pid=False,
+    )
+    defaults.update(kw)
+    cfg = SimConfig(**defaults)
+    cfg.validate()
+    return cfg

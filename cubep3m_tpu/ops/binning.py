@@ -1,0 +1,63 @@
+"""Sort-based particle binning.
+
+TPU-native replacement for the reference's linked lists
+(`source_threads/link_list.f90`: `hoc` heads + `ll` forward chains walked
+serially per cell).  On TPU we instead keep the particle arrays *sorted by
+cell key* each step:
+
+* scatter-adds (mass deposit) get monotonically non-decreasing indices, which
+  XLA lowers to fast segment-sums;
+* same-cell neighbors are contiguous, so short-range pair forces become a
+  banded dense computation (see ops/pp.py) instead of pointer chasing;
+* memory access in gathers becomes mostly sequential.
+
+Invalid (padding) slots sort to the end via an out-of-range key.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SortedParticles(NamedTuple):
+    order: jnp.ndarray      # (N,) permutation applied
+    cell: jnp.ndarray       # (N,) int32 flat fine-cell key (sorted); ncells for padding
+    rank: jnp.ndarray       # (N,) int32 rank of particle within its cell
+
+
+def fine_cell_key(pos: jnp.ndarray, valid: jnp.ndarray, nf_node: int
+                  ) -> jnp.ndarray:
+    """Flat fine-cell key in [0, nf_node^3); invalid slots get nf_node^3."""
+    c = jnp.floor(pos).astype(jnp.int32)
+    c = jnp.clip(c, 0, nf_node - 1)
+    key = (c[:, 0] * nf_node + c[:, 1]) * nf_node + c[:, 2]
+    return jnp.where(valid, key, nf_node ** 3)
+
+
+def sort_by_cell(pos: jnp.ndarray, valid: jnp.ndarray, nf_node: int
+                 ) -> SortedParticles:
+    """Sort order by fine cell; returns permutation + sorted keys + in-cell rank."""
+    key = fine_cell_key(pos, valid, nf_node)
+    order = jnp.argsort(key)
+    skey = key[order]
+    # rank within cell: index - first index of this key value
+    first = jnp.searchsorted(skey, skey, side="left")
+    rank = (jnp.arange(skey.shape[0], dtype=jnp.int32)
+            - first.astype(jnp.int32))
+    return SortedParticles(order=order, cell=skey, rank=rank)
+
+
+def apply_order(order: jnp.ndarray, *arrays):
+    """Permute each array by `order` along axis 0."""
+    out = tuple(a[order] for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def compact_valid(valid: jnp.ndarray, *arrays) -> Tuple[jnp.ndarray, tuple]:
+    """Stable-partition valid slots to the front; returns (count, arrays)."""
+    # argsort of ~valid is stable: valid (False=0... note ~valid False first)
+    order = jnp.argsort(~valid)
+    count = jnp.sum(valid).astype(jnp.int32)
+    return count, tuple(a[order] for a in arrays)

@@ -1,0 +1,132 @@
+"""Mass assignment (NGP/CIC deposit) and force interpolation (gather).
+
+TPU-native replacement for the reference's linked-list cell walks
+(`source_threads/fine_ngp_mass.f90`, `coarse_cic_mass.f90:82-99`,
+`coarse_velocity.f90:137-179`): instead of chasing `ll(pp)` chains per cell,
+we express deposit as a masked scatter-add and gather as vectorized
+interpolation over the whole padded particle array.  Shapes are static
+(`max_np` capacity); invalid slots carry zero weight.
+
+Index conventions (0-based; reference is 1-based Fortran):
+  NGP fine:   cell = floor(x)                    (particle_mesh_threaded.f90:143-150)
+  CIC coarse: xs = x/mesh_scale - 0.5, c0 = floor(xs),
+              weight(c0) = 1-frac, weight(c0+1) = frac   (coarse_mass.f90, coarse_velocity.f90)
+
+The `sorted_ids` fast path exploits that particles are kept sorted by cell
+key (see ops/binning.py): a scatter-add with sorted indices lowers to an
+efficient segment-sum on TPU.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _flat_index(cells: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:
+    """(N,3) int cells -> flat index, row-major over `shape`."""
+    return (cells[:, 0] * shape[1] + cells[:, 1]) * shape[2] + cells[:, 2]
+
+
+def ngp_deposit(pos: jnp.ndarray, weight: jnp.ndarray,
+                shape: Tuple[int, int, int], offset: float = 0.0,
+                sorted_cells: bool = False) -> jnp.ndarray:
+    """NGP deposit of `weight` at floor(pos + offset) into a grid of `shape`.
+
+    pos: (N, 3) float32; weight: (N,) float32 (0 for invalid slots).
+    Out-of-range cells are clamped and given zero weight.
+    """
+    cells = jnp.floor(pos + offset).astype(jnp.int32)
+    in_range = jnp.all((cells >= 0) & (cells < jnp.array(shape)), axis=1)
+    cells = jnp.clip(cells, 0, jnp.array(shape) - 1)
+    w = jnp.where(in_range, weight, 0.0)
+    flat = _flat_index(cells, shape)
+    grid = jnp.zeros(shape[0] * shape[1] * shape[2], dtype=jnp.float32)
+    grid = grid.at[flat].add(w, indices_are_sorted=sorted_cells,
+                             unique_indices=False)
+    return grid.reshape(shape)
+
+
+def _cic_weights(pos: jnp.ndarray, scale: float, offset: float
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Return (c0, w0, w1): base cell and CIC weights per axis.
+
+    xs = pos/scale + offset; w0 is the weight of cell floor(xs)
+    (reference dx1 = 1 - frac), w1 of cell floor(xs)+1.
+    """
+    xs = pos / scale + offset
+    c0 = jnp.floor(xs)
+    frac = xs - c0
+    return c0.astype(jnp.int32), 1.0 - frac, frac
+
+
+def cic_deposit(pos: jnp.ndarray, weight: jnp.ndarray,
+                shape: Tuple[int, int, int], scale: float = 1.0,
+                offset: float = 0.0, pad: int = 0,
+                sorted_cells: bool = False) -> jnp.ndarray:
+    """CIC deposit onto a grid of `shape` (which includes 2*pad ghost cells).
+
+    Grid index = floor(pos/scale + offset) + pad (+corner).  Reference coarse
+    deposit uses scale=mesh_scale, offset=-0.5, pad=1 (`coarse_mass.f90`).
+    """
+    c0, w0, w1 = _cic_weights(pos, scale, offset)
+    c0 = c0 + pad
+    nflat = shape[0] * shape[1] * shape[2]
+    grid = jnp.zeros(nflat, dtype=jnp.float32)
+    shape_arr = jnp.array(shape)
+    for dx in (0, 1):
+        wx = (w1 if dx else w0)[:, 0]
+        for dy in (0, 1):
+            wy = (w1 if dy else w0)[:, 1]
+            for dz in (0, 1):
+                wz = (w1 if dz else w0)[:, 2]
+                cells = c0 + jnp.array([dx, dy, dz], dtype=jnp.int32)
+                ok = jnp.all((cells >= 0) & (cells < shape_arr), axis=1)
+                w = jnp.where(ok, weight * wx * wy * wz, 0.0)
+                cells = jnp.clip(cells, 0, shape_arr - 1)
+                grid = grid.at[_flat_index(cells, shape)].add(
+                    w, indices_are_sorted=sorted_cells)
+    return grid.reshape(shape)
+
+
+def ngp_gather(field: jnp.ndarray, pos: jnp.ndarray,
+               offset: float = 0.0) -> jnp.ndarray:
+    """Sample `field` (..., X, Y, Z) at floor(pos + offset).
+
+    Returns (N, ...) with leading particle axis; out-of-range positions clamp.
+    """
+    shape = field.shape[-3:]
+    cells = jnp.floor(pos + offset).astype(jnp.int32)
+    cells = jnp.clip(cells, 0, jnp.array(shape) - 1)
+    vals = field[..., cells[:, 0], cells[:, 1], cells[:, 2]]
+    return jnp.moveaxis(vals, -1, 0) if field.ndim > 3 else vals
+
+
+def cic_gather(field: jnp.ndarray, pos: jnp.ndarray, scale: float = 1.0,
+               offset: float = 0.0, pad: int = 0) -> jnp.ndarray:
+    """CIC-interpolate `field` (..., X, Y, Z) at particle positions.
+
+    Mirror of `cic_deposit`; used for the coarse force kick
+    (`coarse_velocity.f90:137-179`).
+    """
+    shape = field.shape[-3:]
+    c0, w0, w1 = _cic_weights(pos, scale, offset)
+    c0 = c0 + pad
+    shape_arr = jnp.array(shape)
+    out = None
+    for dx in (0, 1):
+        wx = (w1 if dx else w0)[:, 0]
+        for dy in (0, 1):
+            wy = (w1 if dy else w0)[:, 1]
+            for dz in (0, 1):
+                wz = (w1 if dz else w0)[:, 2]
+                cells = jnp.clip(c0 + jnp.array([dx, dy, dz], jnp.int32),
+                                 0, shape_arr - 1)
+                v = field[..., cells[:, 0], cells[:, 1], cells[:, 2]]
+                v = jnp.moveaxis(v, -1, 0) if field.ndim > 3 else v
+                w = wx * wy * wz
+                w = w[:, None] if v.ndim > 1 else w
+                out = v * w if out is None else out + v * w
+    return out

@@ -1,0 +1,65 @@
+"""FFT force solves (fine and coarse levels).
+
+TPU-native replacement for the reference's per-tile FFTW convolution
+(`source_threads/particle_mesh_threaded.f90:176-204`, `fft_fine.f90`) and the
+slab-decomposed coarse FFT (`fft_coarse.f90`, `coarse_force.f90`).
+
+Key design departure: instead of `tiles_node**3` overlapping tile FFTs per
+device (the reference's OpenMP strategy — each tile redundantly recomputes a
+2*nf_buf-deep halo), we run ONE r2c FFT over the device's halo-padded fine
+grid.  Because the fine kernel's support (cube radius nf_cutoff-1) is smaller
+than the halo depth nf_buf, circular-wrap artifacts land entirely inside the
+cropped-away halo, so the result over the physical region is the exact linear
+convolution — identical math, ~(nf_tile/nf_physical_tile)^3 x less FFT work,
+and one big FFT maps onto the TPU far better than many small ones.
+
+Force kernels are odd => purely imaginary transforms; we store Im parts and
+multiply by `1j * kern_im` (the reference keeps Im in `kern_f`/`kern_c` and
+swaps/negates real and imaginary words explicitly,
+`particle_mesh_threaded.f90:188-194`, `coarse_force.f90:36-42`).
+`jnp.fft.irfftn` applies the single 1/N^3 normalization, matching
+`fft_fine.f90` / `fft_coarse.f90:187`.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def force_from_density(rho: jnp.ndarray, kern_im: jnp.ndarray) -> jnp.ndarray:
+    """Convolve density with a 3-component odd force kernel.
+
+    rho: (n, n, n) float32.  kern_im: (3, n, n, n//2+1) float32 imaginary
+    parts of the kernel DFT.  Returns (3, n, n, n) float32 force field.
+    """
+    n = rho.shape[-1]
+    rho_k = jnp.fft.rfftn(rho)
+    comps = [
+        jnp.fft.irfftn(rho_k * (1j * kern_im[c]), s=(n, n, n))
+        for c in range(3)
+    ]
+    return jnp.stack(comps).astype(jnp.float32)
+
+
+def fine_force(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
+               nf_buf: int, nf_node: int) -> jnp.ndarray:
+    """Fine-level force on the physical node region.
+
+    rho_halo: (nf_node + 2*nf_buf,)^3 density including neighbor halos.
+    Returns (3, nf_node, nf_node, nf_node) force over the physical region.
+    """
+    f = force_from_density(rho_halo, kern_f_im)
+    return f[:, nf_buf:nf_buf + nf_node,
+             nf_buf:nf_buf + nf_node,
+             nf_buf:nf_buf + nf_node]
+
+
+def coarse_force(rho_c: jnp.ndarray, kern_c_im: jnp.ndarray) -> jnp.ndarray:
+    """Coarse-level force on the (global, periodic) coarse mesh.
+
+    rho_c: (nc, nc, nc) global coarse density.  Returns (3, nc, nc, nc).
+    Multi-device: callers shard rho_c and run this under shard_map /
+    with sharded FFT (see parallel/pfft.py).
+    """
+    return force_from_density(rho_c, kern_c_im)

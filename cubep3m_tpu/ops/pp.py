@@ -1,0 +1,194 @@
+"""Short-range particle-particle forces.
+
+Replaces the reference's per-coarse-cell linked-list pair loops
+(`source_threads/particle_mesh_threaded.f90:322-362` PPINT,
+`:488-615` PP_EXT) and the CUDA brute-force offload
+(`source_threads/nbody-ueli.cu`).
+
+Two TPU-native strategies:
+
+* **PPINT** (pairs sharing a fine mesh cell): particles are kept sorted by
+  fine-cell key (ops/binning.py), so same-cell partners are contiguous.  We
+  sweep a static band of width `band` over the sorted array — a fully
+  vectorized shifted-difference loop with no materialized pair matrices.
+  Overflow (cell occupancy > band+1) is counted and surfaced, mirroring the
+  reference's `max_llf` guard (`particle_mesh_threaded.f90:280-284`).
+
+* **PP_EXT** (pairs in distinct fine cells within `pp_range`): fixed-capacity
+  buckets per coarse cell; each bucket interacts with its 3^3 coarse-cell
+  neighborhood (pp_range <= mesh_scale guarantees adjacency suffices),
+  scanned in cell chunks to bound memory.  Same-fine-cell pairs are excluded:
+  the reference covers them with untapered PPINT (its neighbor loop starts at
+  ip=i+1, `:488-520`).
+
+Force convention (reference `:340-346`): pair force on particle 1 from 2 is
+`-(x1-x2)/(r*pp_bias)^3 * mass_p` for r > rsoft (zero below); PP_EXT
+multiplies by the force-matching taper `1 - 7/4 s^3 + 3/4 s^5`,
+`s = r*pp_bias/nf_cutoff`, for r <= nf_cutoff + sqrt(3) (`:558-565`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PPResult(NamedTuple):
+    force: jnp.ndarray        # (N, 3) accumulated pp force (mass_p included)
+    fmax: jnp.ndarray         # scalar: max per-particle |force|
+    overflow: jnp.ndarray     # scalar int32: particles whose pairs may be missed
+
+
+def _pair_force(sep: jnp.ndarray, rmag: jnp.ndarray, ok: jnp.ndarray,
+                mass_p: float, pp_bias: float) -> jnp.ndarray:
+    """force_pp = mass_p * sep/(r*pp_bias)^3, masked by ok."""
+    r3 = (rmag * pp_bias) ** 3
+    r3 = jnp.where(ok, r3, 1.0)
+    return jnp.where(ok[..., None], (mass_p / r3)[..., None] * sep, 0.0)
+
+
+def ppint_band_force(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
+                     ncells: int, band: int, mass_p: float, rsoft: float,
+                     pp_bias: float) -> PPResult:
+    """Same-fine-cell pair forces over a cell-sorted particle array.
+
+    pos: (N,3) sorted by `cell`; cell: (N,) sorted flat keys in [0, ncells)
+    (padding slots carry key >= ncells and never pair); rank: in-cell rank.
+    """
+    n = pos.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    real = cell < ncells
+    force = jnp.zeros_like(pos)
+    for d in range(1, band + 1):
+        # partner j = i + d; same cell required, so no wrap pairs can match
+        pos_j = jnp.roll(pos, -d, axis=0)
+        cell_j = jnp.roll(cell, -d, axis=0)
+        same = (cell == cell_j) & (idx < n - d) & real
+        sep = pos - pos_j
+        rmag = jnp.sqrt(jnp.sum(sep * sep, axis=-1))
+        ok = same & (rmag > rsoft)
+        f = _pair_force(sep, rmag, ok, mass_p, pp_bias)
+        # attract: F_i -= f; F_j += f (Newton's 3rd law, reference :347-352)
+        force = force - f
+        force = force + jnp.roll(f, d, axis=0)
+    fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=-1)))
+    overflow = jnp.sum(((rank > band) & real).astype(jnp.int32))
+    return PPResult(force=force, fmax=fmax, overflow=overflow)
+
+
+# ----------------------------------------------------------------------
+# PP_EXT: coarse-cell buckets x 3^3 neighborhood
+# ----------------------------------------------------------------------
+class Buckets(NamedTuple):
+    index: jnp.ndarray       # (nc, nc, nc, cap) int32 particle ids, -1 empty
+    overflow: jnp.ndarray    # scalar int32: particles dropped from buckets
+
+
+def bucket_by_coarse_cell(pos: jnp.ndarray, valid: jnp.ndarray,
+                          nc_node: int, mesh_scale: int,
+                          capacity: int) -> Buckets:
+    """Assign particles to fixed-capacity coarse-cell buckets via sort."""
+    n = pos.shape[0]
+    c = jnp.clip(jnp.floor(pos / mesh_scale).astype(jnp.int32), 0, nc_node - 1)
+    key = (c[:, 0] * nc_node + c[:, 1]) * nc_node + c[:, 2]
+    ncells = nc_node ** 3
+    key = jnp.where(valid, key, ncells)
+    order = jnp.argsort(key)
+    skey = key[order]
+    first = jnp.searchsorted(skey, skey, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = (skey < ncells) & (rank < capacity)
+    slot = jnp.where(ok, skey * capacity + rank, ncells * capacity)
+    flat = jnp.full(ncells * capacity + 1, -1, dtype=jnp.int32)
+    flat = flat.at[slot].set(jnp.where(ok, order.astype(jnp.int32), -1))
+    overflow = jnp.sum(((skey < ncells) & (rank >= capacity)).astype(jnp.int32))
+    return Buckets(index=flat[:-1].reshape(nc_node, nc_node, nc_node,
+                                           capacity),
+                   overflow=overflow)
+
+
+def pp_ext_force(pos: jnp.ndarray, buckets: Buckets, nc_node: int,
+                 mesh_scale: int, pp_range: int, nf_cutoff: int,
+                 mass_p: float, rsoft: float, pp_bias: float,
+                 chunk: int = 256) -> PPResult:
+    """Extended pp force over the pp_range fine-cell neighborhood.
+
+    Periodic over the node volume (single-device semantics; multi-device
+    callers put ghost particles into boundary buckets instead).
+    """
+    cap = buckets.index.shape[-1]
+    ncells = nc_node ** 3
+    nf_node = nc_node * mesh_scale
+    idx_flat = buckets.index.reshape(ncells, cap)
+    bval = idx_flat >= 0
+    bpos = pos[jnp.clip(idx_flat, 0, pos.shape[0] - 1)]
+    # park invalid slots far away so any pair involving them fails `near`
+    bpos = jnp.where(bval[..., None], bpos, 2.0 * nf_node + 1e4)
+
+    grid_pos = bpos.reshape(nc_node, nc_node, nc_node, cap, 3)
+    taper_cut = nf_cutoff + jnp.sqrt(3.0)
+
+    def interact(p_i, p_j):
+        """Force on bucket-i particles from bucket-j particles.
+
+        p_i: (B, cap, 3); p_j: (B, cap, 3) absolute (already wrap-shifted).
+        """
+        sep = p_i[:, :, None, :] - p_j[:, None, :, :]
+        rmag = jnp.sqrt(jnp.sum(sep * sep, axis=-1))
+        c_i = jnp.floor(p_i).astype(jnp.int32)
+        c_j = jnp.floor(p_j).astype(jnp.int32)
+        dcell = jnp.abs(c_i[:, :, None, :] - c_j[:, None, :, :])
+        near = (jnp.max(dcell, axis=-1) <= pp_range) & jnp.any(
+            dcell != 0, axis=-1)
+        ok = near & (rmag > rsoft)
+        s = rmag * pp_bias / nf_cutoff
+        taper = jnp.where(rmag <= taper_cut,
+                          1.0 - 1.75 * s ** 3 + 0.75 * s ** 5, 1.0)
+        f = _pair_force(sep, rmag, ok, mass_p, pp_bias) * taper[..., None]
+        return -jnp.sum(f, axis=2)  # attract
+
+    force_b = jnp.zeros((ncells, cap, 3), dtype=jnp.float32)
+    coords = jnp.arange(nc_node)
+    nchunk = max(1, -(-ncells // chunk))
+    pad_cells = nchunk * chunk - ncells
+
+    def chunked(a):
+        a = jnp.pad(a, [(0, pad_cells)] + [(0, 0)] * (a.ndim - 1))
+        return a.reshape(nchunk, chunk, *a.shape[1:])
+
+    p_i_chunks = chunked(bpos)
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                # neighbor cell J = I + o with periodic wrap; shift neighbor
+                # positions by +/- nf_node where J crossed the boundary
+                p_j = jnp.roll(grid_pos, shift=(-ox, -oy, -oz), axis=(0, 1, 2))
+                for ax, o in enumerate((ox, oy, oz)):
+                    if o == 0:
+                        continue
+                    crossed = jnp.where(
+                        coords + o >= nc_node, float(nf_node),
+                        jnp.where(coords + o < 0, -float(nf_node), 0.0))
+                    shp = [1, 1, 1, 1, 1]
+                    shp[ax] = nc_node
+                    p_j = p_j.at[..., ax].add(
+                        crossed.reshape(shp[:3] + [1]))
+                p_j_chunks = chunked(p_j.reshape(ncells, cap, 3))
+
+                def scan_body(carry, xs):
+                    p_i, p_jx = xs
+                    return carry, interact(p_i, p_jx)
+
+                _, f_chunks = jax.lax.scan(scan_body, None,
+                                           (p_i_chunks, p_j_chunks))
+                force_b = force_b + f_chunks.reshape(-1, cap, 3)[:ncells]
+
+    # scatter bucket forces back to particle slots
+    flat_idx = idx_flat.reshape(-1)
+    flat_f = force_b.reshape(-1, 3)
+    ok = flat_idx >= 0
+    force = jnp.zeros_like(pos).at[jnp.where(ok, flat_idx, 0)].add(
+        jnp.where(ok[:, None], flat_f, 0.0))
+    fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=-1)))
+    return PPResult(force=force, fmax=fmax, overflow=buckets.overflow)

@@ -1,0 +1,127 @@
+"""Simulation state and particle initialization.
+
+Replaces the reference's giant COMMON block + equivalence overlays
+(`source_threads/cubep3m.fh:33-171`) with an immutable pytree of
+fixed-capacity padded arrays, and `particle_initialization.f90`'s compile-time
+IC dispatch with runtime constructors.
+
+Particles live in node-local fine-cell coordinates `[0, nf_physical_node_dim)`
+like the reference; slots `>= np_local` are padding (zero weight everywhere).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SimConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SimState:
+    """Per-device simulation state (a pure pytree; all fields device arrays)."""
+
+    x: jnp.ndarray            # (max_np, 3) f32 positions, node coords
+    v: jnp.ndarray            # (max_np, 3) f32 velocities (cells / dtau)
+    pid: jnp.ndarray          # (max_np,) int32 particle IDs (PID_FLAG analog)
+    np_local: jnp.ndarray     # () int32 valid particle count
+
+    # time integration scalars (mirrored on host by the controller)
+    a: jnp.ndarray            # () f32 scale factor
+    tau: jnp.ndarray          # () f32 super-comoving time
+    t: jnp.ndarray            # () f32 accumulated dt
+    dt_old: jnp.ndarray       # () f32 previous step dt (for the drift)
+    nts: jnp.ndarray          # () int32 sweep counter
+
+    # dt limiters from the last sweep (primed to 1000, variable_initialization.f90:22-28)
+    dt_f_acc: jnp.ndarray     # () f32
+    dt_pp_acc: jnp.ndarray    # () f32
+    dt_pp_ext_acc: jnp.ndarray  # () f32
+    dt_c_acc: jnp.ndarray     # () f32
+
+    # mesh shake accumulator (DISP_MESH, update_position.f90:25-63)
+    shake_offset: jnp.ndarray  # (3,) f32
+
+    # overflow diagnostics (reference aborts; we count and surface)
+    pp_overflow: jnp.ndarray   # () int32
+    bucket_overflow: jnp.ndarray  # () int32
+
+    # RNG for the mesh shake
+    rng: jnp.ndarray           # PRNG key
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return jnp.arange(self.x.shape[0]) < self.np_local
+
+
+def _base_state(cfg: SimConfig, x: np.ndarray, v: np.ndarray,
+                pid: Optional[np.ndarray] = None,
+                seed: int = 0) -> SimState:
+    n = x.shape[0]
+    cap = cfg.max_np
+    if n > cap:
+        raise ValueError(f"np_local {n} exceeds max_np {cap}")
+    xp = np.zeros((cap, 3), np.float32)
+    vp = np.zeros((cap, 3), np.float32)
+    pp = np.zeros((cap,), np.int32)
+    xp[:n] = x
+    vp[:n] = v
+    pp[:n] = pid if pid is not None else np.arange(1, n + 1, dtype=np.int32)
+    f32 = lambda v_: jnp.asarray(v_, jnp.float32)
+    return SimState(
+        x=jnp.asarray(xp), v=jnp.asarray(vp), pid=jnp.asarray(pp),
+        np_local=jnp.asarray(n, jnp.int32),
+        a=f32(cfg.a_i if cfg.cosmo_expansion else 1.0),
+        tau=f32(-3.0 / np.sqrt(cfg.a_i) if cfg.cosmo_expansion else 0.0),
+        t=f32(0.0), dt_old=f32(0.0), nts=jnp.asarray(0, jnp.int32),
+        dt_f_acc=f32(1000.0), dt_pp_acc=f32(1000.0),
+        dt_pp_ext_acc=f32(1000.0), dt_c_acc=f32(1000.0),
+        shake_offset=jnp.zeros(3, jnp.float32),
+        pp_overflow=jnp.asarray(0, jnp.int32),
+        bucket_overflow=jnp.asarray(0, jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+# ----------------------------------------------------------------------
+# IC modes (particle_initialization.f90 dispatch)
+# ----------------------------------------------------------------------
+def grid_ic(cfg: SimConfig, seed: int = 0) -> SimState:
+    """Uniform lattice, one particle per 2^3 fine cells; forces must vanish."""
+    nf = cfg.nf_physical_node_dim
+    g = np.arange(nf // 2, dtype=np.float32) * 2.0 + 0.5
+    x = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    return _base_state(cfg, x, np.zeros_like(x), seed=seed)
+
+
+def random_ic(cfg: SimConfig, seed: int = 0,
+              fraction: float = 1.0) -> SimState:
+    """Uniform random positions, zero velocities."""
+    rng = np.random.default_rng(seed)
+    n = int(cfg.np_node_avg * fraction)
+    x = rng.uniform(0.0, cfg.nf_physical_node_dim, (n, 3)).astype(np.float32)
+    return _base_state(cfg, x, np.zeros_like(x), seed=seed)
+
+
+def pair_ic(cfg: SimConfig, x1, x2, v1=None, v2=None, seed: int = 0
+            ) -> SimState:
+    """Two particles at given positions (pairwise/pair_infall harness,
+    set_pair.f90)."""
+    x = np.array([x1, x2], np.float32)
+    v = np.zeros((2, 3), np.float32)
+    if v1 is not None:
+        v[0] = v1
+    if v2 is not None:
+        v[1] = v2
+    return _base_state(cfg, x, v, seed=seed)
+
+
+def particles_ic(cfg: SimConfig, x: np.ndarray, v: np.ndarray,
+                 pid: Optional[np.ndarray] = None, seed: int = 0) -> SimState:
+    """Arbitrary particle load (used by the Zel'dovich IC generator and
+    checkpoint restart)."""
+    return _base_state(cfg, x, v, pid, seed=seed)
