@@ -6,7 +6,7 @@ particle-particle corrections, FLRW expansion, Zel'dovich ICs, adaptive
 leapfrog stepping, checkpoint/restart, halofinding, projections and
 power spectra, scaling over a 3-D `jax.sharding.Mesh`.
 """
-from .config import SimConfig, Cosmology, G, test_config
+from .config import SimConfig, Cosmology, G, small_config
 
 __version__ = "0.1.0"
-__all__ = ["SimConfig", "Cosmology", "G", "test_config"]
+__all__ = ["SimConfig", "Cosmology", "G", "small_config"]

@@ -234,7 +234,7 @@ class SimConfig:
         )
 
 
-def test_config(nodes_dim: int = 1, tiles_node_dim: int = 2,
+def small_config(nodes_dim: int = 1, tiles_node_dim: int = 2,
                 nf_tile: int = 40, **kw) -> SimConfig:
     """Small config for unit tests: cutoff 8, buf 12, tile 40 -> physical 16."""
     defaults = dict(

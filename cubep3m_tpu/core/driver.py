@@ -1,0 +1,129 @@
+"""Simulation driver: the main evolution loop.
+
+Re-implements `program cubep3m` (`source_threads/cubepm.f90:103-236`): the
+timestep/sweep loop with scheduled checkpoint / projection / halofind
+triggers, wall-clock kill checkpoints (`cubepm_kill.f90:231-258`) and final
+exit on `a > 1 | max_nts | final_step`.
+
+The device never blocks on the host except for the four dt-limit scalars
+read back each step (the reference pays an mpi_reduce+bcast for the same
+quantities, `particle_mesh_threaded.f90:641-698`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..state import SimState
+from .. import kernels as kernels_mod
+from . import step as step_mod
+from .timestep import Cursors, OutputSchedule, StepDecision, decide_timestep
+
+
+@dataclasses.dataclass
+class StepLog:
+    """Per-sweep log record (rank-0 stdout analog, timestep.f90:170-192)."""
+    nts: int
+    a: float
+    a_mid: float
+    dt: float
+    limits: tuple
+    wall_s: float
+    pp_overflow: int = 0
+    bucket_overflow: int = 0
+
+
+class Simulation:
+    """Owns the compiled sweep, kernels, schedule and output hooks."""
+
+    def __init__(self, cfg: SimConfig,
+                 schedule: Optional[OutputSchedule] = None,
+                 pp_band: int = 32,
+                 kill_time_s: Optional[float] = None,
+                 use_kernel_cache: bool = True):
+        cfg.validate()
+        self.cfg = cfg
+        self.schedule = schedule or OutputSchedule()
+        self.cursors = Cursors()
+        kern_f, kern_c = kernels_mod.build_kernels(cfg,
+                                                   use_cache=use_kernel_cache)
+        self.kern_f = jnp.asarray(kern_f)
+        self.kern_c = jnp.asarray(kern_c)
+        self.sweep = step_mod.make_sweep(cfg, pp_band=pp_band)
+        self.kill_time_s = kill_time_s
+        self._start_wall = time.time()
+        self.logs: List[StepLog] = []
+        # output hooks: fn(sim, state, decision) -> None
+        self.on_checkpoint: List[Callable] = []
+        self.on_projection: List[Callable] = []
+        self.on_halofind: List[Callable] = []
+        self.on_kill: List[Callable] = []
+
+    # ------------------------------------------------------------------
+    def dt_limits(self, state: SimState) -> tuple:
+        return (float(state.dt_f_acc), float(state.dt_pp_acc),
+                float(state.dt_pp_ext_acc), float(state.dt_c_acc))
+
+    def step(self, state: SimState) -> tuple[SimState, StepDecision]:
+        """One sweep: decide dt on host, run the jitted sweep on device."""
+        cfg = self.cfg
+        a = float(state.a)
+        dec = decide_timestep(cfg, a, self.dt_limits(state), self.schedule,
+                              self.cursors)
+        t0 = time.time()
+        tau_new = float(state.tau) + dec.dt
+        t_new = float(state.t) + dec.dt
+        state = self.sweep(state, self.kern_f, self.kern_c,
+                           dec.a_mid, dec.dt, dec.a_new, tau_new, t_new)
+        # the dt-limit scalars force one small device sync per step
+        limits = self.dt_limits(state)
+        wall = time.time() - t0
+        self.logs.append(StepLog(
+            nts=int(state.nts), a=dec.a_new, a_mid=dec.a_mid, dt=dec.dt,
+            limits=dec.limits, wall_s=wall,
+            pp_overflow=int(state.pp_overflow),
+            bucket_overflow=int(state.bucket_overflow)))
+        if self.cfg.verbosity >= 2:
+            l = self.logs[-1]
+            print(f"sweep {l.nts}: a={l.a:.6f} dt={l.dt:.4f} "
+                  f"limits={tuple(round(x, 3) for x in l.limits)} "
+                  f"wall={l.wall_s:.3f}s")
+
+        # output triggers
+        if dec.checkpoint_step:
+            for h in self.on_checkpoint:
+                h(self, state, dec)
+            self.cursors.checkpoint += 1
+        if dec.projection_step:
+            for h in self.on_projection:
+                h(self, state, dec)
+            self.cursors.projection += 1
+        if dec.halofind_step:
+            for h in self.on_halofind:
+                h(self, state, dec)
+            self.cursors.halofind += 1
+        return state, dec
+
+    def run(self, state: SimState, max_steps: Optional[int] = None
+            ) -> SimState:
+        """Evolve until the final checkpoint, a > 1, or max_nts
+        (cubepm.f90:235 exit condition)."""
+        cfg = self.cfg
+        max_steps = max_steps if max_steps is not None else cfg.max_nts
+        for _ in range(max_steps):
+            state, dec = self.step(state)
+            if self.kill_time_s is not None and self.on_kill and (
+                    time.time() - self._start_wall > self.kill_time_s):
+                for h in self.on_kill:
+                    h(self, state, dec)
+                break
+            if dec.final_step or (cfg.cosmo_expansion
+                                  and float(state.a) >= 1.0):
+                break
+        return state

@@ -87,9 +87,13 @@ def fine_kernel_real(n: int, nf_cutoff: int, pp_ext: bool = False,
 
 def fine_kernel_fourier(n: int, nf_cutoff: int, pp_ext: bool = False,
                         pp_range: int = 2) -> np.ndarray:
-    """(3, n, n, n//2+1) float32 imaginary parts of the fine kernel DFT."""
+    """(3, n, n, n) float32 imaginary parts of the fine kernel DFT.
+
+    Full spectrum (not the r2c half): the TPU backend lacks r2c transforms,
+    so the convolution path uses complex FFTs (ops/fftconv.py).
+    """
     kr = fine_kernel_real(n, nf_cutoff, pp_ext, pp_range).astype(np.float64)
-    return np.stack([np.fft.rfftn(kr[c]).imag for c in range(3)]
+    return np.stack([np.fft.fftn(kr[c]).imag for c in range(3)]
                     ).astype(np.float32)
 
 
@@ -152,15 +156,15 @@ def coarse_kernel_fourier(nc: int, mesh_scale: int,
                           table: Optional[np.ndarray] = None,
                           lrckcorr: bool = True,
                           nf_cutoff: Optional[int] = None) -> np.ndarray:
-    """(3, nc, nc, nc//2+1) float32 imaginary parts of the coarse kernel DFT."""
+    """(3, nc, nc, nc) float32 imaginary parts of the coarse kernel DFT
+    (full spectrum; see fine_kernel_fourier)."""
     kern = coarse_kernel_real(nc, mesh_scale, table, nf_cutoff)
-    out = np.stack([np.fft.rfftn(kern[c]).imag for c in range(3)])
+    out = np.stack([np.fft.fftn(kern[c]).imag for c in range(3)])
     if lrckcorr:
         uncorr = coarse_kernel_real(nc, mesh_scale, None)
-        unc = np.stack([np.fft.rfftn(uncorr[c]).imag for c in range(3)])
+        unc = np.stack([np.fft.fftn(uncorr[c]).imag for c in range(3)])
         kidx = wrapped_coords(nc)
-        kx, ky, kz = np.meshgrid(kidx, kidx, kidx[: nc // 2 + 1],
-                                 indexing="ij")
+        kx, ky, kz = np.meshgrid(kidx, kidx, kidx, indexing="ij")
         kr = np.sqrt(kx ** 2 + ky ** 2 + kz ** 2)
         ka = 2.0 * np.sin(np.pi * kx / nc)
         kb = 2.0 * np.sin(np.pi * ky / nc)

@@ -6,23 +6,27 @@ slab-decomposed coarse FFT (`fft_coarse.f90`, `coarse_force.f90`).
 
 Key design departure: instead of `tiles_node**3` overlapping tile FFTs per
 device (the reference's OpenMP strategy — each tile redundantly recomputes a
-2*nf_buf-deep halo), we run ONE r2c FFT over the device's halo-padded fine
-grid.  Because the fine kernel's support (cube radius nf_cutoff-1) is smaller
-than the halo depth nf_buf, circular-wrap artifacts land entirely inside the
+2*nf_buf-deep halo), we run ONE FFT over the device's halo-padded fine grid.
+Because the fine kernel's support (sphere radius < nf_cutoff) is smaller than
+the halo depth nf_buf, circular-wrap artifacts land entirely inside the
 cropped-away halo, so the result over the physical region is the exact linear
 convolution — identical math, ~(nf_tile/nf_physical_tile)^3 x less FFT work,
 and one big FFT maps onto the TPU far better than many small ones.
 
-Force kernels are odd => purely imaginary transforms; we store Im parts and
-multiply by `1j * kern_im` (the reference keeps Im in `kern_f`/`kern_c` and
-swaps/negates real and imaginary words explicitly,
-`particle_mesh_threaded.f90:188-194`, `coarse_force.f90:36-42`).
-`jnp.fft.irfftn` applies the single 1/N^3 normalization, matching
-`fft_fine.f90` / `fft_coarse.f90:187`.
+FFT strategy: the axon TPU backend implements complex-to-complex FFTs only
+(no r2c/c2r), so we use complex transforms and pack PAIRS of force
+components into one inverse FFT: for real spectra products A, B of real
+fields a, b, `ifftn(A + iB) = a + ib` exactly, so one c2c inverse yields two
+real force components.  Total: 1 forward + 2 inverse c2c ≈ the reference's
+1 r2c + 3 c2r per solve.
+
+Force kernels are odd => purely imaginary transforms; kern_im holds Im parts
+(the reference keeps Im in `kern_f`/`kern_c` and swaps/negates real and
+imaginary words explicitly, `particle_mesh_threaded.f90:188-194`,
+`coarse_force.f90:36-42`).  `ifftn` applies the single 1/N^3 normalization,
+matching `fft_fine.f90` / `fft_coarse.f90:187`.
 """
 from __future__ import annotations
-
-from typing import Tuple
 
 import jax.numpy as jnp
 
@@ -30,16 +34,18 @@ import jax.numpy as jnp
 def force_from_density(rho: jnp.ndarray, kern_im: jnp.ndarray) -> jnp.ndarray:
     """Convolve density with a 3-component odd force kernel.
 
-    rho: (n, n, n) float32.  kern_im: (3, n, n, n//2+1) float32 imaginary
-    parts of the kernel DFT.  Returns (3, n, n, n) float32 force field.
+    rho: (n, n, n) float32.  kern_im: (3, n, n, n) float32 imaginary parts
+    of the kernel DFT (full spectrum).  Returns (3, n, n, n) float32 force.
     """
-    n = rho.shape[-1]
-    rho_k = jnp.fft.rfftn(rho)
-    comps = [
-        jnp.fft.irfftn(rho_k * (1j * kern_im[c]), s=(n, n, n))
-        for c in range(3)
-    ]
-    return jnp.stack(comps).astype(jnp.float32)
+    rho_k = jnp.fft.fftn(rho.astype(jnp.complex64))
+    # spectra of the three (real) force components
+    fx_k = (1j * kern_im[0]) * rho_k
+    fy_k = (1j * kern_im[1]) * rho_k
+    fz_k = (1j * kern_im[2]) * rho_k
+    # pack x and y into one inverse transform: ifftn(Fx + i*Fy) = fx + i*fy
+    fxy = jnp.fft.ifftn(fx_k + 1j * fy_k)
+    fz = jnp.fft.ifftn(fz_k)
+    return jnp.stack([fxy.real, fxy.imag, fz.real]).astype(jnp.float32)
 
 
 def fine_force(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,

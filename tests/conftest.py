@@ -6,7 +6,8 @@ box (SURVEY.md §4.2).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session environment points JAX at a TPU tunnel and a sitecustomize
+# pre-imports jax, so plain env vars are read too late; use config updates.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +15,5 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -53,7 +53,7 @@ def test_fine_kernel_matches_reference_table():
 def test_fine_kernel_fourier_is_imaginary():
     """Odd kernel => real part of DFT vanishes."""
     kr = kernels.fine_kernel_real(16, 4).astype(np.float64)
-    kf = np.fft.rfftn(kr[0])
+    kf = np.fft.fftn(kr[0])
     assert np.max(np.abs(kf.real)) < 1e-10
 
 
@@ -131,7 +131,7 @@ def test_pairwise_force_error_through_matched_kernels():
                     rho[(c0[0] + dx) % nc, (c0[1] + dy) % nc,
                         (c0[2] + dz) % nc] += wgt
         fc_grid = np.stack([
-            np.fft.irfftn(np.fft.rfftn(rho) * 1j * kc_f[c], s=(nc, nc, nc))
+            np.fft.ifftn(np.fft.fftn(rho) * 1j * kc_f[c]).real
             for c in range(3)])
         xs1 = p1 / ms - 0.5
         c0 = np.floor(xs1).astype(int)
