@@ -1,0 +1,100 @@
+"""Headline benchmark: particle-steps/sec/chip on the P3M sweep.
+
+Baseline (BASELINE.md): the reference evolves 128^3 particles (576^3 fine
+mesh) at ~23.8 s/step on a 2007 8-core node = 8.8e4 particle-steps/s/node.
+BASELINE.json's north-star metric is particle-steps/sec/chip at 256^3.
+
+Prints ONE JSON line:
+  {"metric": "particle-steps/sec/chip at 256^3", "value": N,
+   "unit": "particles/s", "vs_baseline": N}
+
+Run on the real TPU: `python bench.py` (first compile ~minutes over the
+tunnel).  `python bench.py --small` runs a 64^3 box for smoke testing.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="64^3 particles (smoke test)")
+    ap.add_argument("--np-dim", type=int, default=None,
+                    help="particles per dimension (default 256)")
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from cubep3m_tpu.config import SimConfig
+    from cubep3m_tpu import kernels as kernels_mod
+    from cubep3m_tpu import state as state_mod
+    from cubep3m_tpu.core import step as step_mod
+    from cubep3m_tpu.parallel.mesh import make_sim_mesh
+
+    np_dim = args.np_dim or (64 if args.small else 256)
+    nf = 2 * np_dim                      # fine mesh = 2x particles per dim
+    # single chip: one node, 2 tiles/dim; nf_buf=32 keeps the padded FFT
+    # size FFT-friendly (nf + 64: 576 = 2^6*3^2 for the 256^3 box)
+    cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
+                    nf_tile=nf // 2 + 2 * 32, nf_cutoff=16, buf_extra=16,
+                    density_buffer=1.5, shake=True, pid=False, z_i=100.0)
+    cfg.validate()
+    assert cfg.nf_physical_dim == nf
+
+    t0 = time.time()
+    kern_f, kern_c = kernels_mod.build_kernels(cfg)
+    kern_f = jnp.asarray(kern_f)
+    kern_c = jnp.asarray(kern_c)
+    mesh = make_sim_mesh(1)
+    sweep = step_mod.make_sweep(cfg, mesh)
+    print(f"# kernels built in {time.time() - t0:.1f}s; "
+          f"{cfg.summary()}", file=sys.stderr)
+
+    n = cfg.np_total
+    rng = np.random.default_rng(1)
+    # slightly perturbed lattice: realistic early-universe load (uniform
+    # occupancy, ~1 particle per 8 cells)
+    g = np.arange(np_dim, dtype=np.float32) * 2.0 + 0.5
+    x = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    x = (x + rng.uniform(-0.5, 0.5, x.shape)).astype(np.float32) % nf
+    v = (0.05 * rng.normal(size=x.shape)).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, v)
+    st = step_mod.shard_state(st, mesh)
+
+    def one(st, dt, t):
+        return sweep(st, kern_f, kern_c, jnp.float32(1.0), jnp.float32(dt),
+                     jnp.float32(1.0), jnp.float32(t), jnp.float32(t))
+
+    t0 = time.time()
+    st = one(st, 0.05, 0.05)
+    jax.block_until_ready(st.x)
+    print(f"# first step (compile) {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(args.steps):
+        st = one(st, 0.05, 0.1 + 0.05 * i)
+    jax.block_until_ready(st.x)
+    dt_step = (time.time() - t0) / args.steps
+    print(f"# {dt_step:.3f} s/step over {args.steps} steps", file=sys.stderr)
+
+    value = n / dt_step
+    baseline = 8.8e4  # reference particle-steps/s/node (BASELINE.md)
+    print(json.dumps({
+        "metric": f"particle-steps/sec/chip at {np_dim}^3",
+        "value": round(value, 1),
+        "unit": "particles/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

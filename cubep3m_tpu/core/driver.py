@@ -22,6 +22,7 @@ import numpy as np
 from ..config import SimConfig
 from ..state import SimState
 from .. import kernels as kernels_mod
+from ..parallel import mesh as mesh_mod
 from . import step as step_mod
 from .timestep import Cursors, OutputSchedule, StepDecision, decide_timestep
 
@@ -46,16 +47,18 @@ class Simulation:
                  schedule: Optional[OutputSchedule] = None,
                  pp_band: int = 32,
                  kill_time_s: Optional[float] = None,
-                 use_kernel_cache: bool = True):
+                 use_kernel_cache: bool = True,
+                 devices=None):
         cfg.validate()
         self.cfg = cfg
         self.schedule = schedule or OutputSchedule()
         self.cursors = Cursors()
+        self.mesh = mesh_mod.make_sim_mesh(cfg.nodes_dim, devices)
         kern_f, kern_c = kernels_mod.build_kernels(cfg,
                                                    use_cache=use_kernel_cache)
         self.kern_f = jnp.asarray(kern_f)
         self.kern_c = jnp.asarray(kern_c)
-        self.sweep = step_mod.make_sweep(cfg, pp_band=pp_band)
+        self.sweep = step_mod.make_sweep(cfg, self.mesh, pp_band=pp_band)
         self.kill_time_s = kill_time_s
         self._start_wall = time.time()
         self.logs: List[StepLog] = []

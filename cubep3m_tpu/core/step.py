@@ -1,18 +1,23 @@
-"""The fused PM sweep: drift + two-level mesh forces + pp + kicks + limiters.
+"""The fused PM sweep: drift + exchange + two-level mesh forces + pp + kicks.
 
 Functional re-design of the reference's `particle_mesh` driver
 (`source_threads/particle_mesh_threaded.f90`) and `coarse_mesh.f90`: one pure
-`state -> state` function, jitted once per config.  Differences from the
-reference are architectural, not numerical (see DESIGN.md):
+`state -> state` function under `jit`, expressed as a `shard_map` over a 3-D
+device mesh (`nodes_dim^3`, a 1^3 mesh degenerates to single-device with
+periodic wrap).  Differences from the reference are architectural, not
+numerical (see DESIGN.md):
 
 * tile loop + linked lists -> cell-sorted particle arrays + one padded FFT;
-* particle ghost passes -> periodic wrap / grid halo exchange;
+* 24-cell-deep particle ghost passes -> grid halo collectives + thin
+  ownership exchange (parallel/halo.py, parallel/exchange.py);
+* FFTW-MPI slab transpose -> replicated coarse solve after all_gather
+  (the coarse mesh is 64x smaller than fine; pencil FFT is a later upgrade);
 * per-thread scratch -> XLA-managed temporaries.
 
 Sweep order (reference `cubepm.f90:103-236` inner step):
-  drift (dt+dt_old)/2  ->  fine NGP mass -> fine FFT force -> NGP kick
-  -> pp kicks -> coarse CIC mass -> coarse FFT force -> CIC kick
-  -> dt limiters for the next sweep.
+  drift (dt+dt_old)/2 -> ownership exchange -> fine NGP mass -> density halo
+  -> fine FFT force -> NGP kick -> pp kicks -> coarse CIC mass -> fold ->
+  global coarse FFT force -> CIC kick -> dt limiters for the next sweep.
 """
 from __future__ import annotations
 
@@ -21,60 +26,69 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
 
 from ..config import SimConfig, G
 from ..state import SimState
 from ..ops import binning, deposit, fftconv, pp
+from ..parallel import halo as halo_mod
+from ..parallel import exchange as exchange_mod
+from ..parallel.mesh import AXES, make_sim_mesh
 
 
-def fold_pads(grid: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """Fold `pad` ghost layers back into the periodic interior (deposit).
-
-    Inverse of `jnp.pad(mode='wrap')`: ghost-cell mass deposited by particles
-    near the boundary belongs to the opposite interior edge.
-    """
-    if pad == 0:
-        return grid
-    for ax in range(grid.ndim):
-        n = grid.shape[ax] - 2 * pad
-
-        def sl(a, b):
-            idx = [slice(None)] * grid.ndim
-            idx[ax] = slice(a, b)
-            return tuple(idx)
-
-        # leading ghosts -> far interior; trailing ghosts -> near interior
-        grid = grid.at[sl(n, n + pad)].add(grid[sl(0, pad)])
-        grid = grid.at[sl(pad, 2 * pad)].add(grid[sl(n + pad, n + 2 * pad)])
-        grid = grid[sl(pad, n + pad)]
-    return grid
+def state_specs(with_axes: bool = True) -> SimState:
+    """PartitionSpec pytree for SimState: particle arrays sharded on the
+    leading axis over all mesh axes, scalars replicated."""
+    pa = P(AXES)
+    r = P()
+    return SimState(
+        x=pa, v=pa, pid=pa, np_local=pa,
+        a=r, tau=r, t=r, dt_old=r, nts=r,
+        dt_f_acc=r, dt_pp_acc=r, dt_pp_ext_acc=r, dt_c_acc=r,
+        shake_offset=r, pp_overflow=r, bucket_overflow=r, rng=r)
 
 
-def make_sweep(cfg: SimConfig, pp_band: int = 32):
-    """Build the jitted single-device sweep function.
+def shard_state(state: SimState, mesh: Mesh) -> SimState:
+    """Place a SimState according to state_specs on the mesh."""
+    specs = state_specs()
+    return jax.tree.map(
+        lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
+        state, specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
+    """Build the jitted sweep over `mesh` (shape (nd, nd, nd), axes x/y/z).
 
     Returns sweep(state, kern_f_im, kern_c_im, a_mid, dt, a_new, tau_new,
-    t_new) -> state.  All config-derived sizes are baked in as static.
+    t_new) -> state.
     """
     cfg.validate()
     if not cfg.ngp:
         raise NotImplementedError("CIC fine deposit path not yet implemented")
+    if cfg.pp_ext and cfg.nodes_dim > 1:
+        raise NotImplementedError(
+            "pp_ext across devices needs the ghost-particle layer (TODO)")
     nf = cfg.nf_physical_node_dim
     nf_buf = cfg.nf_buf
     nc = cfg.nc_node_dim
+    nc_glob = cfg.nc_dim
     ms = cfg.mesh_scale
     mass_p = cfg.mass_p
     ncells_fine = nf ** 3
+    max_buf = max(64, cfg.max_np // 4)
 
-    def sweep(state: SimState, kern_f_im, kern_c_im,
-              a_mid, dt, a_new, tau_new, t_new) -> SimState:
+    def sweep_local(state: SimState, kern_f_im, kern_c_im,
+                    a_mid, dt, a_new, tau_new, t_new) -> SimState:
         a_mid = jnp.asarray(a_mid, jnp.float32)
         dt = jnp.asarray(dt, jnp.float32)
         kick = a_mid * G * dt
         n_slots = state.x.shape[0]
-        valid = jnp.arange(n_slots) < state.np_local
+        np_local = state.np_local[0]
+        valid = jnp.arange(n_slots) < np_local
 
-        # ---- optional mesh shake (DISP_MESH, update_position.f90:25-63) ----
+        # ---- optional mesh shake (DISP_MESH, update_position.f90:25-63) ---
         rng = state.rng
         if cfg.shake:
             rng, sub = jax.random.split(rng)
@@ -87,29 +101,36 @@ def make_sweep(cfg: SimConfig, pp_band: int = 32):
 
         # ---- drift: x += v*(dt+dt_old)/2 (update_position.f90:69-76) ----
         x = state.x + state.v * (0.5 * (dt + state.dt_old)) + offset
-        # periodic wrap over the node volume (single-device ownership)
-        x = jnp.mod(x, float(nf))
         x = jnp.where(valid[:, None], x, 0.0)
+
+        # ---- ownership exchange (particle_pass/delete_particles role) ----
+        ex = exchange_mod.exchange_particles(x, state.v, state.pid, valid,
+                                             nf, max_buf)
+        x, v, pid, valid = ex.x, ex.v, ex.pid, ex.valid
+        # guard residual out-of-range coords (shake can exceed one node
+        # width only if nf is tiny; clamp defensively)
+        x = jnp.clip(x, 0.0, nf - 1e-4)
+        np_local = jnp.sum(valid.astype(jnp.int32))
 
         # ---- sort by fine cell (replaces link_list.f90) ----
         sp = binning.sort_by_cell(x, valid, nf)
         x = x[sp.order]
-        v = state.v[sp.order]
-        pid = state.pid[sp.order]
+        v = v[sp.order]
+        pid = pid[sp.order]
         valid = sp.cell < ncells_fine
 
         w = jnp.where(valid, jnp.float32(mass_p), 0.0)
 
-        # ---- fine level (NGP, the reference's default build) ----
+        # ---- fine level (NGP deposit, halo, FFT force, NGP kick) ----
         rho = deposit.ngp_deposit(x, w, (nf, nf, nf), sorted_cells=True)
-        rho_halo = jnp.pad(rho, nf_buf, mode="wrap")
+        rho_halo = halo_mod.halo_pad(rho, nf_buf)
         f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf)
         fmax2_f = jnp.max(jnp.sum(f_fine * f_fine, axis=0))
         fp = deposit.ngp_gather(f_fine, x)
         v = v + jnp.where(valid[:, None], fp * kick, 0.0)
 
         # dt_f limiter (particle_mesh_threaded.f90:641-656)
-        fmax_f = jnp.sqrt(fmax2_f)
+        fmax_f = jnp.sqrt(jax.lax.pmax(fmax2_f, AXES))
         dt_f_acc = 1.0 / jnp.sqrt(jnp.maximum(1e-4, fmax_f) * a_mid * G)
 
         # ---- pp level ----
@@ -118,12 +139,15 @@ def make_sweep(cfg: SimConfig, pp_band: int = 32):
         dt_pp_ext_acc = jnp.asarray(1000.0, jnp.float32)
         bucket_overflow = jnp.asarray(0, jnp.int32)
         if cfg.pp:
+            # same-fine-cell pairs are always device-local (cells are
+            # wholly owned), so no ghost layer is needed.
             res = pp.ppint_band_force(x, sp.cell, sp.rank, ncells_fine,
                                       pp_band, mass_p, cfg.rsoft, cfg.pp_bias)
             v = v + jnp.where(valid[:, None], res.force * kick, 0.0)
+            fmax_pp = jax.lax.pmax(res.fmax, AXES)
             dt_pp_acc = (jnp.sqrt(cfg.dt_pp_scale * cfg.rsoft)
-                         / jnp.maximum(jnp.sqrt(res.fmax * a_mid * G), 1e-3))
-            pp_overflow = res.overflow
+                         / jnp.maximum(jnp.sqrt(fmax_pp * a_mid * G), 1e-3))
+            pp_overflow = jax.lax.psum(res.overflow, AXES)
         if cfg.pp_ext:
             buckets = pp.bucket_by_coarse_cell(x, valid, nc, ms,
                                                cfg.pp_coarse_capacity)
@@ -131,25 +155,38 @@ def make_sweep(cfg: SimConfig, pp_band: int = 32):
                                   cfg.nf_cutoff, mass_p, cfg.rsoft,
                                   cfg.pp_bias)
             v = v + jnp.where(valid[:, None], res.force * kick, 0.0)
+            fmax_ppe = jax.lax.pmax(res.fmax, AXES)
             dt_pp_ext_acc = (jnp.sqrt(cfg.dt_pp_ext_scale * cfg.rsoft)
-                             / jnp.maximum(jnp.sqrt(res.fmax * a_mid * G),
+                             / jnp.maximum(jnp.sqrt(fmax_ppe * a_mid * G),
                                            1e-3))
-            bucket_overflow = res.overflow
+            bucket_overflow = jax.lax.psum(res.overflow, AXES)
 
         # ---- coarse level (coarse_mesh.f90) ----
         ncp = nc + 2
         rho_c_pad = deposit.cic_deposit(x, w, (ncp, ncp, ncp), scale=ms,
                                         offset=-0.5, pad=1)
-        rho_c = fold_pads(rho_c_pad, 1)
-        f_c = fftconv.coarse_force(rho_c, kern_c_im)
-        fmax_c = jnp.sqrt(jnp.max(jnp.sum(f_c * f_c, axis=0)))
+        rho_c = halo_mod.halo_fold(rho_c_pad, 1)
+        rho_c_glob = halo_mod.all_gather_grid(rho_c)
+        f_c_glob = fftconv.coarse_force(rho_c_glob, kern_c_im)
+        # my padded block of the global force field (coarse_force_buffer role)
+        cx, cy, cz = halo_mod.device_coords()
+        f_c_wrap = jnp.pad(f_c_glob, ((0, 0), (1, 1), (1, 1), (1, 1)),
+                           mode="wrap")
+        f_c_pad = jax.lax.dynamic_slice(
+            f_c_wrap, (0, cx * nc, cy * nc, cz * nc),
+            (3, ncp, ncp, ncp))
+        fmax_c_local = jnp.max(jnp.sum(
+            f_c_pad[:, 1:-1, 1:-1, 1:-1] ** 2, axis=0))
+        fmax_c = jnp.sqrt(jax.lax.pmax(fmax_c_local, AXES))
         dt_c_acc = jnp.sqrt(ms / (fmax_c * a_mid * G))
-        f_c_pad = jnp.pad(f_c, ((0, 0), (1, 1), (1, 1), (1, 1)), mode="wrap")
         fcp = deposit.cic_gather(f_c_pad, x, scale=ms, offset=-0.5, pad=1)
         v = v + jnp.where(valid[:, None], fcp * kick, 0.0)
 
+        exchange_overflow = jax.lax.psum(ex.overflow, AXES)
+
         return SimState(
-            x=x, v=v, pid=pid, np_local=state.np_local,
+            x=x, v=v, pid=pid,
+            np_local=np_local[None],
             a=jnp.asarray(a_new, jnp.float32),
             tau=jnp.asarray(tau_new, jnp.float32),
             t=jnp.asarray(t_new, jnp.float32),
@@ -159,17 +196,25 @@ def make_sweep(cfg: SimConfig, pp_band: int = 32):
             dt_pp_ext_acc=dt_pp_ext_acc.astype(jnp.float32),
             dt_c_acc=dt_c_acc.astype(jnp.float32),
             shake_offset=shake_offset,
-            pp_overflow=pp_overflow, bucket_overflow=bucket_overflow,
+            pp_overflow=pp_overflow + exchange_overflow,
+            bucket_overflow=bucket_overflow,
             rng=rng,
         )
 
-    return jax.jit(sweep)
+    specs = state_specs()
+    rspec = P()
+    mapped = shard_map(
+        sweep_local, mesh=mesh,
+        in_specs=(specs, rspec, rspec, rspec, rspec, rspec, rspec, rspec),
+        out_specs=specs,
+        check_vma=False)
+    return jax.jit(mapped)
 
 
 def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,
                    pp_band: int = 32) -> jnp.ndarray:
-    """Total force on every particle WITHOUT kicking (for test harnesses:
-    report_pair.f90 / report_force.f90 analogs).
+    """Total force on every particle WITHOUT kicking (single-device test
+    harness: report_pair.f90 / report_force.f90 analogs).
 
     Returns (max_np, 3) in the particle order of `state` (not re-sorted).
     """
@@ -177,7 +222,8 @@ def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,
     nc = cfg.nc_node_dim
     ms = cfg.mesh_scale
     mass_p = cfg.mass_p
-    valid = state.valid
+    n_slots = state.x.shape[0]
+    valid = jnp.arange(n_slots) < state.np_local[0]
     x = state.x
     w = jnp.where(valid, jnp.float32(mass_p), 0.0)
 
@@ -200,7 +246,23 @@ def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,
         force = force + res.force
 
     ncp = nc + 2
-    rho_c = fold_pads(deposit.cic_deposit(x, w, (ncp, ncp, ncp), scale=ms,
+
+    def fold_wrap(grid, pad):
+        for ax in range(3):
+            n = grid.shape[ax] - 2 * pad
+
+            def sl(a, b):
+                idx = [slice(None)] * grid.ndim
+                idx[ax] = slice(a, b)
+                return tuple(idx)
+
+            grid = grid.at[sl(n, n + pad)].add(grid[sl(0, pad)])
+            grid = grid.at[sl(pad, 2 * pad)].add(grid[sl(n + pad,
+                                                         n + 2 * pad)])
+            grid = grid[sl(pad, n + pad)]
+        return grid
+
+    rho_c = fold_wrap(deposit.cic_deposit(x, w, (ncp, ncp, ncp), scale=ms,
                                           offset=-0.5, pad=1), 1)
     f_c = fftconv.coarse_force(rho_c, kern_c_im)
     f_c_pad = jnp.pad(f_c, ((0, 0), (1, 1), (1, 1), (1, 1)), mode="wrap")

@@ -70,11 +70,14 @@ def fine_kernel_real(n: int, nf_cutoff: int, pp_ext: bool = False,
     Exact inverse-square force times the short-range split taper, supported
     on the sphere r < nf_cutoff.
     """
-    d = wrapped_coords(n)
-    dx, dy, dz = np.meshgrid(d, d, d, indexing="ij")
+    dt = np.float64 if n <= 256 else np.float32
+    d = wrapped_coords(n).astype(dt)
+    dx = d[:, None, None]
+    dy = d[None, :, None]
+    dz = d[None, None, :]
     r2 = dx * dx + dy * dy + dz * dz
     r = np.sqrt(r2)
-    r3 = np.where(r2 > 0, r2 ** 1.5, 1.0)
+    r3 = np.where(r2 > 0, r2, 1.0) ** 1.5
     inside = (r2 > 0) & (r < nf_cutoff)
     if pp_ext:
         # PP covers the inner (pp_range+1)^3 cube; zero the mesh kernel there.
@@ -82,7 +85,10 @@ def fine_kernel_real(n: int, nf_cutoff: int, pp_ext: bool = False,
                  & (np.abs(dz) <= pp_range))
         inside &= ~inner
     k = np.where(inside, -split_taper(r, nf_cutoff) / r3, 0.0)
-    return np.stack([k * dx, k * dy, k * dz]).astype(np.float32)
+    del r2, r, r3, inside
+    return np.stack([(k * dx).astype(np.float32),
+                     (k * dy).astype(np.float32),
+                     (k * dz).astype(np.float32)])
 
 
 def fine_kernel_fourier(n: int, nf_cutoff: int, pp_ext: bool = False,
@@ -92,9 +98,12 @@ def fine_kernel_fourier(n: int, nf_cutoff: int, pp_ext: bool = False,
     Full spectrum (not the r2c half): the TPU backend lacks r2c transforms,
     so the convolution path uses complex FFTs (ops/fftconv.py).
     """
-    kr = fine_kernel_real(n, nf_cutoff, pp_ext, pp_range).astype(np.float64)
-    return np.stack([np.fft.fftn(kr[c]).imag for c in range(3)]
-                    ).astype(np.float32)
+    # float64 for small grids; float32 beyond (a 576^3 complex128 FFT would
+    # need ~3 GB per component on host)
+    dt = np.float64 if n <= 256 else np.float32
+    kr = fine_kernel_real(n, nf_cutoff, pp_ext, pp_range)
+    return np.stack([np.fft.fftn(kr[c].astype(dt)).imag.astype(np.float32)
+                     for c in range(3)])
 
 
 # ----------------------------------------------------------------------

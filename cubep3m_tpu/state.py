@@ -25,10 +25,10 @@ from .config import SimConfig
 class SimState:
     """Per-device simulation state (a pure pytree; all fields device arrays)."""
 
-    x: jnp.ndarray            # (max_np, 3) f32 positions, node coords
-    v: jnp.ndarray            # (max_np, 3) f32 velocities (cells / dtau)
-    pid: jnp.ndarray          # (max_np,) int32 particle IDs (PID_FLAG analog)
-    np_local: jnp.ndarray     # () int32 valid particle count
+    x: jnp.ndarray            # (devices*max_np, 3) f32 positions, node coords
+    v: jnp.ndarray            # (devices*max_np, 3) f32 velocities (cells/dtau)
+    pid: jnp.ndarray          # (devices*max_np,) int32 particle IDs
+    np_local: jnp.ndarray     # (devices,) int32 valid count per device
 
     # time integration scalars (mirrored on host by the controller)
     a: jnp.ndarray            # () f32 scale factor
@@ -55,7 +55,12 @@ class SimState:
 
     @property
     def valid(self) -> jnp.ndarray:
-        return jnp.arange(self.x.shape[0]) < self.np_local
+        """Valid-slot mask (single-device layouts only)."""
+        return jnp.arange(self.x.shape[0]) < self.np_local[0]
+
+    @property
+    def np_total_local(self) -> int:
+        return int(jnp.sum(self.np_local))
 
 
 def _base_state(cfg: SimConfig, x: np.ndarray, v: np.ndarray,
@@ -74,7 +79,7 @@ def _base_state(cfg: SimConfig, x: np.ndarray, v: np.ndarray,
     f32 = lambda v_: jnp.asarray(v_, jnp.float32)
     return SimState(
         x=jnp.asarray(xp), v=jnp.asarray(vp), pid=jnp.asarray(pp),
-        np_local=jnp.asarray(n, jnp.int32),
+        np_local=jnp.asarray([n], jnp.int32),
         a=f32(cfg.a_i if cfg.cosmo_expansion else 1.0),
         tau=f32(-3.0 / np.sqrt(cfg.a_i) if cfg.cosmo_expansion else 0.0),
         t=f32(0.0), dt_old=f32(0.0), nts=jnp.asarray(0, jnp.int32),
@@ -125,3 +130,75 @@ def particles_ic(cfg: SimConfig, x: np.ndarray, v: np.ndarray,
     """Arbitrary particle load (used by the Zel'dovich IC generator and
     checkpoint restart)."""
     return _base_state(cfg, x, v, pid, seed=seed)
+
+
+def gather_global(cfg: SimConfig, state: SimState):
+    """Collect a (possibly multi-device) state into global-coordinate numpy
+    arrays (x_global, v, pid), dropping padding (recompose.f90 role)."""
+    nd = cfg.nodes_dim
+    cap = cfg.max_np
+    nf_node = cfg.nf_physical_node_dim
+    x = np.asarray(state.x)
+    v = np.asarray(state.v)
+    pid = np.asarray(state.pid)
+    counts = np.asarray(state.np_local)
+    xs, vs, ps = [], [], []
+    for d in range(counts.size):
+        n = int(counts[d])
+        origin = (np.array(np.unravel_index(d, (nd, nd, nd)))
+                  * nf_node).astype(np.float32)
+        xs.append(x[d * cap:d * cap + n] + origin)
+        vs.append(v[d * cap:d * cap + n])
+        ps.append(pid[d * cap:d * cap + n])
+    return np.concatenate(xs), np.concatenate(vs), np.concatenate(ps)
+
+
+def distribute_global(cfg: SimConfig, x_global: np.ndarray,
+                      v_global: np.ndarray,
+                      pid: Optional[np.ndarray] = None,
+                      seed: int = 0) -> SimState:
+    """Distribute globally-coordinated particles over the device grid.
+
+    x_global in [0, nf_physical_dim)^3; device (ix,iy,iz) gets the particles
+    of its cubic subvolume in node-local coordinates, packed into its block
+    of the (devices*max_np, ...) layout (mpi cubic decomposition analog,
+    `utils/dist_init` pass_particles role for the initial load).
+    """
+    nd = cfg.nodes_dim
+    nf_node = cfg.nf_physical_node_dim
+    cap = cfg.max_np
+    n = x_global.shape[0]
+    if pid is None:
+        pid = np.arange(1, n + 1, dtype=np.int32)
+    node = np.clip((x_global // nf_node).astype(np.int64), 0, nd - 1)
+    flat = (node[:, 0] * nd + node[:, 1]) * nd + node[:, 2]
+    nodes = nd ** 3
+    xp = np.zeros((nodes * cap, 3), np.float32)
+    vp = np.zeros((nodes * cap, 3), np.float32)
+    pp = np.zeros((nodes * cap,), np.int32)
+    counts = np.zeros((nodes,), np.int32)
+    for d in range(nodes):
+        sel = np.where(flat == d)[0]
+        if sel.size > cap:
+            raise ValueError(f"device {d}: {sel.size} particles > max_np "
+                             f"{cap}")
+        origin = (np.array(np.unravel_index(d, (nd, nd, nd)))
+                  * nf_node).astype(np.float32)
+        xp[d * cap:d * cap + sel.size] = x_global[sel] - origin
+        vp[d * cap:d * cap + sel.size] = v_global[sel]
+        pp[d * cap:d * cap + sel.size] = pid[sel]
+        counts[d] = sel.size
+    f32 = lambda v_: jnp.asarray(v_, jnp.float32)
+    return SimState(
+        x=jnp.asarray(xp), v=jnp.asarray(vp), pid=jnp.asarray(pp),
+        np_local=jnp.asarray(counts, jnp.int32),
+        a=f32(cfg.a_i if cfg.cosmo_expansion else 1.0),
+        tau=f32(-3.0 / np.sqrt(cfg.a_i) if cfg.cosmo_expansion else 0.0),
+        t=f32(0.0), dt_old=f32(0.0), nts=jnp.asarray(0, jnp.int32),
+        dt_f_acc=f32(1000.0), dt_pp_acc=f32(1000.0),
+        dt_pp_ext_acc=f32(1000.0), dt_c_acc=f32(1000.0),
+        shake_offset=jnp.zeros(3, jnp.float32),
+        pp_overflow=jnp.asarray(0, jnp.int32),
+        bucket_overflow=jnp.asarray(0, jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+    )

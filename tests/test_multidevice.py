@@ -1,0 +1,71 @@
+"""Multi-device consistency: an 8-device (2^3 mesh) run must reproduce the
+single-device run on the same global ICs (SURVEY.md §7.5 acceptance test —
+the reference's analog is `mpirun -np 8` vs single-rank equivalence)."""
+import jax
+import numpy as np
+import pytest
+
+from cubep3m_tpu import small_config
+from cubep3m_tpu import state as state_mod
+from cubep3m_tpu.core import step as step_mod
+from cubep3m_tpu.core.driver import Simulation
+
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def _global_ic(nf_global: int, n: int, seed: int = 11):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, nf_global, (n, 3)).astype(np.float32)
+    v = (rng.normal(size=(n, 3)) * 0.1).astype(np.float32)
+    return x, v
+
+
+def _run(cfg, x, v, steps, dt=0.2):
+    sim = Simulation(cfg)
+    st = state_mod.distribute_global(cfg, x, v)
+    st = step_mod.shard_state(st, sim.mesh)
+    t = 0.0
+    for _ in range(steps):
+        t += dt
+        st = sim.sweep(st, sim.kern_f, sim.kern_c, 1.0, dt, 1.0, t, t)
+    return state_mod.gather_global(cfg, st)
+
+
+@requires_8
+def test_eight_devices_match_single():
+    # same global box: 64^3 fine cells; 1-device (4^3 tiles) vs 2^3 devices
+    cfg1 = small_config(nodes_dim=1, tiles_node_dim=4,
+                        cosmo_expansion=False, shake=False)
+    cfg8 = small_config(nodes_dim=2, tiles_node_dim=2,
+                        cosmo_expansion=False, shake=False)
+    assert cfg1.nf_physical_dim == cfg8.nf_physical_dim == 64
+    x, v = _global_ic(64, 2000)
+
+    x1, v1, p1 = _run(cfg1, x, v, steps=3)
+    x8, v8, p8 = _run(cfg8, x, v, steps=3)
+
+    assert x1.shape == x8.shape
+    o1 = np.argsort(p1)
+    o8 = np.argsort(p8)
+    # positions agree to fp32 FFT roundoff (different transform sizes)
+    np.testing.assert_allclose(x1[o1], x8[o8], atol=5e-3)
+    np.testing.assert_allclose(v1[o1], v8[o8], atol=5e-3)
+
+
+@requires_8
+def test_exchange_preserves_particles():
+    """Ownership exchange: no particles lost/duplicated over many sweeps."""
+    cfg8 = small_config(nodes_dim=2, tiles_node_dim=2,
+                        cosmo_expansion=False, shake=True)
+    x, v = _global_ic(64, 3000, seed=4)
+    sim = Simulation(cfg8)
+    st = state_mod.distribute_global(cfg8, x, v)
+    st = step_mod.shard_state(st, sim.mesh)
+    for i in range(5):
+        st = sim.sweep(st, sim.kern_f, sim.kern_c, 1.0, 0.5, 1.0, 0.0, 0.0)
+    assert int(np.asarray(st.np_local).sum()) == 3000
+    assert int(st.pp_overflow) == 0
+    xg, vg, pg = state_mod.gather_global(cfg8, st)
+    assert np.unique(pg).size == 3000

@@ -26,7 +26,7 @@ def test_grid_ic_zero_force(sim):
     cfg = sim.cfg
     st = state_mod.grid_ic(cfg)
     f = step_mod.compute_forces(cfg, st, sim.kern_f, sim.kern_c)
-    f = np.asarray(f)[: int(st.np_local)]
+    f = np.asarray(f)[: int(st.np_local[0])]
     # force scale for one particle pair at r=2 is mass_p/4 = 2; lattice
     # cancellation should leave tiny residuals
     assert np.max(np.abs(f)) < 1e-3 * cfg.mass_p
@@ -95,7 +95,7 @@ def test_momentum_conservation_one_sweep(sim):
     exactly for the antisymmetric mesh kernels and the pp accumulation)."""
     cfg = sim.cfg
     st = state_mod.random_ic(cfg, seed=5, fraction=0.5)
-    n = int(st.np_local)
+    n = int(st.np_local[0])
     st2 = sim.sweep(st, sim.kern_f, sim.kern_c, 1.0, 0.1, 1.0, 0.1, 0.1)
     dv = np.asarray(st2.v).sum(axis=0) - np.asarray(st.v).sum(axis=0)
     # compare to the typical per-particle kick magnitude
@@ -112,7 +112,7 @@ def test_mass_conservation_deposit(sim):
     w = np.where(np.asarray(st.valid), cfg.mass_p, 0.0).astype(np.float32)
     rho = deposit.ngp_deposit(st.x, jnp.asarray(w), (nf, nf, nf))
     total = float(jnp.sum(rho))
-    expect = float(st.np_local) * cfg.mass_p
+    expect = float(st.np_local[0]) * cfg.mass_p
     assert abs(total - expect) / expect < 1e-5
 
 
