@@ -1,0 +1,127 @@
+"""Zel'dovich initial condition generator.
+
+Replaces `utils/dist_init/dist_init.f90` (the `dist_init` MPI binary):
+Gaussian random field with the target linear power, Zel'dovich displacement
+through the discrete Poisson kernel, velocities from the same displacement
+field.  Numerical contract (dist_init.f90):
+
+* `deltafield` (:851-947): delta_k = sqrt(Delta^2(k)/(4 pi k_r^3) * N^3)
+  * whitenoise_k, k_r in grid wavenumbers.
+* `potentialfield` (:1320-1524): phi_k = -4 pi delta_k / k_d^2 with
+  k_d = 2 sin(pi k / N) per axis (Ewald `correct_kernel` option TODO).
+* displacement = central-difference gradient: psi_k = i sin(2 pi k / N)
+  * delta_k / k_d^2 (dist_init.f90:1507-1509 combined with the -4pi kernel).
+* particles at cell centers of every 2nd fine cell, displaced by psi at
+  their lattice site (:1552-1560); velocities = vfactor * psi CIC-sampled
+  at the displaced position (`cicvelocity` :2067-2128),
+  vfactor = a^2 H(a) = da/dtau (:2674-2687).
+
+The field is generated on the global fine mesh on device (jnp complex FFT)
+and distributed to the device grid with `state.distribute_global`.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..state import SimState, distribute_global, particles_ic
+from . import transfer as transfer_mod
+
+
+def vfactor(a: float, c) -> float:
+    """a^2 H(a) in code time units = da/dtau (dist_init.f90:2674-2687)."""
+    lm = c.omega_l / c.omega_m
+    km = (1 - c.omega_m - c.omega_l) / c.omega_m
+    h = 2 / (3 * math.sqrt(a ** 3)) * math.sqrt(1 + a * km + a ** 3 * lm)
+    return a ** 2 * h
+
+
+def gaussian_delta_k(nf: int, pk_grid, key) -> jnp.ndarray:
+    """delta_k on the full nf^3 grid: FFT of unit white noise x sqrt(P N^3).
+
+    pk_grid: callable k_r (grid units, |k| in [0, nf/2*sqrt(3)]) -> P_grid.
+    """
+    noise = jax.random.normal(key, (nf, nf, nf), dtype=jnp.float32)
+    noise_k = jnp.fft.fftn(noise.astype(jnp.complex64))
+    k = np.fft.fftfreq(nf) * nf
+    kx = k[:, None, None]
+    ky = k[None, :, None]
+    kz = k[None, None, :]
+    kr = np.sqrt(kx ** 2 + ky ** 2 + kz ** 2)
+    amp = np.sqrt(np.where(kr > 0, pk_grid(np.maximum(kr, 1e-10)), 0.0)
+                  * float(nf) ** 3).astype(np.float32)
+    return noise_k * jnp.asarray(amp)
+
+
+def zeldovich_ic(cfg: SimConfig, seed: int = 0,
+                 transfer_file: Optional[str] = None,
+                 return_delta: bool = False):
+    """Generate a SimState with Zel'dovich ICs at cfg.z_i.
+
+    Single global-field generation (host+device); distributed over the
+    device grid by subvolume.
+    """
+    c = cfg.cosmo
+    nf = cfg.nf_physical_dim
+    a_i = cfg.a_i
+    lin = transfer_mod.linear_power(c, a_i, transfer_file=transfer_file)
+
+    # grid wavenumber -> physical k [h/Mpc]; P in grid units:
+    # Delta^2(k_phys) / (4 pi k_r^3)   (deltafield contract)
+    k_fac = 2 * math.pi / cfg.box
+
+    def pk_grid(kr):
+        return lin.delta2(kr * k_fac) / (4 * math.pi * kr ** 3)
+
+    key = jax.random.PRNGKey(seed)
+    delta_k = gaussian_delta_k(nf, pk_grid, key)
+
+    # displacement field: psi_k = i * sin(2 pi k / N) * delta_k / k_d^2
+    k = np.fft.fftfreq(nf) * nf
+    sin_g = np.sin(2 * math.pi * k / nf).astype(np.float32)
+    kd2 = (2 * np.sin(math.pi * k / nf)) ** 2
+    kd2_tot = (kd2[:, None, None] + kd2[None, :, None]
+               + kd2[None, None, :]).astype(np.float32)
+    inv_kd2 = np.where(kd2_tot > 0, 1.0 / np.maximum(kd2_tot, 1e-20), 0.0)
+
+    psi = []
+    shapes = [(nf, 1, 1), (1, nf, 1), (1, 1, nf)]
+    for axis in range(3):
+        grad = jnp.asarray(sin_g.reshape(shapes[axis]))
+        psi_k = 1j * grad * delta_k * jnp.asarray(inv_kd2)
+        psi.append(jnp.fft.ifftn(psi_k).real.astype(jnp.float32))
+    psi = jnp.stack(psi)  # (3, nf, nf, nf)
+
+    # particles at centers of every 2nd cell, displaced by psi at the site
+    npd = nf // 2
+    q_idx = np.arange(npd) * 2  # lattice site (grid index of the cell used)
+    qx = q_idx[:, None, None]
+    qy = q_idx[None, :, None]
+    qz = q_idx[None, None, :]
+    psi_np = np.asarray(psi)
+    disp = psi_np[:, qx, qy, qz]  # (3, npd, npd, npd) via advanced indexing
+    x = np.stack([qx + 0.5 + disp[0], qy + 0.5 + disp[1],
+                  qz + 0.5 + disp[2]], axis=-1).reshape(-1, 3)
+    x = np.mod(x, nf).astype(np.float32)
+
+    # velocities: vfactor * psi CIC-sampled at the displaced position
+    vf = vfactor(a_i, c)
+    from ..ops.deposit import cic_gather
+    xj = jnp.asarray(x)
+    psi_pad = jnp.pad(psi, ((0, 0), (1, 1), (1, 1), (1, 1)), mode="wrap")
+    v = np.asarray(cic_gather(psi_pad, xj, scale=1.0, offset=-0.5, pad=1))
+    v = (vf * v).astype(np.float32)
+
+    if cfg.nodes_dim == 1:
+        st = particles_ic(cfg, x, v, seed=seed)
+    else:
+        st = distribute_global(cfg, x, v, seed=seed)
+    if return_delta:
+        delta = jnp.fft.ifftn(delta_k).real
+        return st, np.asarray(delta)
+    return st

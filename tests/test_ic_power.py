@@ -1,0 +1,86 @@
+"""IC generator + power spectrum acceptance tests (SURVEY.md §4.4:
+`dist_init` P(k) must match the input linear theory)."""
+import math
+
+import numpy as np
+import pytest
+
+from cubep3m_tpu import small_config
+from cubep3m_tpu.config import Cosmology
+from cubep3m_tpu.ic import transfer as tr
+from cubep3m_tpu.ic import zeldovich as zl
+from cubep3m_tpu.analysis import power as pw
+
+
+def test_sigma8_normalization():
+    c = Cosmology()
+    lin = tr.linear_power(c, a=1.0)
+    assert abs(lin.sigma_r(8.0) - c.sigma8) / c.sigma8 < 1e-3
+
+
+def test_growth_scaling():
+    c = Cosmology()
+    lin1 = tr.linear_power(c, a=1.0)
+    lin2 = tr.linear_power(c, a=0.01)
+    ratio = lin2.delta2(0.1) / lin1.delta2(0.1)
+    d = tr.dgrow(0.01, c) / tr.dgrow(1.0, c)
+    assert abs(ratio - d ** 2) / d ** 2 < 1e-10
+
+
+def test_vfactor_matches_expansion():
+    """vfactor = a^2 H = (da/dtau)/a, consistent with the main integrator
+    (Zel'dovich velocity: v = dlnD/dtau * psi ~ (adot/a) * psi in matter
+    domination)."""
+    from cubep3m_tpu import cosmology as cos
+    c = Cosmology()
+    a = 0.02
+    vf = zl.vfactor(a, c)
+    da1, da2 = cos.expansion(a, 1e-6, c)
+    adot = (da1 + da2) / 1e-6
+    assert abs(vf - adot / a) / (adot / a) < 1e-4
+
+
+def test_zeldovich_delta_power_matches_linear():
+    """P(k) of the generated Gaussian field matches the target linear
+    spectrum within sample variance."""
+    cfg = small_config(nodes_dim=1, tiles_node_dim=4, box=100.0, z_i=20.0)
+    nf = cfg.nf_physical_dim  # 64
+    st, delta = zl.zeldovich_ic(cfg, seed=3, return_delta=True)
+    ps = pw.measure_power(delta, cfg.box)
+    lin = tr.linear_power(cfg.cosmo, cfg.a_i)
+    sel = (ps.k > 2 * 2 * math.pi / cfg.box) & (ps.k < 1.0)
+    ratio = ps.delta2[sel] / lin.delta2(ps.k[sel])
+    # mode-count-weighted mean ratio ~ 1
+    assert abs(np.average(ratio, weights=ps.nmodes[sel]) - 1.0) < 0.15
+
+
+def test_zeldovich_particle_power_matches_linear():
+    """CIC-deposited particle P(k) (shot-subtracted, deconvolved) matches
+    linear theory at large scales."""
+    cfg = small_config(nodes_dim=1, tiles_node_dim=4, box=100.0, z_i=20.0)
+    st = zl.zeldovich_ic(cfg, seed=3)
+    n = int(st.np_local[0])
+    x = np.asarray(st.x)[:n]
+    # no shot-noise subtraction: lattice-displaced ICs carry no Poisson
+    # noise below the particle Nyquist (subtraction is for evolved snaps)
+    ps = pw.power_of_particles(cfg, x, assignment="cic")
+    lin = tr.linear_power(cfg.cosmo, cfg.a_i)
+    sel = (ps.k > 3 * 2 * math.pi / cfg.box) & (ps.k < 0.8)
+    ratio = ps.delta2[sel] / lin.delta2(ps.k[sel])
+    assert abs(np.average(ratio, weights=ps.nmodes[sel]) - 1.0) < 0.2
+
+
+def test_zeldovich_velocities_sane():
+    cfg = small_config(nodes_dim=1, tiles_node_dim=4, box=100.0, z_i=20.0)
+    st = zl.zeldovich_ic(cfg, seed=3)
+    n = int(st.np_local[0])
+    v = np.asarray(st.v)[:n]
+    x = np.asarray(st.x)[:n]
+    assert n == cfg.np_total
+    assert np.all(np.isfinite(v))
+    # Zel'dovich: v ~ vfactor * displacement; rms displacement sub-cell at
+    # this redshift/box
+    vf = zl.vfactor(cfg.a_i, cfg.cosmo)
+    disp_rms = np.sqrt((v ** 2).mean()) / vf
+    assert 0.01 < disp_rms < 4.0
+    assert x.min() >= 0.0 and x.max() < cfg.nf_physical_dim
