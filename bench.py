@@ -25,7 +25,7 @@ def main():
                     help="64^3 particles (smoke test)")
     ap.add_argument("--np-dim", type=int, default=None,
                     help="particles per dimension (default 256)")
-    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -46,7 +46,7 @@ def main():
     # size FFT-friendly (nf + 64: 576 = 2^6*3^2 for the 256^3 box)
     cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
                     nf_tile=nf // 2 + 2 * 32, nf_cutoff=16, buf_extra=16,
-                    density_buffer=1.5, shake=True, pid=False, z_i=100.0)
+                    density_buffer=1.3, shake=True, pid=False, z_i=100.0)
     cfg.validate()
     assert cfg.nf_physical_dim == nf
 
@@ -85,6 +85,13 @@ def main():
     jax.block_until_ready(st.x)
     dt_step = (time.time() - t0) / args.steps
     print(f"# {dt_step:.3f} s/step over {args.steps} steps", file=sys.stderr)
+
+    # sanity: particles conserved, forces sane, no pp overflow
+    vfin = np.asarray(st.v[: min(100000, n)])
+    assert int(np.asarray(st.np_local).sum()) == n, "particle count changed"
+    assert np.all(np.isfinite(vfin)), "non-finite velocities"
+    print(f"# sanity OK: np={n} pp_overflow={int(st.pp_overflow)} "
+          f"v_rms={float(np.sqrt((vfin ** 2).mean())):.4f}", file=sys.stderr)
 
     value = n / dt_step
     baseline = 8.8e4  # reference particle-steps/s/node (BASELINE.md)

@@ -1,0 +1,71 @@
+"""2-D density projections.
+
+Replaces `source_threads/projection.f90` / `init_projection.f90` (and the
+`projection_half*` variants): mass-deposited xy/xz/yz planes of the global
+fine mesh, written at scheduled redshifts.  The reference builds per-tile
+CIC planes and mpi_reduces to rank 0 (projection.f90:34-53,147-186); here a
+single deposit + axis sum does the job on device.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..state import SimState, gather_global
+from ..ops.deposit import ngp_deposit
+
+
+def project_density(cfg: SimConfig, state: SimState,
+                    half: bool = False,
+                    remove_shake: bool = True) -> Dict[str, np.ndarray]:
+    """Return {'xy','xz','yz'} projected mass planes of the global volume.
+
+    half=True projects only the z<nf/2 half (projection_half.f90 analog).
+    Positions are un-shaken before projecting (move_grid_back semantics).
+    """
+    nf = cfg.nf_physical_dim
+    x, _, _ = gather_global(cfg, state)
+    if remove_shake:
+        x = np.mod(x - np.asarray(state.shake_offset)[None, :], nf)
+    if half:
+        x = x[x[:, 2] < nf / 2]
+    w = jnp.full((x.shape[0],), jnp.float32(cfg.mass_p))
+    rho = np.asarray(ngp_deposit(jnp.asarray(x), w, (nf, nf, nf)))
+    return {
+        "xy": rho.sum(axis=2),
+        "xz": rho.sum(axis=1),
+        "yz": rho.sum(axis=0),
+    }
+
+
+def write_projections(outdir: str, cfg: SimConfig, state: SimState,
+                      half: bool = False, z: float | None = None) -> list:
+    """Write `{z}proj_xy.dat` etc. as raw float32 planes (+ .npy copies)."""
+    from ..io.checkpoint import z_string
+    os.makedirs(outdir, exist_ok=True)
+    planes = project_density(cfg, state, half=half)
+    prefix = f"{z:.3f}" if z is not None else z_string(float(state.a))
+    files = []
+    for name, plane in planes.items():
+        fn = os.path.join(outdir, f"{prefix}proj_{name}.dat")
+        plane.astype("<f4").tofile(fn)
+        files.append(fn)
+    return files
+
+
+def to_pgm(plane: np.ndarray, path: str, log_scale: bool = True) -> None:
+    """Render a projection plane as an 8-bit PGM image
+    (utils/pgm_proj/pgm_proj.f90 role)."""
+    p = plane.astype(np.float64)
+    if log_scale:
+        p = np.log10(1.0 + p)
+    lo, hi = p.min(), p.max()
+    img = np.zeros_like(p, dtype=np.uint8) if hi <= lo else (
+        (255 * (p - lo) / (hi - lo)).astype(np.uint8))
+    with open(path, "wb") as f:
+        f.write(f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
+        f.write(img.tobytes())

@@ -69,6 +69,57 @@ class Simulation:
         self.on_kill: List[Callable] = []
 
     # ------------------------------------------------------------------
+    def attach_outputs(self, outdir: str, reference_format: bool = False,
+                       native_checkpoints: bool = True,
+                       projections: bool = True,
+                       halofinds: bool = True) -> None:
+        """Register the standard output writers (cubepm.f90:171-233 trigger
+        path): checkpoints, projections, halo catalogs, kill checkpoint."""
+        from ..io import checkpoint as ckpt_mod
+        from ..analysis import projection as proj_mod
+        from ..analysis import halofind as hf_mod
+
+        def _sched_z(lst, cursor):
+            # name outputs by the scheduled redshift, like the reference's
+            # z_checkpoint lists (not the f32-achieved scale factor)
+            if cursor < len(lst):
+                return 1.0 / lst[cursor] - 1.0
+            return None
+
+        def _ckpt(sim, state, dec):
+            z = _sched_z(sim.schedule.checkpoints, sim.cursors.checkpoint)
+            zs = f"{z:.3f}" if z is not None else ckpt_mod.z_string(
+                float(state.a))
+            if native_checkpoints:
+                ckpt_mod.save_native(f"{outdir}/ckpt_{zs}.npz",
+                                     sim.cfg, state, sim.cursors)
+            if reference_format:
+                ckpt_mod.write_reference_checkpoint(outdir, sim.cfg, state,
+                                                    sim.cursors, z=z)
+
+        def _proj(sim, state, dec):
+            z = _sched_z(sim.schedule.projections, sim.cursors.projection)
+            proj_mod.write_projections(outdir, sim.cfg, state, z=z)
+
+        def _halo(sim, state, dec):
+            z = _sched_z(sim.schedule.halofinds, sim.cursors.halofind)
+            cat = hf_mod.find_halos(sim.cfg, state)
+            hf_mod.write_catalog(outdir, sim.cfg, state, cat, z=z)
+
+        def _kill(sim, state, dec):
+            ckpt_mod.save_native(f"{outdir}/ckpt_kill.npz", sim.cfg, state,
+                                 sim.cursors)
+            if reference_format:
+                ckpt_mod.write_reference_checkpoint(outdir, sim.cfg, state,
+                                                    sim.cursors, kill=True)
+
+        self.on_checkpoint.append(_ckpt)
+        if projections:
+            self.on_projection.append(_proj)
+        if halofinds:
+            self.on_halofind.append(_halo)
+        self.on_kill.append(_kill)
+
     def dt_limits(self, state: SimState) -> tuple:
         return (float(state.dt_f_acc), float(state.dt_pp_acc),
                 float(state.dt_pp_ext_acc), float(state.dt_c_acc))

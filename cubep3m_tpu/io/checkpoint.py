@@ -1,0 +1,182 @@
+"""Checkpoint / restart.
+
+Two formats:
+
+* **native** (.npz): the full SimState pytree + output cursors + config
+  fingerprint — bit-faithful resume of the integrator state including the
+  dt-limiter accumulators and shake offset (the same resume contract as the
+  reference header, checkpoint.f90:73-78 / particle_initialization.f90:88-190).
+
+* **reference-compatible** per-rank stream binaries `{z}xv{rank}.dat`
+  (+ `{z}PID{rank}.dat`): the reference's -DBINARY layout — header
+  `np_local,a,t,tau,nts,dt_f_acc,dt_pp_acc,dt_c_acc,cur_checkpoint,
+  cur_projection,cur_halofind,mass_p` followed by xv(6) per particle with
+  the shake offset subtracted (checkpoint.f90:73-95).  This lets reference
+  post-processing tools (`cic_power`, `halofind`, `recompose`) consume our
+  snapshots and vice versa.
+
+Wall-clock kill checkpoints (`cubepm_kill.f90:231-258`) reuse the same
+writers with the `xvres` prefix via `kill=True`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..state import SimState
+from ..core.timestep import Cursors
+
+
+_HEADER_DTYPE = np.dtype([
+    ("np_local", "<i4"), ("a", "<f4"), ("t", "<f4"), ("tau", "<f4"),
+    ("nts", "<i4"), ("dt_f_acc", "<f4"), ("dt_pp_acc", "<f4"),
+    ("dt_c_acc", "<f4"), ("cur_checkpoint", "<i4"),
+    ("cur_projection", "<i4"), ("cur_halofind", "<i4"), ("mass_p", "<f4"),
+])
+
+
+def z_string(a: float) -> str:
+    """Redshift file prefix, reference style (e.g. '10.000')."""
+    return f"{1.0 / a - 1.0:.3f}"
+
+
+# ----------------------------------------------------------------------
+# native format
+# ----------------------------------------------------------------------
+def save_native(path: str, cfg: SimConfig, state: SimState,
+                cursors: Cursors) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = {f.name: np.asarray(getattr(state, f.name))
+            for f in dataclasses.fields(state)}
+    np.savez_compressed(
+        path, __config=repr(cfg),
+        __cursors=np.array([cursors.checkpoint, cursors.projection,
+                            cursors.halofind], np.int32),
+        **flat)
+
+
+def load_native(path: str, cfg: SimConfig) -> Tuple[SimState, Cursors]:
+    data = np.load(path, allow_pickle=False)
+    kw = {}
+    for f in dataclasses.fields(SimState):
+        kw[f.name] = jnp.asarray(data[f.name])
+    cur = data["__cursors"]
+    return SimState(**kw), Cursors(checkpoint=int(cur[0]),
+                                   projection=int(cur[1]),
+                                   halofind=int(cur[2]))
+
+
+# ----------------------------------------------------------------------
+# reference-compatible format
+# ----------------------------------------------------------------------
+def write_reference_checkpoint(outdir: str, cfg: SimConfig, state: SimState,
+                               cursors: Cursors, kill: bool = False,
+                               z: float | None = None) -> list:
+    """Write per-rank `{z}xv{rank}.dat` (+PID) stream binaries.
+
+    Positions are written with the accumulated shake offset subtracted
+    (checkpoint.f90:93, move_grid_back semantics); resume re-applies it.
+    Returns the list of files written.
+    """
+    os.makedirs(outdir, exist_ok=True)
+    a = float(state.a)
+    prefix = f"{z:.3f}" if z is not None else z_string(a)
+    tag = "xvres" if kill else "xv"
+    x = np.asarray(state.x)
+    v = np.asarray(state.v)
+    pid = np.asarray(state.pid)
+    counts = np.asarray(state.np_local)
+    shake = np.asarray(state.shake_offset)
+    cap = cfg.max_np
+    files = []
+    for rank in range(counts.size):
+        n = int(counts[rank])
+        hdr = np.zeros((), dtype=_HEADER_DTYPE)
+        hdr["np_local"] = n
+        hdr["a"] = a
+        hdr["t"] = float(state.t)
+        hdr["tau"] = float(state.tau)
+        hdr["nts"] = int(state.nts)
+        hdr["dt_f_acc"] = float(state.dt_f_acc)
+        hdr["dt_pp_acc"] = float(state.dt_pp_acc)
+        hdr["dt_c_acc"] = float(state.dt_c_acc)
+        # reference increments cur_checkpoint before writing
+        hdr["cur_checkpoint"] = cursors.checkpoint + 1
+        hdr["cur_projection"] = cursors.projection
+        hdr["cur_halofind"] = cursors.halofind
+        hdr["mass_p"] = cfg.mass_p
+        sl = slice(rank * cap, rank * cap + n)
+        xv = np.empty((n, 6), np.float32)
+        xv[:, 0:3] = x[sl] - shake[None, :]
+        xv[:, 3:6] = v[sl]
+        fn = os.path.join(outdir, f"{prefix}{tag}{rank}.dat")
+        with open(fn, "wb") as f:
+            f.write(hdr.tobytes())
+            f.write(xv.tobytes())
+        files.append(fn)
+        if cfg.pid:
+            fn_pid = os.path.join(outdir, f"{prefix}PID{rank}.dat")
+            with open(fn_pid, "wb") as f:
+                f.write(hdr.tobytes())
+                # reference PIDs are integer(8)
+                f.write(pid[sl].astype("<i8").tobytes())
+            files.append(fn_pid)
+    return files
+
+
+def read_reference_checkpoint(outdir: str, cfg: SimConfig, z: float,
+                              kill: bool = False
+                              ) -> Tuple[SimState, Cursors]:
+    """Restart from per-rank `{z}xv{rank}.dat` files
+    (`particle_initialization.f90:88-190` restart_ic path)."""
+    from ..state import SimState as SS
+    prefix = f"{z:.3f}"
+    tag = "xvres" if kill else "xv"
+    nodes = cfg.nodes
+    cap = cfg.max_np
+    xs = np.zeros((nodes * cap, 3), np.float32)
+    vs = np.zeros((nodes * cap, 3), np.float32)
+    pids = np.zeros((nodes * cap,), np.int32)
+    counts = np.zeros((nodes,), np.int32)
+    hdr = None
+    for rank in range(nodes):
+        fn = os.path.join(outdir, f"{prefix}{tag}{rank}.dat")
+        with open(fn, "rb") as f:
+            hdr = np.frombuffer(f.read(_HEADER_DTYPE.itemsize),
+                                dtype=_HEADER_DTYPE)[0]
+            n = int(hdr["np_local"])
+            xv = np.frombuffer(f.read(n * 24), dtype="<f4").reshape(n, 6)
+        xs[rank * cap:rank * cap + n] = xv[:, 0:3]
+        vs[rank * cap:rank * cap + n] = xv[:, 3:6]
+        counts[rank] = n
+        fn_pid = os.path.join(outdir, f"{prefix}PID{rank}.dat")
+        if cfg.pid and os.path.exists(fn_pid):
+            with open(fn_pid, "rb") as f:
+                f.seek(_HEADER_DTYPE.itemsize)
+                pids[rank * cap:rank * cap + n] = np.frombuffer(
+                    f.read(n * 8), dtype="<i8").astype(np.int32)
+        else:
+            pids[rank * cap:rank * cap + n] = np.arange(1, n + 1)
+    f32 = lambda v_: jnp.asarray(float(v_), jnp.float32)
+    state = SS(
+        x=jnp.asarray(xs), v=jnp.asarray(vs), pid=jnp.asarray(pids),
+        np_local=jnp.asarray(counts),
+        a=f32(hdr["a"]), tau=f32(hdr["tau"]), t=f32(hdr["t"]),
+        dt_old=f32(0.0), nts=jnp.asarray(int(hdr["nts"]), jnp.int32),
+        dt_f_acc=f32(hdr["dt_f_acc"]), dt_pp_acc=f32(hdr["dt_pp_acc"]),
+        dt_pp_ext_acc=f32(1000.0), dt_c_acc=f32(hdr["dt_c_acc"]),
+        shake_offset=jnp.zeros(3, jnp.float32),
+        pp_overflow=jnp.asarray(0, jnp.int32),
+        bucket_overflow=jnp.asarray(0, jnp.int32),
+        rng=jax.random.PRNGKey(int(hdr["nts"])),
+    )
+    cursors = Cursors(checkpoint=int(hdr["cur_checkpoint"]),
+                      projection=int(hdr["cur_projection"]),
+                      halofind=int(hdr["cur_halofind"]))
+    return state, cursors

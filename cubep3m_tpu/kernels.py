@@ -92,18 +92,57 @@ def fine_kernel_real(n: int, nf_cutoff: int, pp_ext: bool = False,
 
 
 def fine_kernel_fourier(n: int, nf_cutoff: int, pp_ext: bool = False,
-                        pp_range: int = 2) -> np.ndarray:
+                        pp_range: int = 2, device: bool = False):
     """(3, n, n, n) float32 imaginary parts of the fine kernel DFT.
 
     Full spectrum (not the r2c half): the TPU backend lacks r2c transforms,
     so the convolution path uses complex FFTs (ops/fftconv.py).
+
+    device=True builds and transforms entirely on the default JAX device
+    (fast path for production grids; host numpy FFTs of a 576^3 kernel take
+    minutes) and returns a jnp array.
     """
+    if device:
+        return _fine_kernel_fourier_device(n, nf_cutoff, pp_ext, pp_range)
     # float64 for small grids; float32 beyond (a 576^3 complex128 FFT would
     # need ~3 GB per component on host)
     dt = np.float64 if n <= 256 else np.float32
     kr = fine_kernel_real(n, nf_cutoff, pp_ext, pp_range)
     return np.stack([np.fft.fftn(kr[c].astype(dt)).imag.astype(np.float32)
                      for c in range(3)])
+
+
+def _fine_kernel_fourier_device(n: int, nf_cutoff: int, pp_ext: bool,
+                                pp_range: int):
+    """On-device fine kernel build: same math as the numpy path."""
+    import jax
+    import jax.numpy as jnp
+
+    d_host = wrapped_coords(n).astype(np.float32)
+
+    @jax.jit
+    def build():
+        d = jnp.asarray(d_host)
+        dx = d[:, None, None]
+        dy = d[None, :, None]
+        dz = d[None, None, :]
+        r2 = dx * dx + dy * dy + dz * dz
+        r = jnp.sqrt(r2)
+        r3 = jnp.where(r2 > 0, r2, 1.0) ** 1.5
+        inside = (r2 > 0) & (r < nf_cutoff)
+        if pp_ext:
+            inner = ((jnp.abs(dx) <= pp_range) & (jnp.abs(dy) <= pp_range)
+                     & (jnp.abs(dz) <= pp_range))
+            inside = inside & ~inner
+        s = jnp.minimum(r / nf_cutoff, 1.0)
+        taper = 1.0 - 1.75 * s ** 3 + 0.75 * s ** 5
+        k = jnp.where(inside, -taper / r3, 0.0)
+        comps = []
+        for dd in (dx, dy, dz):
+            comps.append(jnp.fft.fftn((k * dd).astype(jnp.complex64)).imag)
+        return jnp.stack(comps)
+
+    return build()
 
 
 # ----------------------------------------------------------------------
@@ -377,15 +416,20 @@ def fit_coarse_matching_table(nf_cutoff: int, mesh_scale: int,
     return table
 
 
-def build_kernels(cfg: SimConfig, use_cache: bool = True
-                  ) -> Tuple[np.ndarray, np.ndarray]:
+def build_kernels(cfg: SimConfig, use_cache: bool = True,
+                  device: Optional[bool] = None):
     """Build (kern_f_im, kern_c_im) for a config.
 
-    kern_f_im: (3, nf_h, nf_h, nf_h//2+1) on the halo-padded node grid.
-    kern_c_im: (3, nc, nc, nc//2+1) on the global coarse grid.
+    kern_f_im: (3, nf_h, nf_h, nf_h) full spectrum on the halo-padded node
+    grid; kern_c_im: (3, nc, nc, nc) on the global coarse grid.  Large fine
+    kernels build on-device by default (host FFTs of a 576^3 grid take
+    minutes); the small coarse kernel always builds on host in float64.
     """
     nf_h = cfg.nf_physical_node_dim + 2 * cfg.nf_buf
-    kern_f = fine_kernel_fourier(nf_h, cfg.nf_cutoff, cfg.pp_ext, cfg.pp_range)
+    if device is None:
+        device = nf_h > 192
+    kern_f = fine_kernel_fourier(nf_h, cfg.nf_cutoff, cfg.pp_ext,
+                                 cfg.pp_range, device=device)
     table = fit_coarse_matching_table(cfg.nf_cutoff, cfg.mesh_scale,
                                       cfg.pp_ext, cfg.pp_range,
                                       use_cache=use_cache)

@@ -55,23 +55,55 @@ def ppint_band_force(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
 
     pos: (N,3) sorted by `cell`; cell: (N,) sorted flat keys in [0, ncells)
     (padding slots carry key >= ncells and never pair); rank: in-cell rank.
+
+    Implemented as a fori_loop over band offsets on structure-of-arrays
+    (three (N,) lanes) with padded Newton-3rd-law accumulators: bounded
+    live memory (an unrolled roll-based version kept O(band) (N,3) slices
+    alive and OOMed at production sizes).
     """
     n = pos.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
     real = cell < ncells
-    force = jnp.zeros_like(pos)
-    for d in range(1, band + 1):
-        # partner j = i + d; same cell required, so no wrap pairs can match
-        pos_j = jnp.roll(pos, -d, axis=0)
-        cell_j = jnp.roll(cell, -d, axis=0)
-        same = (cell == cell_j) & (idx < n - d) & real
-        sep = pos - pos_j
-        rmag = jnp.sqrt(jnp.sum(sep * sep, axis=-1))
-        ok = same & (rmag > rsoft)
-        f = _pair_force(sep, rmag, ok, mass_p, pp_bias)
-        # attract: F_i -= f; F_j += f (Newton's 3rd law, reference :347-352)
-        force = force - f
-        force = force + jnp.roll(f, d, axis=0)
+    # SoA lanes, padded by `band` with an unmatchable sentinel cell
+    px = jnp.concatenate([pos[:, 0], jnp.zeros(band, pos.dtype)])
+    py = jnp.concatenate([pos[:, 1], jnp.zeros(band, pos.dtype)])
+    pz = jnp.concatenate([pos[:, 2], jnp.zeros(band, pos.dtype)])
+    cl = jnp.concatenate([cell, jnp.full((band,), ncells + 1, cell.dtype)])
+    rsoft2 = rsoft * rsoft
+    bias3 = pp_bias ** 3
+
+    def body(d, acc):
+        fxm, fym, fzm, fxp, fyp, fzp = acc
+        cj = jax.lax.dynamic_slice(cl, (d,), (n,))
+        xj = jax.lax.dynamic_slice(px, (d,), (n,))
+        yj = jax.lax.dynamic_slice(py, (d,), (n,))
+        zj = jax.lax.dynamic_slice(pz, (d,), (n,))
+        dx = px[:n] - xj
+        dy = py[:n] - yj
+        dz = pz[:n] - zj
+        r2 = dx * dx + dy * dy + dz * dz
+        ok = (cl[:n] == cj) & (r2 > rsoft2)
+        # f = mass_p * sep / (r*pp_bias)^3, as a scalar multiplier on sep
+        inv = jnp.where(ok, mass_p / (bias3 * jnp.where(ok, r2, 1.0) ** 1.5),
+                        0.0)
+        gx, gy, gz = dx * inv, dy * inv, dz * inv
+        # F_i -= g (attract toward j)
+        fxm += gx
+        fym += gy
+        fzm += gz
+        # F_j += g at j = i + d (padded accumulators)
+        fxp = jax.lax.dynamic_update_slice(
+            fxp, jax.lax.dynamic_slice(fxp, (d,), (n,)) + gx, (d,))
+        fyp = jax.lax.dynamic_update_slice(
+            fyp, jax.lax.dynamic_slice(fyp, (d,), (n,)) + gy, (d,))
+        fzp = jax.lax.dynamic_update_slice(
+            fzp, jax.lax.dynamic_slice(fzp, (d,), (n,)) + gz, (d,))
+        return fxm, fym, fzm, fxp, fyp, fzp
+
+    zero_n = jnp.zeros((n,), pos.dtype)
+    zero_p = jnp.zeros((n + band,), pos.dtype)
+    fxm, fym, fzm, fxp, fyp, fzp = jax.lax.fori_loop(
+        1, band + 1, body, (zero_n, zero_n, zero_n, zero_p, zero_p, zero_p))
+    force = jnp.stack([fxp[:n] - fxm, fyp[:n] - fym, fzp[:n] - fzm], axis=-1)
     fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=-1)))
     overflow = jnp.sum(((rank > band) & real).astype(jnp.int32))
     return PPResult(force=force, fmax=fmax, overflow=overflow)

@@ -1,0 +1,122 @@
+"""Checkpoint/restart, projections, halofinder tests."""
+import os
+
+import numpy as np
+import pytest
+
+from cubep3m_tpu import small_config
+from cubep3m_tpu import state as state_mod
+from cubep3m_tpu.core.timestep import Cursors
+from cubep3m_tpu.io import checkpoint as ckpt
+from cubep3m_tpu.analysis import projection as proj
+from cubep3m_tpu.analysis import halofind as hf
+
+
+@pytest.fixture
+def cfg():
+    return small_config(pid=True)
+
+
+def test_native_checkpoint_roundtrip(tmp_path, cfg):
+    st = state_mod.random_ic(cfg, seed=9)
+    cur = Cursors(checkpoint=2, projection=1, halofind=3)
+    path = str(tmp_path / "ck.npz")
+    ckpt.save_native(path, cfg, st, cur)
+    st2, cur2 = ckpt.load_native(path, cfg)
+    assert (cur2.checkpoint, cur2.projection, cur2.halofind) == (2, 1, 3)
+    np.testing.assert_array_equal(np.asarray(st.x), np.asarray(st2.x))
+    np.testing.assert_array_equal(np.asarray(st.v), np.asarray(st2.v))
+    np.testing.assert_array_equal(np.asarray(st.pid), np.asarray(st2.pid))
+    assert float(st.a) == float(st2.a)
+    assert float(st.dt_f_acc) == float(st2.dt_f_acc)
+
+
+def test_reference_checkpoint_roundtrip(tmp_path, cfg):
+    st = state_mod.random_ic(cfg, seed=10)
+    cur = Cursors()
+    files = ckpt.write_reference_checkpoint(str(tmp_path), cfg, st, cur)
+    assert len(files) == 2  # xv + PID for the single rank
+    z = 1.0 / float(st.a) - 1.0
+    st2, cur2 = ckpt.read_reference_checkpoint(str(tmp_path), cfg, z)
+    n = int(st.np_local[0])
+    assert int(st2.np_local[0]) == n
+    np.testing.assert_allclose(np.asarray(st2.x)[:n], np.asarray(st.x)[:n],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st2.v)[:n], np.asarray(st.v)[:n],
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st2.pid)[:n],
+                                  np.asarray(st.pid)[:n])
+    assert cur2.checkpoint == 1  # incremented on write (reference behavior)
+
+
+def test_reference_checkpoint_header_layout(tmp_path, cfg):
+    """Byte-level header contract (checkpoint.f90:73-78 PPINT layout)."""
+    st = state_mod.random_ic(cfg, seed=11)
+    files = ckpt.write_reference_checkpoint(str(tmp_path), cfg, st,
+                                            Cursors())
+    xv_file = [f for f in files if "xv" in os.path.basename(f)][0]
+    raw = np.fromfile(xv_file, dtype="<i4", count=1)
+    assert raw[0] == int(st.np_local[0])
+    hdr = np.fromfile(xv_file, dtype=ckpt._HEADER_DTYPE, count=1)[0]
+    assert abs(hdr["a"] - float(st.a)) < 1e-7
+    assert hdr["mass_p"] == np.float32(cfg.mass_p)
+
+
+def test_projection_mass_conservation(cfg):
+    st = state_mod.random_ic(cfg, seed=12)
+    planes = proj.project_density(cfg, st)
+    total = float(st.np_local[0]) * cfg.mass_p
+    for p in planes.values():
+        assert abs(p.sum() - total) / total < 1e-5
+
+
+def test_projection_pgm(tmp_path, cfg):
+    st = state_mod.random_ic(cfg, seed=12)
+    planes = proj.project_density(cfg, st)
+    path = str(tmp_path / "p.pgm")
+    proj.to_pgm(planes["xy"], path)
+    with open(path, "rb") as f:
+        assert f.read(2) == b"P5"
+
+
+def test_halofinder_synthetic_clump(cfg):
+    """A dense Gaussian clump in a uniform background is found with the
+    right mass and center."""
+    rng = np.random.default_rng(13)
+    nf = cfg.nf_physical_node_dim
+    n_bg = 2000
+    n_cl = 600
+    # offset from the cell corner so the peak is well-localized; sigma=0.5
+    # gives a mean overdensity comfortably above halo_odc=178 out to ~1.5
+    # cells (a sigma=0.8 clump is marginal against the criterion)
+    center = np.array([nf / 2.0 + 0.5, nf / 2.0 + 0.5, nf / 2.0 + 0.5])
+    x_bg = rng.uniform(0, nf, (n_bg, 3))
+    x_cl = center + rng.normal(scale=0.5, size=(n_cl, 3))
+    x = np.vstack([x_bg, x_cl]).astype(np.float32)
+    v = np.zeros_like(x)
+    st = state_mod.particles_ic(cfg, x, v)
+    cat = hf.find_halos(cfg, st)
+    assert cat.size >= 1
+    main = cat[np.argmax(cat["halo_mass"])]
+    # center within a cell of the clump center
+    assert np.linalg.norm(main["peak_pos"] - center) < 1.5
+    # the halo captures most of the clump
+    assert main["imass"] / cfg.mass_p > 0.5 * n_cl
+    # particle stats sane
+    assert np.all(main["v2_wrt_halo"] == 0.0)  # cold clump
+    assert main["radius_calc"] > 0
+
+
+def test_halofinder_catalog_io(tmp_path, cfg):
+    rng = np.random.default_rng(14)
+    nf = cfg.nf_physical_node_dim
+    x = np.vstack([
+        rng.uniform(0, nf, (1500, 3)),
+        np.array([10.0, 10.0, 10.0]) + rng.normal(scale=0.7, size=(400, 3)),
+    ]).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, np.zeros_like(x))
+    cat = hf.find_halos(cfg, st)
+    fn = hf.write_catalog(str(tmp_path), cfg, st, cat)
+    cat2 = hf.read_catalog(fn)
+    assert cat2.size == cat.size
+    np.testing.assert_array_equal(cat2["halo_mass"], cat["halo_mass"])
