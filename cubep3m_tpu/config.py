@@ -109,6 +109,11 @@ class SimConfig:
     pp_cell_capacity: int = 32   # max particles per fine cell for pp bucketing
     pp_coarse_capacity: int = 256  # max particles per coarse cell (pp bucket)
 
+    # --- MHD gas (cpp flag MHD; module mpi_tvd_mhd) ---
+    mhd: bool = False
+    gas_gamma: float = 5.0 / 3.0
+    gas_p_init: float = 1.0e-8   # initial gas pressure (cold start)
+
     # --- lifecycle / outputs ---
     shake: bool = True          # DISP_MESH random mesh shake each step
     move_grid_back: bool = True # subtract accumulated shake before outputs

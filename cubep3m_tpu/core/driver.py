@@ -122,7 +122,8 @@ class Simulation:
 
     def dt_limits(self, state: SimState) -> tuple:
         return (float(state.dt_f_acc), float(state.dt_pp_acc),
-                float(state.dt_pp_ext_acc), float(state.dt_c_acc))
+                float(state.dt_pp_ext_acc), float(state.dt_c_acc),
+                float(state.dt_gas_acc))
 
     def step(self, state: SimState) -> tuple[SimState, StepDecision]:
         """One sweep: decide dt on host, run the jitted sweep on device."""

@@ -37,21 +37,25 @@ from ..parallel import exchange as exchange_mod
 from ..parallel.mesh import AXES, make_sim_mesh
 
 
-def state_specs(with_axes: bool = True) -> SimState:
+def state_specs(mhd: bool = False) -> SimState:
     """PartitionSpec pytree for SimState: particle arrays sharded on the
-    leading axis over all mesh axes, scalars replicated."""
+    leading axis over all mesh axes, gas fields sharded spatially, scalars
+    replicated."""
     pa = P(AXES)
     r = P()
+    gas = P(None, *AXES) if mhd else r
     return SimState(
         x=pa, v=pa, pid=pa, np_local=pa,
         a=r, tau=r, t=r, dt_old=r, nts=r,
         dt_f_acc=r, dt_pp_acc=r, dt_pp_ext_acc=r, dt_c_acc=r,
-        shake_offset=r, pp_overflow=r, bucket_overflow=r, rng=r)
+        dt_gas_acc=r,
+        shake_offset=r, pp_overflow=r, bucket_overflow=r, rng=r,
+        gas_u=gas, gas_b=gas)
 
 
 def shard_state(state: SimState, mesh: Mesh) -> SimState:
     """Place a SimState according to state_specs on the mesh."""
-    specs = state_specs()
+    specs = state_specs(mhd=state.gas_u.ndim == 4)
     return jax.tree.map(
         lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
         state, specs,
@@ -79,6 +83,19 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     ncells_fine = nf ** 3
     max_buf = max(64, cfg.max_np // 4)
 
+    fb = cfg.cosmo.omega_b / cfg.cosmo.omega_m if cfg.mhd else 0.0
+    gas_pad = 8  # TVD stencil reach over a fwd+bwd pass (2 sweeps x radius 3)
+
+    def _gas_halfstep(u, b, dt):
+        """One forward+backward gas pass over halo-padded fields
+        (sweep + comm_bufferupdate roles, cubepm.f90:113-131)."""
+        from ..mhd import tvd as tvd_mod
+        up = halo_mod.halo_pad(u, gas_pad)
+        bp = halo_mod.halo_pad(b, gas_pad)
+        up, bp = tvd_mod.gas_step(up, bp, dt / 4.0, gamma=cfg.gas_gamma)
+        sl = (slice(None),) + (slice(gas_pad, -gas_pad),) * 3
+        return up[sl], bp[sl]
+
     def sweep_local(state: SimState, kern_f_im, kern_c_im,
                     a_mid, dt, a_new, tau_new, t_new) -> SimState:
         a_mid = jnp.asarray(a_mid, jnp.float32)
@@ -87,6 +104,12 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         n_slots = state.x.shape[0]
         np_local = state.np_local[0]
         valid = jnp.arange(n_slots) < np_local
+
+        gas_u, gas_b = state.gas_u, state.gas_b
+        dt_gas_acc = jnp.asarray(1000.0, jnp.float32)
+        if cfg.mhd:
+            # first gas pass (fwd xyz + bwd zyx, dt_gas = dt/4 each sweep)
+            gas_u, gas_b = _gas_halfstep(gas_u, gas_b, dt)
 
         # ---- optional mesh shake (DISP_MESH, update_position.f90:25-63) ---
         rng = state.rng
@@ -119,15 +142,28 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         pid = pid[sp.order]
         valid = sp.cell < ncells_fine
 
-        w = jnp.where(valid, jnp.float32(mass_p), 0.0)
+        # dark matter carries (1 - omega_b/omega_m) of the mass in MHD runs
+        # (particle_mesh_threaded.f90:108-115, coarse_mass.f90:67-78)
+        w = jnp.where(valid, jnp.float32(mass_p * (1.0 - fb)), 0.0)
 
         # ---- fine level (NGP deposit, halo, FFT force, NGP kick) ----
         rho = deposit.ngp_deposit(x, w, (nf, nf, nf), sorted_cells=True)
+        if cfg.mhd:
+            rho = rho + jnp.float32(fb) * gas_u[0]
         rho_halo = halo_mod.halo_pad(rho, nf_buf)
         f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf)
         fmax2_f = jnp.max(jnp.sum(f_fine * f_fine, axis=0))
         fp = deposit.ngp_gather(f_fine, x)
         v = v + jnp.where(valid[:, None], fp * kick, 0.0)
+
+        if cfg.mhd:
+            # gravity kick on the gas at fine-cell centers
+            # (fine_velocity.f90:75-92): dv = a_mid G dt F; E += (m+rho dv/2)dv
+            dv = kick * f_fine                       # (3, nf, nf, nf)
+            mom = gas_u[1:4]
+            de = jnp.sum((mom + 0.5 * gas_u[0] * dv) * dv, axis=0)
+            gas_u = gas_u.at[1:4].add(gas_u[0] * dv)
+            gas_u = gas_u.at[4].add(de)
 
         # dt_f limiter (particle_mesh_threaded.f90:641-656)
         fmax_f = jnp.sqrt(jax.lax.pmax(fmax2_f, AXES))
@@ -166,6 +202,10 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         rho_c_pad = deposit.cic_deposit(x, w, (ncp, ncp, ncp), scale=ms,
                                         offset=-0.5, pad=1)
         rho_c = halo_mod.halo_fold(rho_c_pad, 1)
+        if cfg.mhd:
+            # gas mass: sum-pool mesh_scale^3 gas cells (coarse_mass.f90:67-78)
+            rho_c = rho_c + jnp.float32(fb) * gas_u[0].reshape(
+                nc, ms, nc, ms, nc, ms).sum(axis=(1, 3, 5))
         rho_c_glob = halo_mod.all_gather_grid(rho_c)
         f_c_glob = fftconv.coarse_force(rho_c_glob, kern_c_im)
         # my padded block of the global force field (coarse_force_buffer role)
@@ -182,6 +222,25 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         fcp = deposit.cic_gather(f_c_pad, x, scale=ms, offset=-0.5, pad=1)
         v = v + jnp.where(valid[:, None], fcp * kick, 0.0)
 
+        if cfg.mhd:
+            # coarse gravity kick on the gas (coarse_velocity.f90 MHD
+            # branch): trilinear coarse->fine interpolation == CIC at
+            # fine-cell centers; padded so edges wrap/exchange correctly
+            f_c_fine = jax.image.resize(
+                f_c_pad, (3, ncp * ms, ncp * ms, ncp * ms), method="linear")
+            sl = (slice(None),) + (slice(ms, ms + nf),) * 3
+            dvc = kick * f_c_fine[sl]
+            mom = gas_u[1:4]
+            de = jnp.sum((mom + 0.5 * gas_u[0] * dvc) * dvc, axis=0)
+            gas_u = gas_u.at[1:4].add(gas_u[0] * dvc)
+            gas_u = gas_u.at[4].add(de)
+            # second gas pass (cubepm.f90:148-165)
+            gas_u, gas_b = _gas_halfstep(gas_u, gas_b, dt)
+            from ..mhd import tvd as tvd_mod
+            # dt_gas = dt/4 must satisfy the CFL bound (calcfl role)
+            dt_gas_acc = 4.0 * jax.lax.pmin(
+                tvd_mod.calcfl(gas_u, gas_b, gamma=cfg.gas_gamma), AXES)
+
         exchange_overflow = jax.lax.psum(ex.overflow, AXES)
 
         return SimState(
@@ -195,13 +254,15 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             dt_pp_acc=dt_pp_acc.astype(jnp.float32),
             dt_pp_ext_acc=dt_pp_ext_acc.astype(jnp.float32),
             dt_c_acc=dt_c_acc.astype(jnp.float32),
+            dt_gas_acc=dt_gas_acc.astype(jnp.float32),
             shake_offset=shake_offset,
             pp_overflow=pp_overflow + exchange_overflow,
             bucket_overflow=bucket_overflow,
             rng=rng,
+            gas_u=gas_u, gas_b=gas_b,
         )
 
-    specs = state_specs()
+    specs = state_specs(mhd=cfg.mhd)
     rspec = P()
     mapped = shard_map(
         sweep_local, mesh=mesh,

@@ -78,24 +78,35 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
     def pk_grid(kr):
         return lin.delta2(kr * k_fac) / (4 * math.pi * kr ** 3)
 
-    key = jax.random.PRNGKey(seed)
-    delta_k = gaussian_delta_k(nf, pk_grid, key)
-
-    # displacement field: psi_k = i * sin(2 pi k / N) * delta_k / k_d^2
+    # precompute k-space factors on host
     k = np.fft.fftfreq(nf) * nf
     sin_g = np.sin(2 * math.pi * k / nf).astype(np.float32)
     kd2 = (2 * np.sin(math.pi * k / nf)) ** 2
     kd2_tot = (kd2[:, None, None] + kd2[None, :, None]
                + kd2[None, None, :]).astype(np.float32)
-    inv_kd2 = np.where(kd2_tot > 0, 1.0 / np.maximum(kd2_tot, 1e-20), 0.0)
-
-    psi = []
+    inv_kd2 = np.where(kd2_tot > 0, 1.0 / np.maximum(kd2_tot, 1e-20),
+                       0.0).astype(np.float32)
+    kr = np.sqrt(k[:, None, None] ** 2 + k[None, :, None] ** 2
+                 + k[None, None, :] ** 2)
+    amp = np.sqrt(np.where(kr > 0, pk_grid(np.maximum(kr, 1e-10)), 0.0)
+                  * float(nf) ** 3).astype(np.float32)
     shapes = [(nf, 1, 1), (1, nf, 1), (1, 1, nf)]
-    for axis in range(3):
-        grad = jnp.asarray(sin_g.reshape(shapes[axis]))
-        psi_k = 1j * grad * delta_k * jnp.asarray(inv_kd2)
-        psi.append(jnp.fft.ifftn(psi_k).real.astype(jnp.float32))
-    psi = jnp.stack(psi)  # (3, nf, nf, nf)
+
+    # jitted on device: eager complex ops with python scalars are not
+    # supported by the axon TPU backend (weak 1j constants), and jit is
+    # faster anyway
+    @jax.jit
+    def _fields(key):
+        noise = jax.random.normal(key, (nf, nf, nf), dtype=jnp.float32)
+        delta_k = jnp.fft.fftn(noise.astype(jnp.complex64)) * jnp.asarray(amp)
+        psi = []
+        for axis in range(3):
+            grad = jnp.asarray(sin_g.reshape(shapes[axis]))
+            psi_k = 1j * grad * delta_k * jnp.asarray(inv_kd2)
+            psi.append(jnp.fft.ifftn(psi_k).real.astype(jnp.float32))
+        return jnp.stack(psi), delta_k
+
+    psi, delta_k = _fields(jax.random.PRNGKey(seed))
 
     # particles at centers of every 2nd cell, displaced by psi at the site
     npd = nf // 2
@@ -112,9 +123,14 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
     # velocities: vfactor * psi CIC-sampled at the displaced position
     vf = vfactor(a_i, c)
     from ..ops.deposit import cic_gather
-    xj = jnp.asarray(x)
-    psi_pad = jnp.pad(psi, ((0, 0), (1, 1), (1, 1), (1, 1)), mode="wrap")
-    v = np.asarray(cic_gather(psi_pad, xj, scale=1.0, offset=-0.5, pad=1))
+
+    @jax.jit
+    def _vel(psi_, xj):
+        psi_pad = jnp.pad(psi_, ((0, 0), (1, 1), (1, 1), (1, 1)),
+                          mode="wrap")
+        return cic_gather(psi_pad, xj, scale=1.0, offset=-0.5, pad=1)
+
+    v = np.asarray(_vel(psi, jnp.asarray(x)))
     v = (vf * v).astype(np.float32)
 
     if cfg.nodes_dim == 1:

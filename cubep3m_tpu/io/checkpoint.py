@@ -163,6 +163,8 @@ def read_reference_checkpoint(outdir: str, cfg: SimConfig, z: float,
                     f.read(n * 8), dtype="<i8").astype(np.int32)
         else:
             pids[rank * cap:rank * cap + n] = np.arange(1, n + 1)
+    from ..state import _default_gas
+    _dg = _default_gas(cfg)
     f32 = lambda v_: jnp.asarray(float(v_), jnp.float32)
     state = SS(
         x=jnp.asarray(xs), v=jnp.asarray(vs), pid=jnp.asarray(pids),
@@ -171,10 +173,12 @@ def read_reference_checkpoint(outdir: str, cfg: SimConfig, z: float,
         dt_old=f32(0.0), nts=jnp.asarray(int(hdr["nts"]), jnp.int32),
         dt_f_acc=f32(hdr["dt_f_acc"]), dt_pp_acc=f32(hdr["dt_pp_acc"]),
         dt_pp_ext_acc=f32(1000.0), dt_c_acc=f32(hdr["dt_c_acc"]),
+        dt_gas_acc=f32(1000.0),
         shake_offset=jnp.zeros(3, jnp.float32),
         pp_overflow=jnp.asarray(0, jnp.int32),
         bucket_overflow=jnp.asarray(0, jnp.int32),
         rng=jax.random.PRNGKey(int(hdr["nts"])),
+        gas_u=_dg[0], gas_b=_dg[1],
     )
     cursors = Cursors(checkpoint=int(hdr["cur_checkpoint"]),
                       projection=int(hdr["cur_projection"]),

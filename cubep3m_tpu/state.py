@@ -42,6 +42,7 @@ class SimState:
     dt_pp_acc: jnp.ndarray    # () f32
     dt_pp_ext_acc: jnp.ndarray  # () f32
     dt_c_acc: jnp.ndarray     # () f32
+    dt_gas_acc: jnp.ndarray   # () f32 gas CFL limit (MHD; dta/dtc role)
 
     # mesh shake accumulator (DISP_MESH, update_position.f90:25-63)
     shake_offset: jnp.ndarray  # (3,) f32
@@ -52,6 +53,11 @@ class SimState:
 
     # RNG for the mesh shake
     rng: jnp.ndarray           # PRNG key
+
+    # optional MHD gas state (cfg.mhd): conserved fields on the fine grid
+    # (module mpi_tvd_mhd's u/b); empty (0,) arrays when disabled
+    gas_u: jnp.ndarray  # (5, nf, nf, nf) or (0,)
+    gas_b: jnp.ndarray  # (3, nf, nf, nf) or (0,)
 
     @property
     def valid(self) -> jnp.ndarray:
@@ -85,11 +91,25 @@ def _base_state(cfg: SimConfig, x: np.ndarray, v: np.ndarray,
         t=f32(0.0), dt_old=f32(0.0), nts=jnp.asarray(0, jnp.int32),
         dt_f_acc=f32(1000.0), dt_pp_acc=f32(1000.0),
         dt_pp_ext_acc=f32(1000.0), dt_c_acc=f32(1000.0),
+        dt_gas_acc=f32(1000.0),
         shake_offset=jnp.zeros(3, jnp.float32),
         pp_overflow=jnp.asarray(0, jnp.int32),
         bucket_overflow=jnp.asarray(0, jnp.int32),
         rng=jax.random.PRNGKey(seed),
+        gas_u=_default_gas(cfg)[0], gas_b=_default_gas(cfg)[1],
     )
+
+
+def _default_gas(cfg: SimConfig):
+    """Uniform gas at mean density (mhd_init simplest mode) or empty."""
+    if not getattr(cfg, "mhd", False):
+        e = jnp.zeros((0,), jnp.float32)
+        return e, e
+    from .mhd.tvd import uniform_gas
+    nf = cfg.nf_physical_dim
+    # mean gas density 1 (the omega_b/omega_m weighting happens at deposit)
+    return uniform_gas((nf, nf, nf), rho=1.0, p=cfg.gas_p_init,
+                       gamma=cfg.gas_gamma)
 
 
 # ----------------------------------------------------------------------
@@ -197,8 +217,10 @@ def distribute_global(cfg: SimConfig, x_global: np.ndarray,
         t=f32(0.0), dt_old=f32(0.0), nts=jnp.asarray(0, jnp.int32),
         dt_f_acc=f32(1000.0), dt_pp_acc=f32(1000.0),
         dt_pp_ext_acc=f32(1000.0), dt_c_acc=f32(1000.0),
+        dt_gas_acc=f32(1000.0),
         shake_offset=jnp.zeros(3, jnp.float32),
         pp_overflow=jnp.asarray(0, jnp.int32),
         bucket_overflow=jnp.asarray(0, jnp.int32),
         rng=jax.random.PRNGKey(seed),
+        gas_u=_default_gas(cfg)[0], gas_b=_default_gas(cfg)[1],
     )

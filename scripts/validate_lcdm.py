@@ -1,0 +1,108 @@
+"""Physics acceptance run: evolve an LCDM box to z=0 and validate P(k).
+
+The reference's acceptance criteria (SURVEY.md §4.4): evolved P(k) vs linear
+theory at large scales; halo mass function vs Press-Schechter/Sheth-Tormen.
+Writes results to --out (npz) and prints a summary.
+
+Run: python scripts/validate_lcdm.py [--np-dim 128] [--cpu]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--np-dim", type=int, default=128)
+    ap.add_argument("--box", type=float, default=100.0)
+    ap.add_argument("--z-i", type=float, default=100.0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="/tmp/validate_lcdm.npz")
+    ap.add_argument("--max-steps", type=int, default=1200)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from cubep3m_tpu.config import SimConfig
+    from cubep3m_tpu import state as sm
+    from cubep3m_tpu.core.driver import Simulation
+    from cubep3m_tpu.core.timestep import OutputSchedule
+    from cubep3m_tpu.core import step as step_mod
+    from cubep3m_tpu.ic import zeldovich as zl, transfer as tr
+    from cubep3m_tpu.analysis import power as pw, halofind as hf
+
+    nf = 2 * args.np_dim
+    cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
+                    nf_tile=nf // 2 + 2 * 32, nf_cutoff=16, buf_extra=16,
+                    box=args.box, z_i=args.z_i,
+                    density_buffer=2.0, shake=True, pid=True)
+    cfg.validate()
+    print(f"# {cfg.summary()}", flush=True)
+
+    t0 = time.time()
+    st = zl.zeldovich_ic(cfg, seed=42)
+    print(f"# ICs generated in {time.time() - t0:.1f}s", flush=True)
+
+    sched = OutputSchedule.from_redshifts(checkpoints=[0.0],
+                                          halofinds=[0.0])
+    sim = Simulation(cfg, schedule=sched)
+    st = step_mod.shard_state(st, sim.mesh)
+
+    t0 = time.time()
+    last = t0
+    final = None
+
+    def on_ck(s, state, dec):
+        nonlocal final
+        final = state
+
+    sim.on_checkpoint.append(on_ck)
+    n_steps = 0
+    while n_steps < args.max_steps:
+        st, dec = sim.step(st)
+        n_steps += 1
+        if time.time() - last > 60:
+            print(f"# step {n_steps}: z={1 / dec.a_new - 1:.2f} "
+                  f"dt={dec.dt:.4f} wall={time.time() - t0:.0f}s "
+                  f"ppovfl={int(st.pp_overflow)}", flush=True)
+            last = time.time()
+        if dec.final_step or float(st.a) >= 1.0:
+            break
+    print(f"# evolved {n_steps} steps in {time.time() - t0:.1f}s", flush=True)
+    final = final if final is not None else st
+
+    # measurements at z=0
+    x, v, pid = sm.gather_global(cfg, final)
+    shake = np.asarray(final.shake_offset)
+    x = np.mod(x - shake[None, :], cfg.nf_physical_dim)
+    ps = pw.power_of_particles(cfg, x, assignment="cic", subtract_shot=True)
+    lin = tr.linear_power(cfg.cosmo, 1.0)
+
+    cat = hf.find_halos(cfg, final)
+    print(f"# halos found: {cat.size}", flush=True)
+
+    np.savez(args.out, k=ps.k, delta2=ps.delta2, pk=ps.pk,
+             nmodes=ps.nmodes, lin_delta2=lin.delta2(ps.k),
+             halo_mass=cat["halo_mass"], halo_imass=cat["imass"],
+             n_steps=n_steps, a_final=float(final.a))
+
+    sel = ps.k < 0.3
+    ratio = np.average(ps.delta2[sel] / lin.delta2(ps.k[sel]),
+                       weights=ps.nmodes[sel])
+    print(json.dumps({
+        "n_steps": n_steps, "a_final": float(final.a),
+        "n_halos": int(cat.size),
+        "pk_over_linear_largescale": round(float(ratio), 4),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
