@@ -220,6 +220,49 @@ def find_halos(cfg: SimConfig, state: SimState,
     return cat
 
 
+def c2ray_fields(cfg: SimConfig, state: SimState,
+                 scale: Optional[int] = None) -> dict:
+    """Coarsened density, velocity and fine-clumping fields for radiative-
+    transfer coupling (the C2Ray interface, halofind.f90:122-336:
+    coarsened_velocity_scale/fine_clumping_scale = mesh_scale).
+
+    Returns {'density': (m,m,m), 'velocity': (3,m,m,m),
+             'clumping': (m,m,m)} with m = nf/scale.
+    """
+    import jax.numpy as jnp
+    from ..ops.deposit import ngp_deposit
+
+    scale = scale or cfg.mesh_scale
+    nf = cfg.nf_physical_dim
+    m = nf // scale
+    x, v, _ = gather_global(cfg, state)
+    x = np.mod(x - np.asarray(state.shake_offset)[None, :], nf)
+    w = jnp.full((x.shape[0],), jnp.float32(cfg.mass_p))
+    rho = np.asarray(ngp_deposit(jnp.asarray(x), w, (nf, nf, nf)))
+
+    def pool(f):
+        return f.reshape(m, scale, m, scale, m, scale).mean(axis=(1, 3, 5))
+
+    dens = pool(rho)
+    clump = pool(rho ** 2) / np.maximum(dens, 1e-20) ** 2
+    vel = []
+    for c in range(3):
+        mom = np.asarray(ngp_deposit(jnp.asarray(x),
+                                     jnp.asarray(v[:, c] * cfg.mass_p),
+                                     (nf, nf, nf)))
+        mom_c = pool(mom)
+        vel.append(np.where(dens > 0, mom_c / np.maximum(dens, 1e-20), 0.0))
+    return {"density": dens, "velocity": np.stack(vel), "clumping": clump}
+
+
+def merge_catalogs(paths: list) -> np.ndarray:
+    """Combine per-run/per-rank catalogs sorted by mass descending
+    (utils/halo_merge/halo_merge.f90 role)."""
+    cats = [read_catalog(p) for p in paths]
+    cat = np.concatenate(cats) if cats else np.zeros(0, CATALOG_DTYPE)
+    return cat[np.argsort(-cat["halo_mass"])]
+
+
 def write_catalog(outdir: str, cfg: SimConfig, state: SimState,
                   cat: np.ndarray, z: float | None = None) -> str:
     """Write `{z}halo.dat`: int32 count header + packed CATALOG_DTYPE rows

@@ -1,0 +1,67 @@
+"""On-device timestep control for chunked stepping.
+
+The host controller (core/timestep.py) mirrors the reference's rank-0
+decision + bcast.  On a remote-tunneled TPU, one host<->device round trip
+costs ~seconds, so stepping one sweep at a time is latency-bound.  This
+module re-expresses the dt decision in jnp so `lax.scan` can run chunks of
+sweeps entirely on device; the host only intervenes near scheduled outputs
+(exact landing still happens host-side, matching timestep.f90:121-161).
+
+Only the LCDM(+wde) background is implemented on device (the reference's
+3rd-order Taylor integrator, timestep.f90:241-293); Chaplygin runs fall
+back to host stepping.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+
+
+def lcdm_adot_terms(a, c):
+    a3rlm = a ** (-3.0 * c.wde) * (c.omega_l / c.omega_m)
+    arkm = a * (1.0 - c.omega_m - c.omega_l) / c.omega_m
+    om_hsq = 4.0 / 9.0
+    adot = jnp.sqrt(om_hsq * a ** 3 * (1.0 + arkm + a3rlm))
+    addot = a ** 2 * om_hsq * (1.5 + 2.0 * arkm
+                               + 1.5 * (1.0 - c.wde) * a3rlm)
+    atdot = a * adot * om_hsq * (
+        3.0 + 6.0 * arkm
+        + 1.5 * (2.0 - 3.0 * c.wde) * (1.0 - c.wde) * a3rlm)
+    return adot, addot, atdot
+
+
+def expansion_dev(a0, dt, c):
+    """(da1, da2): two half-step 3rd-order Taylor increments (device)."""
+    dth = dt / 2.0
+    adot, addot, atdot = lcdm_adot_terms(a0, c)
+    da1 = adot * dth + addot * dth ** 2 / 2.0 + atdot * dth ** 3 / 6.0
+    adot, addot, atdot = lcdm_adot_terms(a0 + da1, c)
+    da2 = adot * dth + addot * dth ** 2 / 2.0 + atdot * dth ** 3 / 6.0
+    return da1, da2
+
+
+def decide_dt_dev(cfg: SimConfig, a, dt_limits) -> Tuple:
+    """(dt, a_mid, a_new): the rank-0 decision (timestep.f90:55-115) on
+    device, without output landing."""
+    c = cfg.cosmo
+    if not cfg.cosmo_expansion:
+        dt = jnp.minimum(1.0, jnp.min(jnp.stack(dt_limits))) * cfg.dt_scale
+        one = jnp.asarray(1.0, jnp.float32)
+        return dt, one, one
+
+    def shrink(i, dt_e):
+        da1, da2 = expansion_dev(a, dt_e, c)
+        da = da1 + da2
+        ra = da / (a + da)
+        return jnp.where(ra > cfg.ra_max, dt_e * (cfg.ra_max / ra), dt_e)
+
+    dt_e = jax.lax.fori_loop(0, 10, shrink,
+                             jnp.asarray(cfg.dt_max, jnp.float32))
+    dt = jnp.minimum(dt_e, jnp.min(jnp.stack(dt_limits))) * cfg.dt_scale
+    da1, da2 = expansion_dev(a, dt, c)
+    da = da1 + da2
+    return dt, a + da / 2.0, a + da

@@ -165,14 +165,67 @@ class Simulation:
             self.cursors.halofind += 1
         return state, dec
 
-    def run(self, state: SimState, max_steps: Optional[int] = None
-            ) -> SimState:
+    # chunk sizes compiled on demand (device-side dt control between
+    # scheduled outputs; one host sync per chunk instead of per sweep)
+    CHUNK_SIZES = (64, 16, 4)
+
+    def _get_chunk(self, size: int):
+        if not hasattr(self, "_chunks"):
+            self._chunks = {}
+        if size not in self._chunks:
+            self._chunks[size] = step_mod.make_chunked_sweep(
+                self.cfg, self.mesh, self.sweep, size)
+        return self._chunks[size]
+
+    def _steps_to_next_event(self, a: float) -> int:
+        """Safe number of sweeps before the next scheduled output could
+        trigger: per-step growth is bounded by ra_max."""
+        import math
+        s = self.schedule
+        targets = []
+        for lst, cur in ((s.checkpoints, self.cursors.checkpoint),
+                         (s.projections, self.cursors.projection),
+                         (s.halofinds, self.cursors.halofind)):
+            if cur < len(lst):
+                targets.append(lst[cur])
+        next_a = min(targets) if targets else 1.0
+        if next_a <= a:
+            return 0
+        return max(0, int(math.log(next_a / a)
+                          / -math.log(1.0 - self.cfg.ra_max)) - 2)
+
+    def run(self, state: SimState, max_steps: Optional[int] = None,
+            use_chunks: bool = True) -> SimState:
         """Evolve until the final checkpoint, a > 1, or max_nts
-        (cubepm.f90:235 exit condition)."""
+        (cubepm.f90:235 exit condition).
+
+        Far from scheduled outputs, steps run in on-device chunks (dt
+        control in the compiled scan) to avoid per-step host round trips;
+        output landing always happens through host-side single steps.
+        """
         cfg = self.cfg
         max_steps = max_steps if max_steps is not None else cfg.max_nts
-        for _ in range(max_steps):
+        chunkable = (use_chunks and cfg.cosmo_expansion
+                     and not cfg.cosmo.chaplygin)
+        steps_done = 0
+        while steps_done < max_steps:
+            if chunkable:
+                budget = min(self._steps_to_next_event(float(state.a)),
+                             max_steps - steps_done)
+                size = next((s for s in self.CHUNK_SIZES if s <= budget), 0)
+                if size:
+                    t0 = time.time()
+                    state = self._get_chunk(size)(state, self.kern_f,
+                                                  self.kern_c)
+                    steps_done += size
+                    if cfg.verbosity >= 2:
+                        print(f"chunk x{size}: a={float(state.a):.6f} "
+                              f"wall={time.time() - t0:.3f}s "
+                              f"({(time.time() - t0) / size * 1e3:.1f} "
+                              f"ms/sweep)")
+                    continue
             state, dec = self.step(state)
+            steps_done += 1
             if self.kill_time_s is not None and self.on_kill and (
                     time.time() - self._start_wall > self.kill_time_s):
                 for h in self.on_kill:

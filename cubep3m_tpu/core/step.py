@@ -269,6 +269,39 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         in_specs=(specs, rspec, rspec, rspec, rspec, rspec, rspec, rspec),
         out_specs=specs,
         check_vma=False)
+    jitted = jax.jit(mapped)
+    jitted._sweep_local = sweep_local  # for make_chunked_sweep
+    return jitted
+
+
+def make_chunked_sweep(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
+    """lax.scan over `chunk` sweeps with ON-DEVICE dt decisions.
+
+    One host<->device round trip per chunk instead of per sweep — on a
+    remote-tunneled TPU the per-step sync costs seconds, dominating wall
+    time.  No output landing inside a chunk; the host driver sizes chunks
+    to stop short of scheduled outputs (ra_max bounds per-step growth).
+    """
+    from . import device_timestep as dts_mod
+
+    sweep_local = sweep._sweep_local
+
+    def chunk_local(state: SimState, kern_f_im, kern_c_im) -> SimState:
+        def body(st, _):
+            limits = (st.dt_f_acc, st.dt_pp_acc, st.dt_pp_ext_acc,
+                      st.dt_c_acc, st.dt_gas_acc)
+            dt, a_mid, a_new = dts_mod.decide_dt_dev(cfg, st.a, limits)
+            st2 = sweep_local(st, kern_f_im, kern_c_im, a_mid, dt, a_new,
+                              st.tau + dt, st.t + dt)
+            return st2, dt
+        state, _ = jax.lax.scan(body, state, None, length=chunk)
+        return state
+
+    specs = state_specs(mhd=cfg.mhd)
+    rspec = P()
+    mapped = shard_map(chunk_local, mesh=mesh,
+                       in_specs=(specs, rspec, rspec),
+                       out_specs=specs, check_vma=False)
     return jax.jit(mapped)
 
 
