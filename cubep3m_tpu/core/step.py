@@ -71,9 +71,6 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     cfg.validate()
     if not cfg.ngp:
         raise NotImplementedError("CIC fine deposit path not yet implemented")
-    if cfg.pp_ext and cfg.nodes_dim > 1:
-        raise NotImplementedError(
-            "pp_ext across devices needs the ghost-particle layer (TODO)")
     nf = cfg.nf_physical_node_dim
     nf_buf = cfg.nf_buf
     nc = cfg.nc_node_dim

@@ -146,9 +146,15 @@ def pp_ext_force(pos: jnp.ndarray, buckets: Buckets, nc_node: int,
                  chunk: int = 256) -> PPResult:
     """Extended pp force over the pp_range fine-cell neighborhood.
 
-    Periodic over the node volume (single-device semantics; multi-device
-    callers put ghost particles into boundary buckets instead).
+    The bucket grid is halo-padded by one coarse layer from neighbor
+    devices (parallel/halo.py ppermute; periodic wrap on a single device),
+    with received positions shifted into the local frame — the ghost layer
+    the reference ships as buffer particles (`particle_pass.f90` +
+    hoc_fine over tile+pp_range, particle_mesh_threaded.f90:393-438).
+    Must run inside shard_map (or with a trivial 1^3 mesh).
     """
+    from ..parallel import halo as halo_mod
+
     cap = buckets.index.shape[-1]
     ncells = nc_node ** 3
     nf_node = nc_node * mesh_scale
@@ -156,15 +162,27 @@ def pp_ext_force(pos: jnp.ndarray, buckets: Buckets, nc_node: int,
     bval = idx_flat >= 0
     bpos = pos[jnp.clip(idx_flat, 0, pos.shape[0] - 1)]
     # park invalid slots far away so any pair involving them fails `near`
-    bpos = jnp.where(bval[..., None], bpos, 2.0 * nf_node + 1e4)
+    bpos = jnp.where(bval[..., None], bpos, 4.0 * nf_node + 1e4)
 
-    grid_pos = bpos.reshape(nc_node, nc_node, nc_node, cap, 3)
+    # (cap*3, nc, nc, nc) layout so halo_pad works on the spatial dims
+    grid_pos = jnp.moveaxis(
+        bpos.reshape(nc_node, nc_node, nc_node, cap * 3), 3, 0)
+    gp = halo_mod.halo_pad(grid_pos, 1)          # (cap*3, nc+2, nc+2, nc+2)
+    gp = jnp.moveaxis(gp, 0, 3).reshape(
+        nc_node + 2, nc_node + 2, nc_node + 2, cap, 3)
+    # shift received layers into the local coordinate frame
+    edge = jnp.zeros(nc_node + 2, jnp.float32)
+    edge = edge.at[0].set(-float(nf_node)).at[-1].set(float(nf_node))
+    gp = gp.at[..., 0].add(edge[:, None, None, None])
+    gp = gp.at[..., 1].add(edge[None, :, None, None])
+    gp = gp.at[..., 2].add(edge[None, None, :, None])
+
     taper_cut = nf_cutoff + jnp.sqrt(3.0)
 
     def interact(p_i, p_j):
         """Force on bucket-i particles from bucket-j particles.
 
-        p_i: (B, cap, 3); p_j: (B, cap, 3) absolute (already wrap-shifted).
+        p_i, p_j: (B, cap, 3) absolute local-frame positions.
         """
         sep = p_i[:, :, None, :] - p_j[:, None, :, :]
         rmag = jnp.sqrt(jnp.sum(sep * sep, axis=-1))
@@ -181,7 +199,6 @@ def pp_ext_force(pos: jnp.ndarray, buckets: Buckets, nc_node: int,
         return -jnp.sum(f, axis=2)  # attract
 
     force_b = jnp.zeros((ncells, cap, 3), dtype=jnp.float32)
-    coords = jnp.arange(nc_node)
     nchunk = max(1, -(-ncells // chunk))
     pad_cells = nchunk * chunk - ncells
 
@@ -190,22 +207,11 @@ def pp_ext_force(pos: jnp.ndarray, buckets: Buckets, nc_node: int,
         return a.reshape(nchunk, chunk, *a.shape[1:])
 
     p_i_chunks = chunked(bpos)
-    for ox in (-1, 0, 1):
-        for oy in (-1, 0, 1):
-            for oz in (-1, 0, 1):
-                # neighbor cell J = I + o with periodic wrap; shift neighbor
-                # positions by +/- nf_node where J crossed the boundary
-                p_j = jnp.roll(grid_pos, shift=(-ox, -oy, -oz), axis=(0, 1, 2))
-                for ax, o in enumerate((ox, oy, oz)):
-                    if o == 0:
-                        continue
-                    crossed = jnp.where(
-                        coords + o >= nc_node, float(nf_node),
-                        jnp.where(coords + o < 0, -float(nf_node), 0.0))
-                    shp = [1, 1, 1, 1, 1]
-                    shp[ax] = nc_node
-                    p_j = p_j.at[..., ax].add(
-                        crossed.reshape(shp[:3] + [1]))
+    n = nc_node
+    for ox in (0, 1, 2):
+        for oy in (0, 1, 2):
+            for oz in (0, 1, 2):
+                p_j = gp[ox:ox + n, oy:oy + n, oz:oz + n]
                 p_j_chunks = chunked(p_j.reshape(ncells, cap, 3))
 
                 def scan_body(carry, xs):

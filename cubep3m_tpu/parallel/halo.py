@@ -24,7 +24,11 @@ from .mesh import AXES, ring_perm
 
 
 def _axis_size(axis_name: str) -> int:
-    return jax.lax.axis_size(axis_name)
+    try:
+        return jax.lax.axis_size(axis_name)
+    except NameError:
+        # outside shard_map (single-device harness code): periodic wrap
+        return 1
 
 
 def halo_pad(local: jnp.ndarray, pad: int,
