@@ -133,35 +133,43 @@ def find_halos(cfg: SimConfig, state: SimState,
 
     peak_pos = _para_interp(rho, peaks)
     offsets, rdist = _shell_offsets(min(p.nc_halo_max, nf // 4))
+    min_mass = p.min_halo_particles * cfg.mass_p
 
     # --- exclusive sphere growth (sequential over density-ranked peaks) ---
+    # native C++ loop when available (cubep3m_tpu/native); numpy fallback
+    from .. import native as native_mod
+    res = native_mod.grow_halos(rho, peaks, offsets, rdist,
+                                p.halo_odc, min_mass)
     halos = []
-    odc = p.halo_odc
-    for h in range(peaks.shape[0]):
-        c = peaks[h]
-        if rho[tuple(c)] <= 0:   # consumed by a previous halo
-            continue
-        cells = (c[None, :] + offsets) % nf
-        dens = rho[cells[:, 0], cells[:, 1], cells[:, 2]]
-        csum = np.cumsum(dens)
-        # mean overdensity = enclosed mass / consumed cell volume (mean
-        # density is 1; cell-count volume is consistent with the cell-by-
-        # cell growth at small radii, -> 4/3 pi r^3 at large radii)
-        ncells = np.arange(1, dens.size + 1, dtype=np.float64)
-        mean_od = csum / ncells
-        # first index where we drop below odc (after at least the center)
-        below = np.where(mean_od < odc)[0]
-        stop = below[0] if below.size else dens.size
-        if stop < 1:
-            stop = 1
-        mass = float(csum[stop - 1])
-        radius = float(rdist[stop - 1]) if stop > 1 else 1.0
-        if mass < p.min_halo_particles * cfg.mass_p:
-            continue
-        # zero consumed mass (exclusive assignment)
-        used = cells[:stop]
-        rho[used[:, 0], used[:, 1], used[:, 2]] = 0.0
-        halos.append((h, mass, radius))
+    if res is not None:
+        rho, mass_arr, radius_arr, kept = res
+        halos = [(h, float(mass_arr[h]), float(radius_arr[h]))
+                 for h in np.where(kept)[0]]
+    else:
+        odc = p.halo_odc
+        for h in range(peaks.shape[0]):
+            c = peaks[h]
+            if rho[tuple(c)] <= 0:   # consumed by a previous halo
+                continue
+            cells = (c[None, :] + offsets) % nf
+            dens = rho[cells[:, 0], cells[:, 1], cells[:, 2]]
+            csum = np.cumsum(dens)
+            # mean overdensity = enclosed mass / consumed cell volume
+            # (mean density is 1; cell-count volume is consistent with the
+            # cell-by-cell growth, -> 4/3 pi r^3 at large radii)
+            ncells = np.arange(1, dens.size + 1, dtype=np.float64)
+            mean_od = csum / ncells
+            below = np.where(mean_od < odc)[0]
+            stop = below[0] if below.size else dens.size
+            if stop < 1:
+                stop = 1
+            mass = float(csum[stop - 1])
+            radius = float(rdist[stop - 1]) if stop > 1 else 1.0
+            if mass < min_mass:
+                continue
+            used = cells[:stop]
+            rho[used[:, 0], used[:, 1], used[:, 2]] = 0.0
+            halos.append((h, mass, radius))
 
     if not halos:
         return np.zeros(0, dtype=CATALOG_DTYPE)

@@ -117,3 +117,70 @@ def power_of_particles(cfg: SimConfig, x_global: np.ndarray,
     return measure_power(delta, cfg.box, assignment=assignment,
                          subtract_shot=x_global.shape[0] if subtract_shot
                          else None)
+
+
+def power_on_device(cfg: SimConfig, x: jnp.ndarray, n_valid,
+                    ngrid: Optional[int] = None,
+                    assignment: str = "cic",
+                    subtract_shot: bool = False) -> PowerSpectrum:
+    """Device-resident P(k): deposit, FFT, window deconvolution and shell
+    binning all run on device; only the binned spectra (a few KB) move to
+    host.  For tunneled TPUs where pulling the particle array would cost
+    minutes (single-device state layouts).
+    """
+    import jax
+    import math
+
+    ngrid = ngrid or cfg.nf_physical_dim
+    scale = cfg.nf_physical_dim / ngrid
+    nbins = ngrid // 2 - 1
+    n_part = int(n_valid)
+
+    @jax.jit
+    def _measure(xj, nv):
+        valid = jnp.arange(xj.shape[0]) < nv
+        w = jnp.where(valid, jnp.float32(ngrid ** 3) / nv.astype(jnp.float32),
+                      0.0)
+        if assignment == "ngp":
+            grid = ngp_deposit(xj / scale, w, (ngrid, ngrid, ngrid))
+        else:
+            g = cic_deposit(xj, w, (ngrid + 2,) * 3, scale=scale,
+                            offset=-0.5, pad=1)
+            from ..core.step import fold_pads
+            grid = fold_pads(g, 1)
+        delta = grid - jnp.sum(grid) / ngrid ** 3
+        dk = jnp.fft.fftn(delta.astype(jnp.complex64)) / ngrid ** 3
+        p3d = jnp.abs(dk) ** 2
+        k = jnp.fft.fftfreq(ngrid) * ngrid
+        kx = k[:, None, None]
+        ky = k[None, :, None]
+        kz = k[None, None, :]
+        kr = jnp.sqrt(kx ** 2 + ky ** 2 + kz ** 2)
+        if assignment in ("ngp", "cic"):
+            p_exp = 1.0 if assignment == "ngp" else 2.0
+
+            def win(kc):
+                return jnp.sinc(kc / ngrid) ** p_exp
+
+            w3 = win(kx) * win(ky) * win(kz)
+            p3d = p3d / jnp.maximum(w3, 1e-8) ** 2
+        which = jnp.clip((kr - 0.5).astype(jnp.int32) + 1, 0, nbins + 1)
+        which = jnp.where(kr < 0.5, 0, which).ravel()
+        counts = jnp.zeros(nbins + 2).at[which].add(1.0)
+        psum = jnp.zeros(nbins + 2).at[which].add(p3d.ravel())
+        ksum = jnp.zeros(nbins + 2).at[which].add(kr.ravel())
+        return counts[1:-1], psum[1:-1], ksum[1:-1]
+
+    counts, psum, ksum = jax.tree.map(
+        np.asarray, _measure(x, jnp.asarray(n_part, jnp.int32)))
+    ok = counts > 0
+    kmean = ksum[ok] / counts[ok]
+    pmean = psum[ok] / counts[ok]
+    k_phys = kmean * 2 * math.pi / cfg.box
+    vol = cfg.box ** 3
+    pk = pmean * vol
+    if subtract_shot:
+        pk = pk - vol / n_part
+    delta2 = pk * k_phys ** 3 / (2 * math.pi ** 2)
+    return PowerSpectrum(k=k_phys, delta2=delta2, pk=pk,
+                         nmodes=counts[ok])

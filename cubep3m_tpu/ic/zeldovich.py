@@ -21,6 +21,7 @@ and distributed to the device grid with `state.distribute_global`.
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Optional, Tuple
 
@@ -92,11 +93,16 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
                   * float(nf) ** 3).astype(np.float32)
     shapes = [(nf, 1, 1), (1, nf, 1), (1, 1, nf)]
 
-    # jitted on device: eager complex ops with python scalars are not
-    # supported by the axon TPU backend (weak 1j constants), and jit is
-    # faster anyway
+    vf = vfactor(a_i, c)
+    npd = nf // 2
+    from ..ops.deposit import cic_gather
+
+    # jitted, fully device-resident: eager complex ops with weak python
+    # scalars are unsupported on the axon TPU backend, and host<->device
+    # transfers through the TPU tunnel run at ~50 MB/s — everything from
+    # the noise to the padded particle arrays stays on device.
     @jax.jit
-    def _fields(key):
+    def _make(key):
         noise = jax.random.normal(key, (nf, nf, nf), dtype=jnp.float32)
         delta_k = jnp.fft.fftn(noise.astype(jnp.complex64)) * jnp.asarray(amp)
         psi = []
@@ -104,39 +110,40 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
             grad = jnp.asarray(sin_g.reshape(shapes[axis]))
             psi_k = 1j * grad * delta_k * jnp.asarray(inv_kd2)
             psi.append(jnp.fft.ifftn(psi_k).real.astype(jnp.float32))
-        return jnp.stack(psi), delta_k
+        psi = jnp.stack(psi)
 
-    psi, delta_k = _fields(jax.random.PRNGKey(seed))
+        # particles at centers of every 2nd cell, displaced by psi at the
+        # site (dist_init.f90:1552-1560): strided views, no gathers
+        disp = psi[:, ::2, ::2, ::2]
+        q = jnp.arange(npd, dtype=jnp.float32) * 2.0 + 0.5
+        x = jnp.stack(
+            [q[:, None, None] + disp[0],
+             q[None, :, None] + disp[1],
+             q[None, None, :] + disp[2]], axis=-1).reshape(-1, 3)
+        x = jnp.mod(x, float(nf))
 
-    # particles at centers of every 2nd cell, displaced by psi at the site
-    npd = nf // 2
-    q_idx = np.arange(npd) * 2  # lattice site (grid index of the cell used)
-    qx = q_idx[:, None, None]
-    qy = q_idx[None, :, None]
-    qz = q_idx[None, None, :]
-    psi_np = np.asarray(psi)
-    disp = psi_np[:, qx, qy, qz]  # (3, npd, npd, npd) via advanced indexing
-    x = np.stack([qx + 0.5 + disp[0], qy + 0.5 + disp[1],
-                  qz + 0.5 + disp[2]], axis=-1).reshape(-1, 3)
-    x = np.mod(x, nf).astype(np.float32)
-
-    # velocities: vfactor * psi CIC-sampled at the displaced position
-    vf = vfactor(a_i, c)
-    from ..ops.deposit import cic_gather
-
-    @jax.jit
-    def _vel(psi_, xj):
-        psi_pad = jnp.pad(psi_, ((0, 0), (1, 1), (1, 1), (1, 1)),
+        psi_pad = jnp.pad(psi, ((0, 0), (1, 1), (1, 1), (1, 1)),
                           mode="wrap")
-        return cic_gather(psi_pad, xj, scale=1.0, offset=-0.5, pad=1)
+        v = vf * cic_gather(psi_pad, x, scale=1.0, offset=-0.5, pad=1)
+        return x.astype(jnp.float32), v.astype(jnp.float32), delta_k
 
-    v = np.asarray(_vel(psi, jnp.asarray(x)))
-    v = (vf * v).astype(np.float32)
+    x_dev, v_dev, delta_k = _make(jax.random.PRNGKey(seed))
 
     if cfg.nodes_dim == 1:
-        st = particles_ic(cfg, x, v, seed=seed)
+        # pack into the padded state layout on device
+        cap = cfg.max_np
+        n = npd ** 3
+        xp = jnp.zeros((cap, 3), jnp.float32).at[:n].set(x_dev)
+        vp = jnp.zeros((cap, 3), jnp.float32).at[:n].set(v_dev)
+        st = particles_ic(cfg, np.zeros((0, 3), np.float32),
+                          np.zeros((0, 3), np.float32), seed=seed)
+        st = dataclasses.replace(
+            st, x=xp, v=vp,
+            pid=jnp.arange(1, cap + 1, dtype=jnp.int32),
+            np_local=jnp.asarray([n], jnp.int32))
     else:
-        st = distribute_global(cfg, x, v, seed=seed)
+        st = distribute_global(cfg, np.asarray(x_dev), np.asarray(v_dev),
+                               seed=seed)
     if return_delta:
         delta = jnp.fft.ifftn(delta_k).real
         return st, np.asarray(delta)

@@ -71,11 +71,12 @@ def main():
           f"ppovfl={int(st.pp_overflow)}", flush=True)
     final = final if final is not None else st
 
-    # measurements at z=0
-    x, v, pid = sm.gather_global(cfg, final)
-    shake = np.asarray(final.shake_offset)
-    x = np.mod(x - shake[None, :], cfg.nf_physical_dim)
-    ps = pw.power_of_particles(cfg, x, assignment="cic", subtract_shot=True)
+    # measurements at z=0 (device-resident P(k): no particle pull)
+    import jax.numpy as jnp
+    shake = final.shake_offset
+    x_dev = jnp.mod(final.x - shake[None, :], cfg.nf_physical_dim)
+    ps = pw.power_on_device(cfg, x_dev, int(final.np_local[0]),
+                            assignment="cic", subtract_shot=True)
     lin = tr.linear_power(cfg.cosmo, 1.0)
 
     cat = hf.find_halos(cfg, final)
