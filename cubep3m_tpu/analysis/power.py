@@ -119,6 +119,58 @@ def power_of_particles(cfg: SimConfig, x_global: np.ndarray,
                          else None)
 
 
+def redshift_space_positions(cfg: SimConfig, x: np.ndarray, v: np.ndarray,
+                             a: float, axis: int = 2) -> np.ndarray:
+    """Plane-parallel redshift-space distortion (the -DKAISER option of
+    cic_power, cic_power.f90:1-11): displace the line-of-sight coordinate
+    by the peculiar velocity, s = x + v_pec/(aH).
+
+    In code units the comoving displacement is v_code / vfactor(a) with
+    vfactor = a^2 H = da/dtau / a (for Zel'dovich ICs this reduces to the
+    classic s = x + psi).
+    """
+    from ..ic.zeldovich import vfactor
+    s = np.array(x)
+    s[:, axis] = np.mod(s[:, axis] + v[:, axis] / vfactor(a, cfg.cosmo),
+                        cfg.nf_physical_dim)
+    return s
+
+
+def gas_power(cfg: SimConfig, gas_u: np.ndarray,
+              subtract_mean: bool = True) -> PowerSpectrum:
+    """P(k) of the gas density field (utils/gas_power role)."""
+    rho = np.asarray(gas_u[0], dtype=np.float64)
+    delta = rho / rho.mean() - 1.0 if subtract_mean else rho
+    return measure_power(delta, cfg.box)
+
+
+def gas_profile(cfg: SimConfig, gas_u: np.ndarray, center: np.ndarray,
+                rmax: float = 32.0, nbins: int = 32):
+    """Spherically averaged radial gas profiles around `center` (cells):
+    returns (r, rho, T_proxy) — utils/gas_profile role."""
+    nf = gas_u.shape[1]
+    g = np.arange(nf) + 0.5
+    dx = g[:, None, None] - center[0]
+    dy = g[None, :, None] - center[1]
+    dz = g[None, None, :] - center[2]
+    for d in (dx, dy, dz):
+        d -= nf * np.round(d / nf)
+    r = np.sqrt(dx ** 2 + dy ** 2 + dz ** 2).ravel()
+    rho = np.asarray(gas_u[0]).ravel()
+    mom2 = (np.asarray(gas_u[1]) ** 2 + np.asarray(gas_u[2]) ** 2
+            + np.asarray(gas_u[3]) ** 2).ravel()
+    eth = np.asarray(gas_u[4]).ravel() - 0.5 * mom2 / np.maximum(rho, 1e-20)
+    edges = np.linspace(0, rmax, nbins + 1)
+    which = np.digitize(r, edges) - 1
+    ok = (which >= 0) & (which < nbins)
+    counts = np.bincount(which[ok], minlength=nbins)
+    rho_prof = np.bincount(which[ok], weights=rho[ok], minlength=nbins)
+    eth_prof = np.bincount(which[ok], weights=eth[ok], minlength=nbins)
+    c = np.maximum(counts, 1)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return centers, rho_prof / c, eth_prof / np.maximum(rho_prof, 1e-20)
+
+
 def power_on_device(cfg: SimConfig, x: jnp.ndarray, n_valid,
                     ngrid: Optional[int] = None,
                     assignment: str = "cic",

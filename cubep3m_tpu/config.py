@@ -113,6 +113,7 @@ class SimConfig:
     mhd: bool = False
     gas_gamma: float = 5.0 / 3.0
     gas_p_init: float = 1.0e-8   # initial gas pressure (cold start)
+    gas_from_delta: bool = True  # gas ICs trace the matter field (mhd_init)
 
     # --- lifecycle / outputs ---
     shake: bool = True          # DISP_MESH random mesh shake each step

@@ -125,9 +125,9 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
         psi_pad = jnp.pad(psi, ((0, 0), (1, 1), (1, 1), (1, 1)),
                           mode="wrap")
         v = vf * cic_gather(psi_pad, x, scale=1.0, offset=-0.5, pad=1)
-        return x.astype(jnp.float32), v.astype(jnp.float32), delta_k
+        return x.astype(jnp.float32), v.astype(jnp.float32), delta_k, psi
 
-    x_dev, v_dev, delta_k = _make(jax.random.PRNGKey(seed))
+    x_dev, v_dev, delta_k, psi = _make(jax.random.PRNGKey(seed))
 
     if cfg.nodes_dim == 1:
         # pack into the padded state layout on device
@@ -144,7 +144,21 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
     else:
         st = distribute_global(cfg, np.asarray(x_dev), np.asarray(v_dev),
                                seed=seed)
+    if cfg.mhd and cfg.gas_from_delta:
+        st = dataclasses.replace(st, gas_u=gas_ic_from_delta(
+            cfg, jnp.fft.ifftn(delta_k).real.astype(jnp.float32), psi, vf))
     if return_delta:
         delta = jnp.fft.ifftn(delta_k).real
         return st, np.asarray(delta)
     return st
+
+
+def gas_ic_from_delta(cfg: SimConfig, delta, psi, vf):
+    """Gas conserved fields tracing the matter field (mhd_init.f90 role):
+    rho_gas = 1 + delta (clipped), momentum = rho * vfactor * psi, thermal
+    energy from cfg.gas_p_init (cold start)."""
+    rho = jnp.maximum(1.0 + delta, 0.05)
+    mom = rho[None] * (vf * psi)
+    eth = cfg.gas_p_init / (cfg.gas_gamma - 1.0)
+    e = eth + 0.5 * jnp.sum(mom * mom, axis=0) / rho
+    return jnp.concatenate([rho[None], mom, e[None]]).astype(jnp.float32)
