@@ -252,7 +252,8 @@ def c2ray_fields(cfg: SimConfig, state: SimState,
         return f.reshape(m, scale, m, scale, m, scale).mean(axis=(1, 3, 5))
 
     dens = pool(rho)
-    clump = pool(rho ** 2) / np.maximum(dens, 1e-20) ** 2
+    clump = np.where(dens > 0,
+                     pool(rho ** 2) / np.maximum(dens, 1e-20) ** 2, 1.0)
     vel = []
     for c in range(3):
         mom = np.asarray(ngp_deposit(jnp.asarray(x),
