@@ -21,18 +21,17 @@ from .power import measure_power, PowerSpectrum
 
 
 def velocity_to_kms(cfg: SimConfig, a: float) -> float:
-    """Convert grid velocities (cells/dtau) to peculiar km/s at scale a.
+    """Convert grid velocities (cells per code-time tau) to peculiar km/s.
 
-    v_pec = v_grid * (box/nf) * H0 * 3/2 / sqrt(a) / a ... derived from the
-    super-comoving transform: dx/dtau [cells] -> a dx_proper/dt with
-    dtau = H0 dt / a^2 and x in cells of box/nf Mpc/h.
+    Super-comoving time: dtau = (3/2) H0 dt / a^2 (so that da/dtau matches
+    the code integrator with H0_code = 2/3).  Then
+      v_pec = a * d(x_com)/dt = v_grid * cell_mpc * (3/2) * H0 / a,
+    with cell_mpc = box/nf Mpc/h, H0 = 100 h km/s/Mpc.  Cross-check:
+    Zel'dovich v_grid = vfactor*psi gives v_pec = a H f D psi (f=1 limit).
     """
     cell_mpc = cfg.box / cfg.nf_physical_dim       # Mpc/h per cell
-    h0_kms = 100.0                                  # H0 in km/s per Mpc/h
-    # v_pec = a * d(x_com)/dt = a * v_grid * cell * H0 / a^2 * (3/2)...
-    # code H0 = 2/3 in tau units: dtau = (2/3)^-1 ... the unit chain gives
-    # v_pec[km/s] = v_grid * cell_mpc * h0_kms * 3/2 / sqrt(a) / ...
-    return cell_mpc * h0_kms * 1.5 / math.sqrt(a)
+    h0_kms = 100.0                                  # km/s per Mpc/h
+    return cell_mpc * h0_kms * 1.5 / a
 
 
 def _fold(g: np.ndarray, ngrid: int) -> np.ndarray:

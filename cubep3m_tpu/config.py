@@ -93,6 +93,9 @@ class SimConfig:
     rsoft: float = 0.1          # pp softening: no force below (cubepm.par:76)
     pp_bias: float = 1.0        # pp force bias (cubepm.par:80)
     lrckcorr: bool = True       # long-range coarse kernel k-space correction
+    coarse_pencil_fft: bool = False  # distributed coarse FFT (all_to_all
+                                     # pencils) instead of replicated
+                                     # all_gather solve (p3dfft role)
 
     # --- time stepping ---
     dt_scale: float = DEFAULT_DT_SCALE

@@ -120,6 +120,18 @@ class Simulation:
             self.on_halofind.append(_halo)
         self.on_kill.append(_kill)
 
+    def write_log(self, path: str) -> None:
+        """Dump the structured step log as JSON lines (the reference's
+        machine-parseable stdout + utils/timestep_parse.py role)."""
+        import json
+        with open(path, "w") as f:
+            for l in self.logs:
+                f.write(json.dumps({
+                    "nts": l.nts, "a": l.a, "a_mid": l.a_mid, "dt": l.dt,
+                    "limits": list(l.limits), "wall_s": l.wall_s,
+                    "pp_overflow": l.pp_overflow,
+                    "bucket_overflow": l.bucket_overflow}) + "\n")
+
     def dt_limits(self, state: SimState) -> tuple:
         return (float(state.dt_f_acc), float(state.dt_pp_acc),
                 float(state.dt_pp_ext_acc), float(state.dt_c_acc),
@@ -167,7 +179,7 @@ class Simulation:
 
     # chunk sizes compiled on demand (device-side dt control between
     # scheduled outputs; one host sync per chunk instead of per sweep)
-    CHUNK_SIZES = (64, 16, 4)
+    CHUNK_SIZES = (16, 4)  # 64-step scans have crashed the tunneled TPU worker
 
     def _get_chunk(self, size: int):
         if not hasattr(self, "_chunks"):

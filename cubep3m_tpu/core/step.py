@@ -203,15 +203,23 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             # gas mass: sum-pool mesh_scale^3 gas cells (coarse_mass.f90:67-78)
             rho_c = rho_c + jnp.float32(fb) * gas_u[0].reshape(
                 nc, ms, nc, ms, nc, ms).sum(axis=(1, 3, 5))
-        rho_c_glob = halo_mod.all_gather_grid(rho_c)
-        f_c_glob = fftconv.coarse_force(rho_c_glob, kern_c_im)
-        # my padded block of the global force field (coarse_force_buffer role)
-        cx, cy, cz = halo_mod.device_coords()
-        f_c_wrap = jnp.pad(f_c_glob, ((0, 0), (1, 1), (1, 1), (1, 1)),
-                           mode="wrap")
-        f_c_pad = jax.lax.dynamic_slice(
-            f_c_wrap, (0, cx * nc, cy * nc, cz * nc),
-            (3, ncp, ncp, ncp))
+        if cfg.coarse_pencil_fft:
+            # distributed pencil FFT (p3dfft_coarse role); 1-cell force halo
+            # exchange (coarse_force_buffer role)
+            from ..parallel import pfft as pfft_mod
+            f_c_local = pfft_mod.coarse_force_pencil(rho_c, kern_c_im, nc)
+            f_c_pad = halo_mod.halo_pad(f_c_local, 1)
+        else:
+            # replicated global solve after all_gather (cheap at coarse size)
+            rho_c_glob = halo_mod.all_gather_grid(rho_c)
+            f_c_glob = fftconv.coarse_force(rho_c_glob, kern_c_im)
+            # my padded block of the global field (coarse_force_buffer role)
+            cx, cy, cz = halo_mod.device_coords()
+            f_c_wrap = jnp.pad(f_c_glob, ((0, 0), (1, 1), (1, 1), (1, 1)),
+                               mode="wrap")
+            f_c_pad = jax.lax.dynamic_slice(
+                f_c_wrap, (0, cx * nc, cy * nc, cz * nc),
+                (3, ncp, ncp, ncp))
         fmax_c_local = jnp.max(jnp.sum(
             f_c_pad[:, 1:-1, 1:-1, 1:-1] ** 2, axis=0))
         fmax_c = jnp.sqrt(jax.lax.pmax(fmax_c_local, AXES))

@@ -1,0 +1,104 @@
+"""Per-phase timing of the sweep (timers.f90 / mpi_time_analyze role).
+
+Runs each phase as its own jitted function with block_until_ready timing:
+sort, NGP deposit, fine FFT force, NGP gather+kick, PPINT band, coarse
+CIC+FFT+gather, particle exchange.  Phases overlap work that the fused
+sweep amortizes, so the sum exceeds the fused step time — use for relative
+weights.
+
+Run: python scripts/profile_step.py [--np-dim 128] [--cpu]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--np-dim", type=int, default=128)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from cubep3m_tpu.config import SimConfig
+    from cubep3m_tpu import kernels as km
+    from cubep3m_tpu.ops import binning, deposit, fftconv, pp
+    from cubep3m_tpu.core.step import fold_pads
+
+    nf_dim = 2 * args.np_dim
+    cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
+                    nf_tile=nf_dim // 2 + 2 * 32, nf_cutoff=16, buf_extra=16,
+                    density_buffer=1.3, shake=False, pid=False)
+    cfg.validate()
+    nf = cfg.nf_physical_node_dim
+    nc = cfg.nc_node_dim
+    ms = cfg.mesh_scale
+    print(f"# {cfg.summary()}", file=sys.stderr)
+
+    kern_f, kern_c = km.build_kernels(cfg)
+    kern_f = jnp.asarray(kern_f)
+    kern_c = jnp.asarray(kern_c)
+
+    rng = np.random.default_rng(0)
+    n = cfg.np_total
+    cap = cfg.max_np
+    x_h = np.zeros((cap, 3), np.float32)
+    x_h[:n] = rng.uniform(0, nf, (n, 3))
+    x = jnp.asarray(x_h)
+    valid = jnp.arange(cap) < n
+    w = jnp.where(valid, jnp.float32(cfg.mass_p), 0.0)
+
+    def timeit(name, fn, *a):
+        out = fn(*a)           # compile
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(args.reps):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / args.reps
+        print(f"{name:>24}: {dt * 1e3:9.2f} ms")
+        return out
+
+    sort_fn = jax.jit(lambda xx: binning.sort_by_cell(xx, valid, nf))
+    sp = timeit("sort_by_cell", sort_fn, x)
+    xs = x[sp.order]
+
+    dep = jax.jit(lambda xx: deposit.ngp_deposit(
+        xx, w, (nf, nf, nf), sorted_cells=True))
+    rho = timeit("ngp_deposit(sorted)", dep, xs)
+
+    ff = jax.jit(lambda r: fftconv.fine_force(
+        jnp.pad(r, cfg.nf_buf, mode="wrap"), kern_f, cfg.nf_buf, nf))
+    f_fine = timeit("fine pad+FFT force", ff, rho)
+
+    gath = jax.jit(lambda f, xx: deposit.ngp_gather(f, xx))
+    timeit("ngp_gather", gath, f_fine, xs)
+
+    ppf = jax.jit(lambda xx: pp.ppint_band_force(
+        xx, sp.cell, sp.rank, nf ** 3, 32, cfg.mass_p, cfg.rsoft,
+        cfg.pp_bias).force)
+    timeit("ppint_band(32)", ppf, xs)
+
+    def coarse(xx):
+        ncp = nc + 2
+        rc = fold_pads(deposit.cic_deposit(xx, w, (ncp,) * 3, scale=ms,
+                                           offset=-0.5, pad=1), 1)
+        fc = fftconv.coarse_force(rc, kern_c)
+        fcp = jnp.pad(fc, ((0, 0), (1, 1), (1, 1), (1, 1)), mode="wrap")
+        return deposit.cic_gather(fcp, xx, scale=ms, offset=-0.5, pad=1)
+
+    timeit("coarse cic+FFT+gather", jax.jit(coarse), xs)
+
+
+if __name__ == "__main__":
+    main()
