@@ -30,6 +30,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import cubep3m_tpu
+    cubep3m_tpu.enable_compilation_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -74,15 +76,20 @@ def main():
         return sweep(st, kern_f, kern_c, jnp.float32(1.0), jnp.float32(dt),
                      jnp.float32(1.0), jnp.float32(t), jnp.float32(t))
 
+    def fence(s):
+        # the axon backend's block_until_ready returns early; materializing
+        # bytes on host is the only reliable completion fence
+        np.asarray(jax.device_get(s.tau))
+
     t0 = time.time()
     st = one(st, 0.05, 0.05)
-    jax.block_until_ready(st.x)
+    fence(st)
     print(f"# first step (compile) {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     for i in range(args.steps):
         st = one(st, 0.05, 0.1 + 0.05 * i)
-    jax.block_until_ready(st.x)
+    fence(st)
     dt_step = (time.time() - t0) / args.steps
     print(f"# {dt_step:.3f} s/step over {args.steps} steps", file=sys.stderr)
 

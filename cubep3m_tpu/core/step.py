@@ -37,6 +37,25 @@ from ..parallel import exchange as exchange_mod
 from ..parallel.mesh import AXES, make_sim_mesh
 
 
+def fold_pads(grid: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Fold `pad` ghost layers back into the periodic interior (deposit);
+    single-device counterpart of parallel.halo.halo_fold."""
+    if pad == 0:
+        return grid
+    for ax in range(grid.ndim):
+        n = grid.shape[ax] - 2 * pad
+
+        def sl(a, b):
+            idx = [slice(None)] * grid.ndim
+            idx[ax] = slice(a, b)
+            return tuple(idx)
+
+        grid = grid.at[sl(n, n + pad)].add(grid[sl(0, pad)])
+        grid = grid.at[sl(pad, 2 * pad)].add(grid[sl(n + pad, n + 2 * pad)])
+        grid = grid[sl(pad, n + pad)]
+    return grid
+
+
 def state_specs(mhd: bool = False) -> SimState:
     """PartitionSpec pytree for SimState: particle arrays sharded on the
     leading axis over all mesh axes, gas fields sharded spatially, scalars
@@ -150,7 +169,8 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         rho_halo = halo_mod.halo_pad(rho, nf_buf)
         f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf)
         fmax2_f = jnp.max(jnp.sum(f_fine * f_fine, axis=0))
-        fp = deposit.ngp_gather(f_fine, x)
+        fp = deposit.ngp_gather(
+            f_fine, x, flat_cells=jnp.clip(sp.cell, 0, ncells_fine - 1))
         v = v + jnp.where(valid[:, None], fp * kick, 0.0)
 
         if cfg.mhd:
@@ -196,8 +216,12 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
 
         # ---- coarse level (coarse_mesh.f90) ----
         ncp = nc + 2
+        # particles are fine-cell sorted and the coarse CIC base cell is
+        # constant per fine cell, so these scatter indices are sorted too
+        # (lexicographic monotone) -> segment-sum fast path
         rho_c_pad = deposit.cic_deposit(x, w, (ncp, ncp, ncp), scale=ms,
-                                        offset=-0.5, pad=1)
+                                        offset=-0.5, pad=1,
+                                        sorted_cells=True)
         rho_c = halo_mod.halo_fold(rho_c_pad, 1)
         if cfg.mhd:
             # gas mass: sum-pool mesh_scale^3 gas cells (coarse_mass.f90:67-78)

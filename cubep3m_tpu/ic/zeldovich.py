@@ -101,14 +101,17 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
     # scalars are unsupported on the axon TPU backend, and host<->device
     # transfers through the TPU tunnel run at ~50 MB/s — everything from
     # the noise to the padded particle arrays stays on device.
+    # amp/inv_kd2 are nf^3 fields: pass as ARGUMENTS, not closures — the
+    # axon remote-compile path embeds closed-over constants in the request
+    # body (HTTP 413 at production sizes)
     @jax.jit
-    def _make(key):
+    def _make(key, amp_d, inv_kd2_d):
         noise = jax.random.normal(key, (nf, nf, nf), dtype=jnp.float32)
-        delta_k = jnp.fft.fftn(noise.astype(jnp.complex64)) * jnp.asarray(amp)
+        delta_k = jnp.fft.fftn(noise.astype(jnp.complex64)) * amp_d
         psi = []
         for axis in range(3):
             grad = jnp.asarray(sin_g.reshape(shapes[axis]))
-            psi_k = 1j * grad * delta_k * jnp.asarray(inv_kd2)
+            psi_k = 1j * grad * delta_k * inv_kd2_d
             psi.append(jnp.fft.ifftn(psi_k).real.astype(jnp.float32))
         psi = jnp.stack(psi)
 
@@ -127,7 +130,9 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
         v = vf * cic_gather(psi_pad, x, scale=1.0, offset=-0.5, pad=1)
         return x.astype(jnp.float32), v.astype(jnp.float32), delta_k, psi
 
-    x_dev, v_dev, delta_k, psi = _make(jax.random.PRNGKey(seed))
+    x_dev, v_dev, delta_k, psi = _make(jax.random.PRNGKey(seed),
+                                       jnp.asarray(amp),
+                                       jnp.asarray(inv_kd2))
 
     if cfg.nodes_dim == 1:
         # pack into the padded state layout on device

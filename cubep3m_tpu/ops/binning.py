@@ -42,10 +42,15 @@ def sort_by_cell(pos: jnp.ndarray, valid: jnp.ndarray, nf_node: int
     key = fine_cell_key(pos, valid, nf_node)
     order = jnp.argsort(key)
     skey = key[order]
-    # rank within cell: index - first index of this key value
-    first = jnp.searchsorted(skey, skey, side="left")
-    rank = (jnp.arange(skey.shape[0], dtype=jnp.int32)
-            - first.astype(jnp.int32))
+    # rank within cell = index - start index of the cell's run; the run
+    # starts are propagated with a cummax scan (searchsorted over the full
+    # array was ~15x the argsort cost on TPU)
+    idx = jnp.arange(skey.shape[0], dtype=jnp.int32)
+    boundary = jnp.concatenate([jnp.ones((1,), bool),
+                                skey[1:] != skey[:-1]])
+    start = jax.lax.associative_scan(jnp.maximum,
+                                     jnp.where(boundary, idx, 0))
+    rank = idx - start
     return SortedParticles(order=order, cell=skey, rank=rank)
 
 

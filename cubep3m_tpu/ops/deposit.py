@@ -92,16 +92,25 @@ def cic_deposit(pos: jnp.ndarray, weight: jnp.ndarray,
 
 
 def ngp_gather(field: jnp.ndarray, pos: jnp.ndarray,
-               offset: float = 0.0) -> jnp.ndarray:
+               offset: float = 0.0,
+               flat_cells: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sample `field` (..., X, Y, Z) at floor(pos + offset).
 
-    Returns (N, ...) with leading particle axis; out-of-range positions clamp.
+    Returns (N, ...) with leading particle axis; out-of-range positions
+    clamp.  Pass precomputed `flat_cells` (row-major) to skip the index
+    computation and use a single flat gather (fast path for cell-sorted
+    particles).
     """
     shape = field.shape[-3:]
-    cells = jnp.floor(pos + offset).astype(jnp.int32)
-    cells = jnp.clip(cells, 0, jnp.array(shape) - 1)
-    vals = field[..., cells[:, 0], cells[:, 1], cells[:, 2]]
-    return jnp.moveaxis(vals, -1, 0) if field.ndim > 3 else vals
+    if flat_cells is None:
+        cells = jnp.floor(pos + offset).astype(jnp.int32)
+        cells = jnp.clip(cells, 0, jnp.array(shape) - 1)
+        flat_cells = ((cells[:, 0] * shape[1] + cells[:, 1]) * shape[2]
+                      + cells[:, 2])
+    if field.ndim > 3:
+        flat = field.reshape(field.shape[0], -1).T          # (XYZ, C)
+        return flat[flat_cells]
+    return field.reshape(-1)[flat_cells]
 
 
 def cic_gather(field: jnp.ndarray, pos: jnp.ndarray, scale: float = 1.0,
@@ -109,24 +118,28 @@ def cic_gather(field: jnp.ndarray, pos: jnp.ndarray, scale: float = 1.0,
     """CIC-interpolate `field` (..., X, Y, Z) at particle positions.
 
     Mirror of `cic_deposit`; used for the coarse force kick
-    (`coarse_velocity.f90:137-179`).
+    (`coarse_velocity.f90:137-179`).  The 8 corner reads batch into ONE
+    gather of (N, 8) flat indices — 8 separate advanced-index gathers cost
+    ~8x more on TPU.
     """
     shape = field.shape[-3:]
+    nx, ny, nz = shape
     c0, w0, w1 = _cic_weights(pos, scale, offset)
     c0 = c0 + pad
-    shape_arr = jnp.array(shape)
-    out = None
-    for dx in (0, 1):
-        wx = (w1 if dx else w0)[:, 0]
-        for dy in (0, 1):
-            wy = (w1 if dy else w0)[:, 1]
-            for dz in (0, 1):
-                wz = (w1 if dz else w0)[:, 2]
-                cells = jnp.clip(c0 + jnp.array([dx, dy, dz], jnp.int32),
-                                 0, shape_arr - 1)
-                v = field[..., cells[:, 0], cells[:, 1], cells[:, 2]]
-                v = jnp.moveaxis(v, -1, 0) if field.ndim > 3 else v
-                w = wx * wy * wz
-                w = w[:, None] if v.ndim > 1 else w
-                out = v * w if out is None else out + v * w
-    return out
+    c0 = jnp.clip(c0, 0, jnp.array(shape) - 2)
+    base = (c0[:, 0] * ny + c0[:, 1]) * nz + c0[:, 2]          # (N,)
+    corner_off = jnp.array(
+        [dx * ny * nz + dy * nz + dz
+         for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)], jnp.int32)
+    idx = base[:, None] + corner_off[None, :]                   # (N, 8)
+    wx = jnp.stack([w0[:, 0], w1[:, 0]], 1)                     # (N, 2)
+    wy = jnp.stack([w0[:, 1], w1[:, 1]], 1)
+    wz = jnp.stack([w0[:, 2], w1[:, 2]], 1)
+    wgt = (wx[:, :, None, None] * wy[:, None, :, None]
+           * wz[:, None, None, :]).reshape(-1, 8)               # (N, 8)
+    if field.ndim > 3:
+        flat = field.reshape(field.shape[0], -1).T              # (XYZ, C)
+        vals = flat[idx]                                        # (N, 8, C)
+        return jnp.einsum("nk,nkc->nc", wgt, vals)
+    flat = field.reshape(-1)
+    return jnp.sum(flat[idx] * wgt, axis=1)

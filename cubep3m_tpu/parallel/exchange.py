@@ -2,15 +2,18 @@
 
 Replaces the ownership-transfer role of `source_threads/particle_pass.f90`
 and `delete_particles.f90`.  Unlike the reference we do NOT ship deep ghost
-layers (grid halos replace them — see parallel/halo.py); only particles that
-drifted out of the local subvolume move, via three sequential axis passes of
-fixed-capacity buffers over `ppermute` rings.  Corner crossings resolve
-exactly like the reference's 6-pass scheme: a particle that left in x and y
-is forwarded along x first, then re-forwarded along y by the intermediate
-owner within the same exchange.
+layers (grid halos replace them — see parallel/halo.py) and we do NOT make
+three sequential axis passes: every particle is classified once by its
+3-axis direction vector d in {-1,0,1}^3, one stable sort groups the 26
+outgoing classes into contiguous segments, and each segment ships straight
+to its (possibly diagonal) neighbor with a statically-permuted `ppermute`
+over the full mesh.  One sort + one merge replaces the reference's 6-pass
+pack/send/unpack/relink cycle.
 
-Capacity overflows are counted and surfaced (the reference aborts,
-`particle_pass.f90:96-99,136-139`).
+Buffer sizing: faces carry the bulk of the traffic (the mesh shake moves
+every particle by up to 2*mesh_scale per step), edges and corners scale
+down geometrically.  Capacity overflows are counted and surfaced (the
+reference aborts, `particle_pass.f90:96-99,136-139`).
 """
 from __future__ import annotations
 
@@ -18,8 +21,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .mesh import AXES, ring_perm
+from .mesh import AXES
 
 
 class ExchangeResult(NamedTuple):
@@ -30,67 +34,108 @@ class ExchangeResult(NamedTuple):
     overflow: jnp.ndarray   # () int32: particles dropped (buffer/capacity)
 
 
-def _pack(x, v, pid, take_mask, max_buf, shift, axis):
-    """Pack up to max_buf flagged particles into float (max_buf,6) and int
-    (max_buf,2) buffers, shifting the crossing coordinate into the
-    neighbor's frame."""
-    order = jnp.argsort(~take_mask)           # selected first (stable)
-    sel = order[:max_buf]
-    ok = take_mask[sel]
-    xs = x[sel]
-    xs = xs.at[:, axis].add(shift)
-    fbuf = jnp.concatenate([xs, v[sel]], axis=1)
-    ibuf = jnp.stack([pid[sel], ok.astype(jnp.int32)], axis=1)
-    dropped = (jnp.sum(take_mask.astype(jnp.int32))
-               - jnp.sum(ok.astype(jnp.int32)))
-    return fbuf, ibuf, dropped
+# the 27 direction classes in id order; class 13 = (0,0,0) = stay
+DIRS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)]
+STAY = 13
+
+
+def _mesh_perm(nd: int, d) -> list:
+    """Static ppermute pairs over the full (nd,nd,nd) mesh sending each
+    device's segment to the neighbor at +d."""
+    pairs = []
+    for j in range(nd ** 3):
+        jx, jy, jz = j // (nd * nd), (j // nd) % nd, j % nd
+        tx = ((jx + d[0]) % nd, (jy + d[1]) % nd, (jz + d[2]) % nd)
+        pairs.append((j, (tx[0] * nd + tx[1]) * nd + tx[2]))
+    return pairs
 
 
 def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
                        valid: jnp.ndarray, nf_node: int, max_buf: int,
                        axis_names=AXES) -> ExchangeResult:
-    """Move particles whose coordinate left [0, nf_node) to ring neighbors."""
-    overflow = jnp.asarray(0, jnp.int32)
+    """Move particles whose coordinates left [0, nf_node) to their owning
+    neighbor (single hop; drift+shake < one node width per step)."""
     max_np = x.shape[0]
-    for axis, name in enumerate(axis_names):
-        size = jax.lax.axis_size(name)
-        coord = x[:, axis]
-        go_low = valid & (coord < 0.0)
-        go_high = valid & (coord >= nf_node)
-        stay = valid & ~go_low & ~go_high
+    nd = 1
+    try:
+        nd = jax.lax.axis_size(axis_names[0])
+    except NameError:
+        pass
 
-        flo, ilo, d1 = _pack(x, v, pid, go_low, max_buf, float(nf_node), axis)
-        fhi, ihi, d2 = _pack(x, v, pid, go_high, max_buf, -float(nf_node),
-                             axis)
-        overflow = overflow + d1 + d2
-        if size == 1:
-            rf_hi, ri_hi = flo, ilo     # wrap around: my own buffers return
-            rf_lo, ri_lo = fhi, ihi
-        else:
-            # buf_low goes to the left neighbor (j -> j-1); I receive the
-            # right neighbor's buf_low, and vice versa.
-            rf_hi = jax.lax.ppermute(flo, name, ring_perm(size, -1))
-            ri_hi = jax.lax.ppermute(ilo, name, ring_perm(size, -1))
-            rf_lo = jax.lax.ppermute(fhi, name, ring_perm(size, 1))
-            ri_lo = jax.lax.ppermute(ihi, name, ring_perm(size, 1))
-        rx = jnp.concatenate([rf_hi[:, 0:3], rf_lo[:, 0:3]])
-        rv = jnp.concatenate([rf_hi[:, 3:6], rf_lo[:, 3:6]])
-        rpid = jnp.concatenate([ri_hi[:, 0], ri_lo[:, 0]])
-        rvalid = jnp.concatenate([ri_hi[:, 1], ri_lo[:, 1]]) > 0
+    # --- classify by outgoing direction -------------------------------
+    d = jnp.where(x < 0.0, -1, jnp.where(x >= nf_node, 1, 0)).astype(
+        jnp.int32)                                       # (N, 3)
+    cls = (d[:, 0] + 1) * 9 + (d[:, 1] + 1) * 3 + (d[:, 2] + 1)
+    cls = jnp.where(valid, cls, 27)                      # invalid last
+    # shift leaving coordinates into the destination frame
+    xs = x - d.astype(x.dtype) * float(nf_node)
 
-        # merge: stay + received, compacted to max_np capacity
-        all_x = jnp.concatenate([x, rx])
-        all_v = jnp.concatenate([v, rv])
-        all_pid = jnp.concatenate([pid, rpid])
-        all_valid = jnp.concatenate([stay, rvalid])
-        order = jnp.argsort(~all_valid)
-        keep = order[:max_np]
-        lost = (jnp.sum(all_valid.astype(jnp.int32))
-                - jnp.sum(all_valid[keep].astype(jnp.int32)))
-        overflow = overflow + lost
-        x, v, pid, valid = (all_x[keep], all_v[keep], all_pid[keep],
-                            all_valid[keep])
-    # park invalid slots at the origin so later grid ops see benign coords
-    x = jnp.where(valid[:, None], x, 0.0)
-    v = jnp.where(valid[:, None], v, 0.0)
-    return ExchangeResult(x=x, v=v, pid=pid, valid=valid, overflow=overflow)
+    # --- one stable sort groups the classes ----------------------------
+    order = jnp.argsort(cls)
+    cls_s = cls[order]
+    # pad so dynamic slices below never clamp (clamped starts would pull
+    # rows from neighboring class segments)
+    pad = max_np
+    xs = jnp.concatenate([xs[order], jnp.zeros((pad, 3), x.dtype)])
+    vs = jnp.concatenate([v[order], jnp.zeros((pad, 3), v.dtype)])
+    ps = jnp.concatenate([pid[order], jnp.zeros((pad,), pid.dtype)])
+    counts = jnp.zeros(29, jnp.int32).at[jnp.clip(cls_s, 0, 28)].add(1)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+
+    overflow = jnp.asarray(0, jnp.int32)
+    face_buf = max_buf
+    edge_buf = max(64, max_buf // 8)
+    corner_buf = max(64, max_buf // 32)
+
+    # --- ship each class to its neighbor -------------------------------
+    recv_f, recv_i = [], []
+    for ci, dd in enumerate(DIRS):
+        if ci == STAY:
+            continue
+        order1 = sum(abs(c) for c in dd)
+        buf = (face_buf if order1 == 1 else
+               edge_buf if order1 == 2 else corner_buf)
+        seg = jax.lax.dynamic_slice_in_dim(xs, starts[ci], buf, axis=0)
+        segv = jax.lax.dynamic_slice_in_dim(vs, starts[ci], buf, axis=0)
+        segp = jax.lax.dynamic_slice_in_dim(ps, starts[ci], buf, axis=0)
+        ok = jnp.arange(buf, dtype=jnp.int32) < counts[ci]
+        fbuf = jnp.concatenate([seg, segv], axis=1)
+        fbuf = jnp.where(ok[:, None], fbuf, 0.0)
+        ibuf = jnp.stack([jnp.where(ok, segp, 0), ok.astype(jnp.int32)], 1)
+        overflow = overflow + jnp.maximum(counts[ci] - buf, 0)
+        if nd > 1:
+            perm = _mesh_perm(nd, dd)
+            fbuf = jax.lax.ppermute(fbuf, axis_names, perm)
+            ibuf = jax.lax.ppermute(ibuf, axis_names, perm)
+        recv_f.append(fbuf)
+        recv_i.append(ibuf)
+
+    # --- merge: stay segment + received --------------------------------
+    stay_start = starts[STAY]
+    n_stay = counts[STAY]
+    stay_x = jax.lax.dynamic_slice_in_dim(xs, stay_start, max_np, axis=0)
+    stay_v = jax.lax.dynamic_slice_in_dim(vs, stay_start, max_np, axis=0)
+    stay_p = jax.lax.dynamic_slice_in_dim(ps, stay_start, max_np, axis=0)
+    stay_ok = jnp.arange(max_np, dtype=jnp.int32) < n_stay
+
+    rf = jnp.concatenate(recv_f)
+    ri = jnp.concatenate(recv_i)
+    all_x = jnp.concatenate([stay_x, rf[:, 0:3]])
+    all_v = jnp.concatenate([stay_v, rf[:, 3:6]])
+    all_p = jnp.concatenate([stay_p, ri[:, 0]])
+    all_ok = jnp.concatenate([stay_ok, ri[:, 1] > 0])
+
+    morder = jnp.argsort(~all_ok)          # compaction via (cheap) sort
+    keep = morder[:max_np]
+    n_valid = jnp.sum(all_ok.astype(jnp.int32))
+    overflow = overflow + jnp.maximum(n_valid - max_np, 0)
+    x_o = all_x[keep]
+    v_o = all_v[keep]
+    p_o = all_p[keep]
+    ok_o = all_ok[keep]
+    x_o = jnp.where(ok_o[:, None], x_o, 0.0)
+    v_o = jnp.where(ok_o[:, None], v_o, 0.0)
+    return ExchangeResult(x=x_o, v=v_o, pid=p_o, valid=ok_o,
+                          overflow=overflow)

@@ -26,6 +26,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import cubep3m_tpu
+    cubep3m_tpu.enable_compilation_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -58,15 +60,21 @@ def main():
     valid = jnp.arange(cap) < n
     w = jnp.where(valid, jnp.float32(cfg.mass_p), 0.0)
 
+    def sync(out):
+        # axon's block_until_ready returns early; materializing bytes to
+        # host is the only reliable fence
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+
     def timeit(name, fn, *a):
         out = fn(*a)           # compile
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.time()
         for _ in range(args.reps):
             out = fn(*a)
-        jax.block_until_ready(out)
+            sync(out)
         dt = (time.time() - t0) / args.reps
-        print(f"{name:>24}: {dt * 1e3:9.2f} ms")
+        print(f"{name:>24}: {dt * 1e3:9.2f} ms", flush=True)
         return out
 
     sort_fn = jax.jit(lambda xx: binning.sort_by_cell(xx, valid, nf))
@@ -77,9 +85,9 @@ def main():
         xx, w, (nf, nf, nf), sorted_cells=True))
     rho = timeit("ngp_deposit(sorted)", dep, xs)
 
-    ff = jax.jit(lambda r: fftconv.fine_force(
-        jnp.pad(r, cfg.nf_buf, mode="wrap"), kern_f, cfg.nf_buf, nf))
-    f_fine = timeit("fine pad+FFT force", ff, rho)
+    ff = jax.jit(lambda r, kf: fftconv.fine_force(
+        jnp.pad(r, cfg.nf_buf, mode="wrap"), kf, cfg.nf_buf, nf))
+    f_fine = timeit("fine pad+FFT force", ff, rho, kern_f)
 
     gath = jax.jit(lambda f, xx: deposit.ngp_gather(f, xx))
     timeit("ngp_gather", gath, f_fine, xs)
@@ -89,15 +97,15 @@ def main():
         cfg.pp_bias).force)
     timeit("ppint_band(32)", ppf, xs)
 
-    def coarse(xx):
+    def coarse(xx, kc):
         ncp = nc + 2
         rc = fold_pads(deposit.cic_deposit(xx, w, (ncp,) * 3, scale=ms,
                                            offset=-0.5, pad=1), 1)
-        fc = fftconv.coarse_force(rc, kern_c)
+        fc = fftconv.coarse_force(rc, kc)
         fcp = jnp.pad(fc, ((0, 0), (1, 1), (1, 1), (1, 1)), mode="wrap")
         return deposit.cic_gather(fcp, xx, scale=ms, offset=-0.5, pad=1)
 
-    timeit("coarse cic+FFT+gather", jax.jit(coarse), xs)
+    timeit("coarse cic+FFT+gather", jax.jit(coarse), xs, kern_c)
 
 
 if __name__ == "__main__":

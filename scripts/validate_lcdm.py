@@ -28,6 +28,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import cubep3m_tpu
+    cubep3m_tpu.enable_compilation_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
