@@ -176,6 +176,25 @@ def cmd_mem(args):
         print(f"  {k:>20}: {vv / 2 ** 20:10.1f} MiB")
 
 
+def cmd_forcetest(args):
+    """Pairwise force-accuracy sweep (report_pair.f90 harness as a CLI)."""
+    from .core.driver import Simulation
+    from .analysis import forcetest as ft
+    cfg, _ = load_config(args.config)
+    sim = Simulation(cfg)
+    res = ft.pairwise_force_sweep(cfg, sim.kern_f, sim.kern_c,
+                                  min_sep=args.min_sep,
+                                  max_sep=args.max_sep,
+                                  n_sep=args.n_sep)
+    out = args.out or "pair_F.txt"
+    np.savetxt(out, np.column_stack([res.sep, res.f_radial,
+                                     res.f_tangential, res.f_exact,
+                                     res.frac_err]),
+               header="sep  F_radial  F_tangential  F_exact  frac_err")
+    print(f"wrote {out}: median frac err "
+          f"{float(np.median(res.frac_err)):.4f}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="cubep3m_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -221,6 +240,12 @@ def main(argv=None):
     p.add_argument("--pgm", action="store_true")
 
     add("mem", cmd_mem)
+
+    p = add("forcetest", cmd_forcetest)
+    p.add_argument("--min-sep", type=float, default=1.0)
+    p.add_argument("--max-sep", type=float, default=None)
+    p.add_argument("--n-sep", type=int, default=24)
+    p.add_argument("--out", default=None)
 
     args = ap.parse_args(argv)
     args.fn(args)

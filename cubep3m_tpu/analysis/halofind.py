@@ -44,6 +44,8 @@ _CATALOG_FIELDS = [
     ("halo_mass_pk", "<f4"),       # mass at the peak cell
     ("var_x", "<f4", (3,)),        # position variance
     ("i_ij", "<f4", (6,)),         # inertia tensor (xx,yy,zz,xy,xz,yz)
+    ("pid_bound", "<i4", (10,)),   # most-bound member PIDs (halofind.f90
+                                   # PID variant stores 50; we keep 10)
 ]
 CATALOG_DTYPE = np.dtype(_CATALOG_FIELDS)
 
@@ -208,6 +210,14 @@ def find_halos(cfg: SimConfig, state: SimState,
             xs = x[sel]
             vs = v[sel]
             dxs = dx[sel]
+            # most-bound proxy: smallest kinetic energy wrt the halo frame
+            # + deepest in the potential well (closest to center)
+            vrel2 = ((vs - vs.mean(0)) ** 2).sum(1)
+            r_in = np.sqrt((dxs ** 2).sum(1))
+            score = vrel2 + r_in  # simple binding proxy (report in docs)
+            bound_order = np.argsort(score)[:10]
+            pb = pid[sel][bound_order]
+            entry["pid_bound"][: pb.size] = pb
             xm = cpos + dxs.mean(0)
             vm = vs.mean(0)
             entry["x_mean"] = np.mod(xm, nf)

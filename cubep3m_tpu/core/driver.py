@@ -87,15 +87,25 @@ class Simulation:
             return None
 
         def _ckpt(sim, state, dec):
+            from .timestep import Cursors
             z = _sched_z(sim.schedule.checkpoints, sim.cursors.checkpoint)
             zs = f"{z:.3f}" if z is not None else ckpt_mod.z_string(
                 float(state.a))
+            # save POST-trigger cursors so a resume continues past this
+            # step's outputs (the reference increments cur_checkpoint
+            # before writing, checkpoint.f90:68)
+            cur = Cursors(
+                checkpoint=sim.cursors.checkpoint + 1,
+                projection=sim.cursors.projection
+                + (1 if dec.projection_step else 0),
+                halofind=sim.cursors.halofind
+                + (1 if dec.halofind_step else 0))
             if native_checkpoints:
                 ckpt_mod.save_native(f"{outdir}/ckpt_{zs}.npz",
-                                     sim.cfg, state, sim.cursors)
+                                     sim.cfg, state, cur)
             if reference_format:
                 ckpt_mod.write_reference_checkpoint(outdir, sim.cfg, state,
-                                                    sim.cursors, z=z)
+                                                    cur, z=z)
 
         def _proj(sim, state, dec):
             z = _sched_z(sim.schedule.projections, sim.cursors.projection)

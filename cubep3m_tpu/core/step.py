@@ -97,7 +97,7 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     ms = cfg.mesh_scale
     mass_p = cfg.mass_p
     ncells_fine = nf ** 3
-    max_buf = max(64, cfg.max_np // 4)
+    max_buf = max(256, cfg.max_np // 16)  # face buffers; shake moves <= 2*mesh_scale/step
 
     fb = cfg.cosmo.omega_b / cfg.cosmo.omega_m if cfg.mhd else 0.0
     gas_pad = 8  # TVD stencil reach over a fwd+bwd pass (2 sweeps x radius 3)

@@ -106,8 +106,9 @@ def write_reference_checkpoint(outdir: str, cfg: SimConfig, state: SimState,
         hdr["dt_f_acc"] = float(state.dt_f_acc)
         hdr["dt_pp_acc"] = float(state.dt_pp_acc)
         hdr["dt_c_acc"] = float(state.dt_c_acc)
-        # reference increments cur_checkpoint before writing
-        hdr["cur_checkpoint"] = cursors.checkpoint + 1
+        # callers pass post-trigger cursors (reference increments
+        # cur_checkpoint before writing, checkpoint.f90:68)
+        hdr["cur_checkpoint"] = cursors.checkpoint
         hdr["cur_projection"] = cursors.projection
         hdr["cur_halofind"] = cursors.halofind
         hdr["mass_p"] = cfg.mass_p

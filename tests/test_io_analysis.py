@@ -46,7 +46,8 @@ def test_reference_checkpoint_roundtrip(tmp_path, cfg):
                                atol=1e-6)
     np.testing.assert_array_equal(np.asarray(st2.pid)[:n],
                                   np.asarray(st.pid)[:n])
-    assert cur2.checkpoint == 1  # incremented on write (reference behavior)
+    # callers pass post-trigger cursors; a direct write round-trips as-is
+    assert cur2.checkpoint == 0
 
 
 def test_reference_checkpoint_header_layout(tmp_path, cfg):

@@ -1,0 +1,79 @@
+"""Kill checkpoints, restart-resume equivalence, step logs."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cubep3m_tpu import small_config
+from cubep3m_tpu import state as state_mod
+from cubep3m_tpu.core.driver import Simulation
+from cubep3m_tpu.core.timestep import OutputSchedule
+from cubep3m_tpu.io import checkpoint as ck
+
+
+def test_kill_checkpoint_fires(tmp_path):
+    """Wall-clock kill checkpoint (cubepm_kill.f90:231-258 role)."""
+    cfg = small_config(z_i=50.0)
+    sim = Simulation(cfg, kill_time_s=0.0)  # fire immediately
+    sim.attach_outputs(str(tmp_path), reference_format=True)
+    st = state_mod.random_ic(cfg, seed=1)
+    st = sim.run(st, max_steps=5, use_chunks=False)
+    assert os.path.exists(tmp_path / "ckpt_kill.npz")
+    # reference kill format too
+    files = [f for f in os.listdir(tmp_path) if "xvres" in f]
+    assert files, "no xvres kill checkpoint written"
+    # resume from it
+    st2, cur = ck.load_native(str(tmp_path / "ckpt_kill.npz"), cfg)
+    assert int(st2.np_local[0]) == int(st.np_local[0])
+
+
+def test_restart_resume_matches_continuous(tmp_path):
+    """Stop at a checkpoint, restart, continue: identical to an
+    uninterrupted run (bit-faithful resume contract, checkpoint.f90)."""
+    cfg = small_config(z_i=50.0, shake=True)
+    sched = OutputSchedule.from_redshifts(checkpoints=[45.0, 40.0])
+
+    # continuous run to the second checkpoint
+    sim_a = Simulation(cfg, schedule=sched)
+    states = {}
+    sim_a.on_checkpoint.append(
+        lambda s, st, dec: states.setdefault(len(states), st))
+    st = state_mod.random_ic(cfg, seed=3)
+    sim_a.run(st, max_steps=100, use_chunks=False)
+    assert len(states) == 2
+
+    # interrupted run: save at first checkpoint, reload, continue
+    sim_b = Simulation(cfg, schedule=sched)
+    sim_b.attach_outputs(str(tmp_path), halofinds=False, projections=False)
+    st = state_mod.random_ic(cfg, seed=3)
+    st_b = sim_b.run(st, max_steps=100, use_chunks=False)
+    # run ended at final checkpoint; reload the first and continue fresh
+    st_c, cur = ck.load_native(str(tmp_path / "ckpt_45.000.npz"), cfg)
+    sim_c = Simulation(cfg, schedule=sched)
+    sim_c.cursors = cur
+    finals = {}
+    sim_c.on_checkpoint.append(
+        lambda s, st2, dec: finals.setdefault(0, st2))
+    sim_c.run(st_c, max_steps=100, use_chunks=False)
+    assert finals, "resumed run never hit the second checkpoint"
+    xa = np.asarray(states[1].x)
+    xb = np.asarray(finals[0].x)
+    na = int(states[1].np_local[0])
+    pa = np.asarray(states[1].pid)[:na]
+    pb = np.asarray(finals[0].pid)[:na]
+    oa, ob = np.argsort(pa), np.argsort(pb)
+    np.testing.assert_allclose(xa[:na][oa], xb[:na][ob], atol=1e-4)
+
+
+def test_step_log_written(tmp_path):
+    cfg = small_config(z_i=50.0)
+    sim = Simulation(cfg)
+    st = state_mod.random_ic(cfg, seed=2)
+    for _ in range(3):
+        st, _ = sim.step(st)
+    path = str(tmp_path / "log.jsonl")
+    sim.write_log(path)
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 3
+    assert lines[0]["nts"] == 1 and "limits" in lines[0]
