@@ -117,6 +117,8 @@ class SimConfig:
     gas_gamma: float = 5.0 / 3.0
     gas_p_init: float = 1.0e-8   # initial gas pressure (cold start)
     gas_from_delta: bool = True  # gas ICs trace the matter field (mhd_init)
+    ic_correct_kernel: bool = False  # Ewald-matched IC potential kernel
+                                     # (dist_init correct_kernel option)
 
     # --- lifecycle / outputs ---
     shake: bool = True          # DISP_MESH random mesh shake each step

@@ -42,6 +42,30 @@ def vfactor(a: float, c) -> float:
     return a ** 2 * h
 
 
+def _corrected_inv_kd2(nf: int, inv_kd2: np.ndarray) -> np.ndarray:
+    """Ewald-match the near field of the discrete Poisson kernel.
+
+    Builds phi(r) = IFFT(-4 pi / k_d^2), replaces r < 8 cells by the exact
+    -1/r (offset-matched at the r=8 shell like dist_init's phi8 average),
+    and returns the equivalent corrected 1/k_d^2 multiplier.
+    """
+    phi_k = -4.0 * math.pi * inv_kd2.astype(np.float64)
+    phi = np.fft.ifftn(phi_k).real
+    d = np.fft.fftfreq(nf) * nf
+    dx, dy, dz = np.meshgrid(d, d, d, indexing="ij")
+    r = np.sqrt(dx * dx + dy * dy + dz * dz)
+    # shell average of the discrete kernel at r = 8
+    shell = (np.abs(r - 8.0) < 0.5)
+    phi8 = phi[shell].mean() + 1.0 / 8.0
+    near = r < 8.0
+    phi_corr = np.where(near, -1.0 / np.maximum(r, 1.0) + phi8, phi)
+    phi_corr[0, 0, 0] = phi[0, 0, 0] + phi8  # self term offset-consistent
+    phi_k_corr = np.fft.fftn(phi_corr).real
+    out = (-phi_k_corr / (4.0 * math.pi)).astype(np.float32)
+    out.flat[0] = 0.0
+    return out
+
+
 def gaussian_delta_k(nf: int, pk_grid, key) -> jnp.ndarray:
     """delta_k on the full nf^3 grid: FFT of unit white noise x sqrt(P N^3).
 
@@ -87,6 +111,12 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
                + kd2[None, None, :]).astype(np.float32)
     inv_kd2 = np.where(kd2_tot > 0, 1.0 / np.maximum(kd2_tot, 1e-20),
                        0.0).astype(np.float32)
+    if cfg.ic_correct_kernel:
+        # Ewald-matched short-range correction (dist_init.f90
+        # `correct_kernel`, :1368-1466): replace the discrete Poisson
+        # kernel's near field (r < 8 cells) by the exact -1/r potential,
+        # matched at the r=8 shell average.
+        inv_kd2 = _corrected_inv_kd2(nf, inv_kd2)
     kr = np.sqrt(k[:, None, None] ** 2 + k[None, :, None] ** 2
                  + k[None, None, :] ** 2)
     amp = np.sqrt(np.where(kr > 0, pk_grid(np.maximum(kr, 1e-10)), 0.0)

@@ -131,6 +131,23 @@ def write_reference_checkpoint(outdir: str, cfg: SimConfig, state: SimState,
     return files
 
 
+def write_reference_gas(outdir: str, cfg: SimConfig, state: SimState,
+                        z: Optional[float] = None) -> list:
+    """Write the MHD gas state as per-field stream binaries
+    (`mpi_tvd_mhd_state_output`, mpi_tvd_mhd.f90:70-104 role):
+    `{z}gas_u.dat` (5, nf^3 f32) and `{z}gas_b.dat` (3, nf^3 f32)."""
+    if state.gas_u.ndim != 4:
+        return []
+    os.makedirs(outdir, exist_ok=True)
+    prefix = f"{z:.3f}" if z is not None else z_string(float(state.a))
+    files = []
+    for tag, arr in (("gas_u", state.gas_u), ("gas_b", state.gas_b)):
+        fn = os.path.join(outdir, f"{prefix}{tag}.dat")
+        np.asarray(arr).astype("<f4").tofile(fn)
+        files.append(fn)
+    return files
+
+
 def read_reference_checkpoint(outdir: str, cfg: SimConfig, z: float,
                               kill: bool = False
                               ) -> Tuple[SimState, Cursors]:
