@@ -96,6 +96,9 @@ class SimConfig:
     coarse_pencil_fft: bool = False  # distributed coarse FFT (all_to_all
                                      # pencils) instead of replicated
                                      # all_gather solve (p3dfft role)
+    coarse_from_fine: bool = False   # regular-stencil coarse deposit/kick
+                                     # from the fine grid (fast; quantizes
+                                     # positions to fine-cell centers)
 
     # --- time stepping ---
     dt_scale: float = DEFAULT_DT_SCALE

@@ -216,17 +216,25 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
 
         # ---- coarse level (coarse_mesh.f90) ----
         ncp = nc + 2
-        # particles are fine-cell sorted and the coarse CIC base cell is
-        # constant per fine cell, so these scatter indices are sorted too
-        # (lexicographic monotone) -> segment-sum fast path
-        rho_c_pad = deposit.cic_deposit(x, w, (ncp, ncp, ncp), scale=ms,
-                                        offset=-0.5, pad=1,
-                                        sorted_cells=True)
-        rho_c = halo_mod.halo_fold(rho_c_pad, 1)
-        if cfg.mhd:
-            # gas mass: sum-pool mesh_scale^3 gas cells (coarse_mass.f90:67-78)
-            rho_c = rho_c + jnp.float32(fb) * gas_u[0].reshape(
-                nc, ms, nc, ms, nc, ms).sum(axis=(1, 3, 5))
+        if cfg.coarse_from_fine:
+            # regular-stencil deposit from the fine NGP grid (includes the
+            # gas contribution already folded into rho)
+            from ..ops import coarse_stencil as cst
+            rho_c_pad = cst.coarse_deposit_from_fine(rho, ms)
+            rho_c = halo_mod.halo_fold(rho_c_pad, 1)
+        else:
+            # particles are fine-cell sorted and the coarse CIC base cell
+            # is constant per fine cell, so these scatter indices are
+            # sorted too (lexicographic monotone) -> segment-sum fast path
+            rho_c_pad = deposit.cic_deposit(x, w, (ncp, ncp, ncp), scale=ms,
+                                            offset=-0.5, pad=1,
+                                            sorted_cells=True)
+            rho_c = halo_mod.halo_fold(rho_c_pad, 1)
+            if cfg.mhd:
+                # gas mass: sum-pool mesh_scale^3 gas cells
+                # (coarse_mass.f90:67-78)
+                rho_c = rho_c + jnp.float32(fb) * gas_u[0].reshape(
+                    nc, ms, nc, ms, nc, ms).sum(axis=(1, 3, 5))
         if cfg.coarse_pencil_fft:
             # distributed pencil FFT (p3dfft_coarse role); 1-cell force halo
             # exchange (coarse_force_buffer role)
@@ -248,7 +256,17 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             f_c_pad[:, 1:-1, 1:-1, 1:-1] ** 2, axis=0))
         fmax_c = jnp.sqrt(jax.lax.pmax(fmax_c_local, AXES))
         dt_c_acc = jnp.sqrt(ms / (fmax_c * a_mid * G))
-        fcp = deposit.cic_gather(f_c_pad, x, scale=ms, offset=-0.5, pad=1)
+        if cfg.coarse_from_fine:
+            # trilinear coarse->fine upsample + the already-computed NGP
+            # gather indices: one fused per-particle force read
+            from ..ops import coarse_stencil as cst
+            f_c_fine = cst.coarse_gather_to_fine(f_c_pad, ms)
+            fcp = deposit.ngp_gather(
+                f_c_fine, x, flat_cells=jnp.clip(sp.cell, 0,
+                                                 ncells_fine - 1))
+        else:
+            fcp = deposit.cic_gather(f_c_pad, x, scale=ms, offset=-0.5,
+                                     pad=1)
         v = v + jnp.where(valid[:, None], fcp * kick, 0.0)
 
         if cfg.mhd:
