@@ -189,7 +189,7 @@ class Simulation:
 
     # chunk sizes compiled on demand (device-side dt control between
     # scheduled outputs; one host sync per chunk instead of per sweep)
-    CHUNK_SIZES = (16, 4)  # 64-step scans have crashed the tunneled TPU worker
+    CHUNK_SIZES = (8, 4)  # tunneled executions beyond ~30s wall hang the worker
 
     def _get_chunk(self, size: int):
         if not hasattr(self, "_chunks"):
