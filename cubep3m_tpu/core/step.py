@@ -333,6 +333,8 @@ def make_chunked_sweep(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
 
     sweep_local = sweep._sweep_local
 
+    import dataclasses as _dc
+
     def chunk_local(state: SimState, kern_f_im, kern_c_im) -> SimState:
         def body(st, _):
             limits = (st.dt_f_acc, st.dt_pp_acc, st.dt_pp_ext_acc,
@@ -340,6 +342,13 @@ def make_chunked_sweep(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
             dt, a_mid, a_new = dts_mod.decide_dt_dev(cfg, st.a, limits)
             st2 = sweep_local(st, kern_f_im, kern_c_im, a_mid, dt, a_new,
                               st.tau + dt, st.t + dt)
+            # overflow counters become high-water marks across the chunk
+            # (a single sweep's count would vanish before the host looks)
+            st2 = _dc.replace(
+                st2,
+                pp_overflow=jnp.maximum(st2.pp_overflow, st.pp_overflow),
+                bucket_overflow=jnp.maximum(st2.bucket_overflow,
+                                            st.bucket_overflow))
             return st2, dt
         state, _ = jax.lax.scan(body, state, None, length=chunk)
         return state
