@@ -96,6 +96,11 @@ class SimConfig:
     coarse_pencil_fft: bool = False  # distributed coarse FFT (all_to_all
                                      # pencils) instead of replicated
                                      # all_gather solve (p3dfft role)
+    fine_potential: bool = False     # fine solve via scalar potential +
+                                     # central differences (wg1.ascii mode:
+                                     # 2 FFTs + 1/3 kernel memory; slightly
+                                     # noisier in fp32 from the phi
+                                     # differencing cancellation)
     coarse_from_fine: bool = False   # regular-stencil coarse deposit/kick
                                      # from the fine grid (fast; quantizes
                                      # positions to fine-cell centers)

@@ -167,7 +167,11 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         if cfg.mhd:
             rho = rho + jnp.float32(fb) * gas_u[0]
         rho_halo = halo_mod.halo_pad(rho, nf_buf)
-        f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf)
+        if cfg.fine_potential:
+            f_fine = fftconv.fine_force_potential(rho_halo, kern_f_im,
+                                                  nf_buf, nf)
+        else:
+            f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf)
         fmax2_f = jnp.max(jnp.sum(f_fine * f_fine, axis=0))
         fp = deposit.ngp_gather(
             f_fine, x, flat_cells=jnp.clip(sp.cell, 0, ncells_fine - 1))
@@ -379,7 +383,11 @@ def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,
 
     rho = deposit.ngp_deposit(x, w, (nf, nf, nf))
     rho_halo = jnp.pad(rho, cfg.nf_buf, mode="wrap")
-    f_fine = fftconv.fine_force(rho_halo, kern_f_im, cfg.nf_buf, nf)
+    if cfg.fine_potential:
+        f_fine = fftconv.fine_force_potential(rho_halo, kern_f_im,
+                                              cfg.nf_buf, nf)
+    else:
+        f_fine = fftconv.fine_force(rho_halo, kern_f_im, cfg.nf_buf, nf)
     force = deposit.ngp_gather(f_fine, x)
 
     if cfg.pp:

@@ -416,6 +416,30 @@ def fit_coarse_matching_table(nf_cutoff: int, mesh_scale: int,
     return table
 
 
+def potential_kernel_fourier(kern_f_im: np.ndarray) -> np.ndarray:
+    """Project the 3-component force kernel onto a scalar potential kernel.
+
+    The potential formulation (the reference's `wg1.ascii` fine potential
+    kernel + finite differencing, kernels/README) costs 2 FFTs per solve
+    instead of 3.  We fit P(k) per mode by least squares so that the
+    central-difference gradient reproduces the matched force kernel:
+      K_c(k) ~ -sin(2 pi k_c / n) * P(k)   =>
+      P(k) = -sum_c K_c sin_c / max(sum_c sin_c^2, eps).
+    The non-gradient residual is zero for an exact gradient field and
+    small near the Nyquist modes otherwise.
+    """
+    n = kern_f_im.shape[1]
+    k = wrapped_coords(n)
+    s = np.sin(2.0 * np.pi * k / n)
+    sx = s[:, None, None]
+    sy = s[None, :, None]
+    sz = s[None, None, :]
+    num = -(kern_f_im[0] * sx + kern_f_im[1] * sy + kern_f_im[2] * sz)
+    den = sx ** 2 + sy ** 2 + sz ** 2
+    return np.where(den > 1e-12, num / np.maximum(den, 1e-12), 0.0
+                    ).astype(np.float32)
+
+
 def build_kernels(cfg: SimConfig, use_cache: bool = True,
                   device: Optional[bool] = None):
     """Build (kern_f_im, kern_c_im) for a config.
@@ -430,6 +454,25 @@ def build_kernels(cfg: SimConfig, use_cache: bool = True,
         device = nf_h > 192
     kern_f = fine_kernel_fourier(nf_h, cfg.nf_cutoff, cfg.pp_ext,
                                  cfg.pp_range, device=device)
+    if cfg.fine_potential:
+        # scalar potential kernel (wg1.ascii mode): least-squares gradient
+        # projection of the matched force kernel
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _project(kf):
+            k = jnp.asarray(wrapped_coords(nf_h).astype(np.float32))
+            sv = jnp.sin(2.0 * jnp.pi * k / nf_h)
+            sx = sv[:, None, None]
+            sy = sv[None, :, None]
+            sz = sv[None, None, :]
+            num = -(kf[0] * sx + kf[1] * sy + kf[2] * sz)
+            den = sx ** 2 + sy ** 2 + sz ** 2
+            return jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12),
+                             0.0).astype(jnp.float32)
+
+        kern_f = _project(jnp.asarray(kern_f))
     table = fit_coarse_matching_table(cfg.nf_cutoff, cfg.mesh_scale,
                                       cfg.pp_ext, cfg.pp_range,
                                       use_cache=use_cache)

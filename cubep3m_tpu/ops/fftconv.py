@@ -28,6 +28,7 @@ matching `fft_fine.f90` / `fft_coarse.f90:187`.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -59,6 +60,34 @@ def fine_force(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
     return f[:, nf_buf:nf_buf + nf_node,
              nf_buf:nf_buf + nf_node,
              nf_buf:nf_buf + nf_node]
+
+
+def fine_force_potential(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
+                         nf_buf: int, nf_node: int) -> jnp.ndarray:
+    """Fine force via the potential formulation: ONE scalar solve + central
+    differences (the reference's `wg1.ascii` potential-kernel mode,
+    kernels/README; `dist_init.f90:1507-1509` differencing convention).
+
+    2 complex FFTs instead of 3, and a scalar kernel instead of three
+    components (1/3 the kernel memory).  pot_kern: (n, n, n) float32 REAL
+    spectrum from `kernels.potential_kernel_fourier`.
+    """
+    rho_k = jnp.fft.fftn(rho_halo.astype(jnp.complex64))
+    phi = jnp.fft.ifftn(rho_k * pot_kern).real.astype(jnp.float32)
+    lo = nf_buf
+    hi = nf_buf + nf_node
+
+    def diff(axis):
+        # F = (phi(i-1) - phi(i+1)) / 2 on the physical region
+        down = jax.lax.slice_in_dim(phi, lo - 1, hi - 1, axis=axis)
+        up = jax.lax.slice_in_dim(phi, lo + 1, hi + 1, axis=axis)
+        other = [a for a in range(3) if a != axis]
+        sl = [slice(None)] * 3
+        for a in other:
+            sl[a] = slice(lo, hi)
+        return (0.5 * (down - up))[tuple(sl)]
+
+    return jnp.stack([diff(0), diff(1), diff(2)])
 
 
 def coarse_force(rho_c: jnp.ndarray, kern_c_im: jnp.ndarray) -> jnp.ndarray:
