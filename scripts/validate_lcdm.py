@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="/tmp/validate_lcdm.npz")
     ap.add_argument("--max-steps", type=int, default=1200)
+    ap.add_argument("--chunks", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +46,7 @@ def main():
     cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
                     nf_tile=nf // 2 + 2 * 32, nf_cutoff=16, buf_extra=16,
                     box=args.box, z_i=args.z_i,
-                    density_buffer=2.0, shake=True, pid=True)
+                    density_buffer=1.3, shake=True, pid=False)
     cfg.validate()
     print(f"# {cfg.summary()}", flush=True)
 
@@ -66,8 +67,23 @@ def main():
         final = state
 
     sim.on_checkpoint.append(on_ck)
-    cfg2 = cfg  # chunked stepping: device-side dt control between outputs
-    st = sim.run(st, max_steps=args.max_steps)
+
+    # host-stepped with a heartbeat (the tunneled TPU's remote compiler is
+    # flaky with long scan programs, so chunked mode is opt-in)
+    _orig_step = sim.step
+    _hb = [0, time.time()]
+
+    def _step(stt):
+        out = _orig_step(stt)
+        _hb[0] += 1
+        if time.time() - _hb[1] > 60:
+            print(f"# step {_hb[0]}: a={float(out[0].a):.5f} "
+                  f"wall={time.time() - t0:.0f}s", flush=True)
+            _hb[1] = time.time()
+        return out
+
+    sim.step = _step
+    st = sim.run(st, max_steps=args.max_steps, use_chunks=args.chunks)
     n_steps = int(st.nts)
     print(f"# evolved {n_steps} steps in {time.time() - t0:.1f}s "
           f"ppovfl={int(st.pp_overflow)}", flush=True)
