@@ -153,3 +153,23 @@ def test_cosmo_sweep_advances(sim):
     np.testing.assert_allclose(hits[0], 1.0 / 46.0, rtol=1e-4)
     np.testing.assert_allclose(hits[1], 1.0 / 41.0, rtol=1e-4)
     assert int(st.nts) <= 50
+
+
+def test_shake_single_particle_tracking():
+    """shake_test_ic mode: a single particle under DISP_MESH shake must
+    stay put in unshaken coordinates (zero self-force; the accumulated
+    offset is exactly removable, update_position.f90/move_grid_back)."""
+    cfg = small_config(cosmo_expansion=False, shake=True)
+    nf = cfg.nf_physical_node_dim
+    x0 = np.array([nf / 2 + 0.37, nf / 2 + 0.21, nf / 2 + 0.83])
+    st = state_mod.particles_ic(cfg, x0[None, :].astype(np.float32),
+                                np.zeros((1, 3), np.float32))
+    sim = Simulation(cfg, pp_band=16)
+    for i in range(6):
+        st = sim.sweep(st, sim.kern_f, sim.kern_c, 1.0, 0.5, 1.0, 0.0, 0.0)
+    x = np.asarray(st.x)[0]
+    shake = np.asarray(st.shake_offset)
+    unshaken = np.mod(x - shake, nf)
+    np.testing.assert_allclose(unshaken, x0, atol=5e-3)
+    v = np.asarray(st.v)[0]
+    assert np.all(np.abs(v) < 1e-4)  # no self-force kicks
