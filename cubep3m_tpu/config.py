@@ -117,6 +117,10 @@ class SimConfig:
 
     # --- particle capacity ---
     density_buffer: float = 2.0  # max_np headroom factor (parameters.example)
+    pp_band: int = 32            # PPINT pair window in cell-sorted order:
+                                 # >= max same-fine-cell occupancy or pairs
+                                 # are dropped (counted in pp_overflow);
+                                 # dense z~0 cores want 64-128
     pp_cell_capacity: int = 32   # max particles per fine cell for pp bucketing
     pp_coarse_capacity: int = 256  # max particles per coarse cell (pp bucket)
 

@@ -45,7 +45,7 @@ class Simulation:
 
     def __init__(self, cfg: SimConfig,
                  schedule: Optional[OutputSchedule] = None,
-                 pp_band: int = 32,
+                 pp_band: Optional[int] = None,
                  kill_time_s: Optional[float] = None,
                  use_kernel_cache: bool = True,
                  devices=None):
@@ -58,7 +58,9 @@ class Simulation:
                                                    use_cache=use_kernel_cache)
         self.kern_f = jnp.asarray(kern_f)
         self.kern_c = jnp.asarray(kern_c)
-        self.sweep = step_mod.make_sweep(cfg, self.mesh, pp_band=pp_band)
+        self.pp_band = pp_band if pp_band is not None else cfg.pp_band
+        self.sweep = step_mod.make_sweep(cfg, self.mesh,
+                                         pp_band=self.pp_band)
         self.kill_time_s = kill_time_s
         self._start_wall = time.time()
         self.logs: List[StepLog] = []
