@@ -24,7 +24,10 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="64^3 particles (smoke test)")
     ap.add_argument("--np-dim", type=int, default=None,
-                    help="particles per dimension (default 256)")
+                    help="particles per dimension (default 128; the "
+                         "tunneled TPU's remote compiler has not completed "
+                         "a 512^3-mesh sweep compile within 40 min, so "
+                         "256^3 is opt-in)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -42,7 +45,7 @@ def main():
     from cubep3m_tpu.core import step as step_mod
     from cubep3m_tpu.parallel.mesh import make_sim_mesh
 
-    np_dim = args.np_dim or (64 if args.small else 256)
+    np_dim = args.np_dim or (64 if args.small else 128)
     nf = 2 * np_dim                      # fine mesh = 2x particles per dim
     # single chip: one node, 2 tiles/dim; nf_buf=32 keeps the padded FFT
     # size FFT-friendly (nf + 64: 576 = 2^6*3^2 for the 256^3 box)
