@@ -30,6 +30,9 @@ def main():
                          "256^3 is opt-in)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="stencil coarse kick + potential fine solve "
+                         "(quantized variants; see DESIGN.md)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +54,8 @@ def main():
     # size FFT-friendly (nf + 64: 576 = 2^6*3^2 for the 256^3 box)
     cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
                     nf_tile=nf // 2 + 2 * 32, nf_cutoff=16, buf_extra=16,
-                    density_buffer=1.3, shake=True, pid=False, z_i=100.0)
+                    density_buffer=1.3, shake=True, pid=False, z_i=100.0,
+                    coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     assert cfg.nf_physical_dim == nf
 

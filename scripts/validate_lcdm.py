@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--out", default="/tmp/validate_lcdm.npz")
     ap.add_argument("--max-steps", type=int, default=1200)
     ap.add_argument("--chunks", action="store_true")
+    ap.add_argument("--fast", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +47,8 @@ def main():
     cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
                     nf_tile=nf // 2 + 2 * 32, nf_cutoff=16, buf_extra=16,
                     box=args.box, z_i=args.z_i,
-                    density_buffer=1.3, shake=True, pid=False)
+                    density_buffer=1.3, shake=True, pid=False,
+                    coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     print(f"# {cfg.summary()}", flush=True)
 
