@@ -274,6 +274,40 @@ def c2ray_fields(cfg: SimConfig, state: SimState,
     return {"density": dens, "velocity": np.stack(vel), "clumping": clump}
 
 
+def halo_members(cfg: SimConfig, state: SimState, cat: np.ndarray,
+                 max_members: Optional[int] = None) -> list:
+    """Member particle lists per halo (halofind_particles.f90 variant):
+    returns [(pids, positions, velocities), ...] aligned with `cat`."""
+    nf = cfg.nf_physical_dim
+    x, v, pid = gather_global(cfg, state)
+    x = np.mod(x - np.asarray(state.shake_offset)[None, :], nf)
+    out = []
+    for h in cat:
+        dx = x - h["peak_pos"][None, :]
+        dx -= nf * np.round(dx / nf)
+        sel = np.where((dx ** 2).sum(1) < float(h["radius_calc"]) ** 2)[0]
+        if max_members is not None and sel.size > max_members:
+            order = np.argsort((dx[sel] ** 2).sum(1))
+            sel = sel[order[:max_members]]
+        out.append((pid[sel], x[sel], v[sel]))
+    return out
+
+
+def write_members(outdir: str, cfg: SimConfig, state: SimState,
+                  cat: np.ndarray, z: Optional[float] = None) -> str:
+    """Write member lists as `{z}halo_pid.npz` (pids + offsets per halo)."""
+    from ..io.checkpoint import z_string
+    os.makedirs(outdir, exist_ok=True)
+    prefix = f"{z:.3f}" if z is not None else z_string(float(state.a))
+    members = halo_members(cfg, state, cat)
+    pids = np.concatenate([m[0] for m in members]) if members else \
+        np.zeros(0, np.int32)
+    counts = np.array([m[0].size for m in members], np.int64)
+    fn = os.path.join(outdir, f"{prefix}halo_pid.npz")
+    np.savez(fn, pids=pids, counts=counts)
+    return fn
+
+
 def merge_catalogs(paths: list) -> np.ndarray:
     """Combine per-run/per-rank catalogs sorted by mass descending
     (utils/halo_merge/halo_merge.f90 role)."""

@@ -121,3 +121,23 @@ def test_halofinder_catalog_io(tmp_path, cfg):
     cat2 = hf.read_catalog(fn)
     assert cat2.size == cat.size
     np.testing.assert_array_equal(cat2["halo_mass"], cat["halo_mass"])
+
+
+def test_halo_members(tmp_path, cfg):
+    rng = np.random.default_rng(15)
+    nf = cfg.nf_physical_node_dim
+    x = np.vstack([
+        rng.uniform(0, nf, (1500, 3)),
+        np.array([12.5, 12.5, 12.5]) + rng.normal(scale=0.5, size=(500, 3)),
+    ]).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, np.zeros_like(x))
+    cat = hf.find_halos(cfg, st)
+    assert cat.size >= 1
+    members = hf.halo_members(cfg, st, cat)
+    assert len(members) == cat.size
+    # the largest halo's member count matches its imass
+    i = int(np.argmax(cat["imass"]))
+    assert members[i][0].size == int(cat["imass"][i] / cfg.mass_p)
+    fn = hf.write_members(str(tmp_path), cfg, st, cat)
+    d = np.load(fn)
+    assert d["counts"].sum() == d["pids"].size
