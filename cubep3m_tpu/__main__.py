@@ -137,6 +137,10 @@ def cmd_massfunc(args):
     cfg, _ = load_config(args.config)
     cat = hf.read_catalog(args.catalog)
     mea = mf.measured_dndlnm(cfg, cat["halo_mass"])
+    if mea.m.size == 0:
+        print(f"no halos above the {20.0}-particle mass floor in "
+              f"{args.catalog}")
+        return
     rows = [mea.m, mea.dndlnm]
     hdr = "M[Msun/h]  measured"
     for kind in ("ps", "st", "tinker"):
