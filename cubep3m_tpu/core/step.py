@@ -88,8 +88,6 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     t_new) -> state.
     """
     cfg.validate()
-    if not cfg.ngp:
-        raise NotImplementedError("CIC fine deposit path not yet implemented")
     nf = cfg.nf_physical_node_dim
     nf_buf = cfg.nf_buf
     nc = cfg.nc_node_dim
@@ -162,8 +160,14 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         # (particle_mesh_threaded.f90:108-115, coarse_mass.f90:67-78)
         w = jnp.where(valid, jnp.float32(mass_p * (1.0 - fb)), 0.0)
 
-        # ---- fine level (NGP deposit, halo, FFT force, NGP kick) ----
-        rho = deposit.ngp_deposit(x, w, (nf, nf, nf), sorted_cells=True)
+        # ---- fine level (NGP/CIC deposit, halo, FFT force, kick) ----
+        if cfg.ngp:
+            rho = deposit.ngp_deposit(x, w, (nf, nf, nf), sorted_cells=True)
+        else:
+            # CIC fine build (the reference's non-NGP makefile variant)
+            rho = halo_mod.halo_fold(deposit.cic_deposit(
+                x, w, (nf + 2, nf + 2, nf + 2), scale=1.0, offset=-0.5,
+                pad=1), 1)
         if cfg.mhd:
             rho = rho + jnp.float32(fb) * gas_u[0]
         rho_halo = halo_mod.halo_pad(rho, nf_buf)
@@ -173,8 +177,12 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         else:
             f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf)
         fmax2_f = jnp.max(jnp.sum(f_fine * f_fine, axis=0))
-        fp = deposit.ngp_gather(
-            f_fine, x, flat_cells=jnp.clip(sp.cell, 0, ncells_fine - 1))
+        if cfg.ngp:
+            fp = deposit.ngp_gather(
+                f_fine, x, flat_cells=jnp.clip(sp.cell, 0, ncells_fine - 1))
+        else:
+            fp = deposit.cic_gather(halo_mod.halo_pad(f_fine, 1), x,
+                                    scale=1.0, offset=-0.5, pad=1)
         v = v + jnp.where(valid[:, None], fp * kick, 0.0)
 
         if cfg.mhd:
@@ -381,14 +389,24 @@ def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,
     x = state.x
     w = jnp.where(valid, jnp.float32(mass_p), 0.0)
 
-    rho = deposit.ngp_deposit(x, w, (nf, nf, nf))
+    if cfg.ngp:
+        rho = deposit.ngp_deposit(x, w, (nf, nf, nf))
+    else:
+        rho = fold_pads(deposit.cic_deposit(
+            x, w, (nf + 2, nf + 2, nf + 2), scale=1.0, offset=-0.5, pad=1),
+            1)
     rho_halo = jnp.pad(rho, cfg.nf_buf, mode="wrap")
     if cfg.fine_potential:
         f_fine = fftconv.fine_force_potential(rho_halo, kern_f_im,
                                               cfg.nf_buf, nf)
     else:
         f_fine = fftconv.fine_force(rho_halo, kern_f_im, cfg.nf_buf, nf)
-    force = deposit.ngp_gather(f_fine, x)
+    if cfg.ngp:
+        force = deposit.ngp_gather(f_fine, x)
+    else:
+        force = deposit.cic_gather(
+            jnp.pad(f_fine, ((0, 0), (1, 1), (1, 1), (1, 1)), mode="wrap"),
+            x, scale=1.0, offset=-0.5, pad=1)
 
     if cfg.pp:
         sp = binning.sort_by_cell(x, valid, nf)

@@ -269,7 +269,8 @@ def fit_coarse_matching_table(nf_cutoff: int, mesh_scale: int,
                               pp_ext: bool = False, pp_range: int = 2,
                               n_samples: int = 120_000,
                               seed: int = 20260816,
-                              use_cache: bool = True) -> np.ndarray:
+                              use_cache: bool = True,
+                              ngp: bool = True) -> np.ndarray:
     """Least-squares fit of the (3,4,4,4) inner coarse kernel table.
 
     Minimizes |F_fine(s) + F_coarse(s; theta) - F_exact(s)|^2 over random
@@ -278,7 +279,8 @@ def fit_coarse_matching_table(nf_cutoff: int, mesh_scale: int,
     unknown inner-kernel values theta.  This reproduces the role of the
     reference's precomputed `wfxyzc.2.ascii` without copying it.
     """
-    key = f"v{_MATCH_VERSION}-{nf_cutoff}-{mesh_scale}-{pp_ext}-{pp_range}-{n_samples}-{seed}"
+    key = (f"v{_MATCH_VERSION}-{nf_cutoff}-{mesh_scale}-{pp_ext}-"
+           f"{pp_range}-{n_samples}-{seed}-{ngp}")
     cache = os.path.join(_CACHE_DIR,
                          hashlib.sha1(key.encode()).hexdigest()[:16] + ".npy")
     if use_cache and os.path.exists(cache):
@@ -320,13 +322,26 @@ def fit_coarse_matching_table(nf_cutoff: int, mesh_scale: int,
     r3 = smag[:, None] ** 3
     f_exact = -sep / r3
 
-    # --- fine mesh force (NGP): kernel lookup at cell offset ------------
-    n_k = 2 * nf_cutoff + 4
+    # --- fine mesh force ---------------------------------------------
+    n_k = 2 * nf_cutoff + 8
     kf = fine_kernel_real(n_k, nf_cutoff, pp_ext, pp_range).astype(np.float64)
-    c1 = np.floor(p1).astype(np.int64)
-    c2 = np.floor(p2).astype(np.int64)
-    doff = (c1 - c2) % n_k
-    f_fine = kf[:, doff[:, 0], doff[:, 1], doff[:, 2]].T  # (S,3)
+    if ngp:
+        # NGP: mesh force = kernel at the cell offset
+        c1 = np.floor(p1).astype(np.int64)
+        c2 = np.floor(p2).astype(np.int64)
+        doff = (c1 - c2) % n_k
+        f_fine = kf[:, doff[:, 0], doff[:, 1], doff[:, 2]].T  # (S,3)
+    else:
+        # CIC build: deconvolved kernel convolved with the CIC-CIC pair
+        # response (cell centers at i+0.5: weights about x-0.5)
+        kf_im = np.stack([np.fft.fftn(kf[c]).imag for c in range(3)])
+        kf = np.stack([np.fft.ifftn(1j * cic_deconvolve(
+            kf_im.astype(np.float32))[c]).real for c in range(3)])
+        g1, w1 = _cic_cells_weights(p1, 1.0)
+        g2, w2 = _cic_cells_weights(p2, 1.0)
+        doff = (g1[:, :, None, :] - g2[:, None, :, :]) % n_k  # (S,8,8,3)
+        kvals = kf[:, doff[..., 0], doff[..., 1], doff[..., 2]]  # (3,S,8,8)
+        f_fine = np.einsum("si,sj,csij->sc", w1, w2, kvals)
 
     # --- coarse response -------------------------------------------------
     g_cells, g_w = _cic_cells_weights(p1, mesh_scale)   # gather at p1
@@ -416,6 +431,22 @@ def fit_coarse_matching_table(nf_cutoff: int, mesh_scale: int,
     return table
 
 
+def cic_deconvolve(kern_im: np.ndarray, kmax_frac: float = 0.9) -> np.ndarray:
+    """Divide a fine-kernel spectrum by the squared CIC window.
+
+    The S2-tapered exact kernel is NGP-optimal (mesh force = kernel at the
+    cell offset).  The CIC build smooths deposit+gather by W_cic^2 =
+    prod_c sinc^4(k_c/n); deconvolving restores the matched pair force
+    (standard PM practice; clipped near Nyquist to avoid noise blowup).
+    """
+    n = kern_im.shape[1]
+    k = wrapped_coords(n)
+    w1 = np.sinc(k / n) ** 2          # CIC window per axis (deposit+gather)
+    w1 = np.maximum(w1, np.sinc(kmax_frac / 2) ** 2 * 0.2)
+    inv = 1.0 / (w1[:, None, None] * w1[None, :, None] * w1[None, None, :])
+    return (kern_im * inv[None]).astype(np.float32)
+
+
 def potential_kernel_fourier(kern_f_im: np.ndarray) -> np.ndarray:
     """Project the 3-component force kernel onto a scalar potential kernel.
 
@@ -473,9 +504,13 @@ def build_kernels(cfg: SimConfig, use_cache: bool = True,
                              0.0).astype(jnp.float32)
 
         kern_f = _project(jnp.asarray(kern_f))
+    if not cfg.ngp:
+        import jax.numpy as jnp
+        kern_f = jnp.asarray(cic_deconvolve(np.asarray(kern_f))) \
+            if device else cic_deconvolve(kern_f)
     table = fit_coarse_matching_table(cfg.nf_cutoff, cfg.mesh_scale,
                                       cfg.pp_ext, cfg.pp_range,
-                                      use_cache=use_cache)
+                                      use_cache=use_cache, ngp=cfg.ngp)
     kern_c = coarse_kernel_fourier(cfg.nc_dim, cfg.mesh_scale, table,
                                    cfg.lrckcorr, nf_cutoff=cfg.nf_cutoff)
     return kern_f, kern_c

@@ -203,3 +203,29 @@ def test_two_body_circular_orbit():
     # (NGP force quantization perturbs it, but no secular blowup/collapse)
     assert seps.min() > 0.3 * r and seps.max() < 2.5 * r, \
         f"orbit unstable: sep range [{seps.min():.2f}, {seps.max():.2f}]"
+
+
+def test_cic_fine_build():
+    """The CIC fine-mesh build (the reference's non-NGP makefile variant)
+    produces pair forces at least as accurate as NGP."""
+    cfg = small_config(cosmo_expansion=False, ngp=False)
+    sim = Simulation(cfg, pp_band=16)
+    rng = np.random.default_rng(4)
+    nf = cfg.nf_physical_node_dim
+    errs = []
+    for _ in range(20):
+        r = rng.uniform(3.0, 10.0)
+        u = rng.normal(size=3)
+        u /= np.linalg.norm(u)
+        c = np.array([nf / 2.0] * 3) + rng.uniform(-1, 1, 3)
+        st = state_mod.pair_ic(cfg, c + u * r / 2, c - u * r / 2)
+        f = np.asarray(step_mod.compute_forces(cfg, st, sim.kern_f,
+                                               sim.kern_c))
+        fe = -cfg.mass_p * (u * r) / r ** 3
+        errs.append(np.linalg.norm(f[0] - fe) / np.linalg.norm(fe))
+        np.testing.assert_allclose(f[0], -f[1], atol=2e-4 * cfg.mass_p)
+    assert np.median(errs) < 0.2
+    # sweep runs end-to-end in CIC mode
+    st = state_mod.random_ic(cfg, seed=5, fraction=0.3)
+    st2 = sim.sweep(st, sim.kern_f, sim.kern_c, 1.0, 0.2, 1.0, 0.2, 0.2)
+    assert np.all(np.isfinite(np.asarray(st2.v)))
