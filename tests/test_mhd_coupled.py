@@ -51,3 +51,28 @@ def test_gas_feels_gravity(sim_mhd):
     shell = (r > 2) & (r < 8)
     vr = (gas[1] * dx + gas[2] * dy + gas[3] * dz) / np.maximum(r, 1e-3)
     assert vr[shell].mean() < 0  # infall
+
+
+@pytest.mark.skipif(len(__import__("jax").devices()) < 8,
+                    reason="needs 8 devices")
+def test_mhd_multidevice_runs_and_conserves():
+    """Coupled MHD on a 2^3 device mesh: gas halos exchange across devices
+    (comm_bufferupdate role), mass conserved."""
+    import numpy as np
+    from cubep3m_tpu.core import step as step_mod
+    from cubep3m_tpu import state as state_mod_
+    cfg = small_config(nodes_dim=2, tiles_node_dim=2, mhd=True,
+                       cosmo_expansion=True, z_i=50.0, gas_p_init=1e-6)
+    sim = Simulation(cfg, pp_band=16)
+    rng = np.random.default_rng(11)
+    nf = cfg.nf_physical_dim
+    x = rng.uniform(0, nf, (3000, 3)).astype(np.float32)
+    st = state_mod_.distribute_global(cfg, x, np.zeros_like(x))
+    st = step_mod.shard_state(st, sim.mesh)
+    gas_mass0 = float(np.asarray(st.gas_u)[0].sum())
+    for _ in range(2):
+        st, dec = sim.step(st)
+    gas = np.asarray(st.gas_u)
+    assert np.all(np.isfinite(gas))
+    assert abs(float(gas[0].sum()) - gas_mass0) / gas_mass0 < 1e-4
+    assert int(np.asarray(st.np_local).sum()) == 3000
