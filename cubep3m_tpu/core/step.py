@@ -11,7 +11,8 @@ numerical (see DESIGN.md):
 * 24-cell-deep particle ghost passes -> grid halo collectives + thin
   ownership exchange (parallel/halo.py, parallel/exchange.py);
 * FFTW-MPI slab transpose -> replicated coarse solve after all_gather
-  (the coarse mesh is 64x smaller than fine; pencil FFT is a later upgrade);
+  (default; the coarse mesh is 64x smaller than fine) or a distributed
+  all_to_all pencil FFT (cfg.coarse_pencil_fft);
 * per-thread scratch -> XLA-managed temporaries.
 
 Sweep order (reference `cubepm.f90:103-236` inner step):
