@@ -89,7 +89,9 @@ def find_peaks(rho: jnp.ndarray, cutoff: float):
                 r = jnp.roll(m, (dx, dy, dz), axis=(0, 1, 2))
                 neigh_max = r if neigh_max is None else jnp.maximum(
                     neigh_max, r)
-    is_peak = (m > neigh_max) & (m > cutoff)
+    # >= so tied plateau maxima both qualify (the exclusive growth
+    # consumes one and skips the other; strict > drops both)
+    is_peak = (m >= neigh_max) & (m > cutoff)
     idx = np.argwhere(np.asarray(is_peak))
     vals = np.asarray(m)[tuple(idx.T)]
     order = np.argsort(-vals)
@@ -118,15 +120,24 @@ def _para_interp(rho: np.ndarray, ijk: np.ndarray) -> np.ndarray:
 
 def find_halos(cfg: SimConfig, state: SimState,
                params: Optional[HalofindParams] = None) -> np.ndarray:
-    """Run the halofinder; returns a CATALOG_DTYPE structured array."""
+    """Run the halofinder; returns a CATALOG_DTYPE structured array.
+
+    params.refine > 1 searches on a refined density mesh
+    (halofind_finer_grid.f90 variant, `finer_halo_grid`): better peak
+    localization and tighter exclusive spheres for small halos.  All
+    catalog quantities stay in fine-cell/grid-mass units.
+    """
     p = params or HalofindParams()
     nf = cfg.nf_physical_dim
+    r = max(1, int(p.refine))
+    nf_r = nf * r
     x, v, pid = gather_global(cfg, state)
     shake = np.asarray(state.shake_offset)
     x = np.mod(x - shake[None, :], nf)
 
-    w = jnp.full((x.shape[0],), jnp.float32(cfg.mass_p))
-    rho_dev = ngp_deposit(jnp.asarray(x), w, (nf, nf, nf))
+    # mean density 1 on the (possibly refined) search mesh
+    w = jnp.full((x.shape[0],), jnp.float32(cfg.mass_p * r ** 3))
+    rho_dev = ngp_deposit(jnp.asarray(x) * r, w, (nf_r, nf_r, nf_r))
     peaks, peak_vals = find_peaks(rho_dev, p.den_peak_cutoff)
     rho = np.array(rho_dev)  # writable: growth zeroes consumed mass
 
@@ -134,8 +145,8 @@ def find_halos(cfg: SimConfig, state: SimState,
         return np.zeros(0, dtype=CATALOG_DTYPE)
 
     peak_pos = _para_interp(rho, peaks)
-    offsets, rdist = _shell_offsets(min(p.nc_halo_max, nf // 4))
-    min_mass = p.min_halo_particles * cfg.mass_p
+    offsets, rdist = _shell_offsets(min(p.nc_halo_max * r, nf_r // 4))
+    min_mass = p.min_halo_particles * cfg.mass_p * r ** 3
 
     # --- exclusive sphere growth (sequential over density-ranked peaks) ---
     # native C++ loop when available (cubep3m_tpu/native); numpy fallback
@@ -153,7 +164,7 @@ def find_halos(cfg: SimConfig, state: SimState,
             c = peaks[h]
             if rho[tuple(c)] <= 0:   # consumed by a previous halo
                 continue
-            cells = (c[None, :] + offsets) % nf
+            cells = (c[None, :] + offsets) % nf_r
             dens = rho[cells[:, 0], cells[:, 1], cells[:, 2]]
             csum = np.cumsum(dens)
             # mean overdensity = enclosed mass / consumed cell volume
@@ -175,6 +186,13 @@ def find_halos(cfg: SimConfig, state: SimState,
 
     if not halos:
         return np.zeros(0, dtype=CATALOG_DTYPE)
+
+    # refined-mesh units -> fine cells / grid mass
+    if r > 1:
+        peak_pos = peak_pos / r
+        peak_vals = peak_vals / r ** 3
+        halos = [(h, mass / r ** 3, radius / r) for (h, mass, radius)
+                 in halos]
 
     # --- per-halo particle statistics ---
     cat = np.zeros(len(halos), dtype=CATALOG_DTYPE)

@@ -141,3 +141,24 @@ def test_halo_members(tmp_path, cfg):
     fn = hf.write_members(str(tmp_path), cfg, st, cat)
     d = np.load(fn)
     assert d["counts"].sum() == d["pids"].size
+
+
+def test_halofinder_refined_grid(cfg):
+    """refine=2 (halofind_finer_grid variant): same clump found with
+    consistent mass/center in fine-cell units."""
+    rng = np.random.default_rng(16)
+    nf = cfg.nf_physical_node_dim
+    center = np.array([nf / 2.0 + 0.5] * 3)
+    x = np.vstack([rng.uniform(0, nf, (2000, 3)),
+                   center + rng.normal(scale=0.5, size=(600, 3))]
+                  ).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, np.zeros_like(x))
+    cat1 = hf.find_halos(cfg, st)
+    cat2 = hf.find_halos(cfg, st, hf.HalofindParams(refine=2))
+    assert cat2.size >= 1
+    m1 = cat1[np.argmax(cat1["halo_mass"])]
+    m2 = cat2[np.argmax(cat2["halo_mass"])]
+    assert np.linalg.norm(m2["peak_pos"] - center) < 1.0
+    # consistent mass scale between resolutions (exclusive SO differs some)
+    assert 0.4 < m2["halo_mass"] / m1["halo_mass"] < 2.5
+    assert 0.3 < m2["radius_calc"] / max(m1["radius_calc"], 1e-3) < 3.0
