@@ -57,6 +57,35 @@ def write_projections(outdir: str, cfg: SimConfig, state: SimState,
     return files
 
 
+def density_slice(cfg: SimConfig, state: SimState, axis: int = 2,
+                  index: int = 0, thickness: int = 4,
+                  remove_shake: bool = True) -> np.ndarray:
+    """2-D density slab of `thickness` cells at `index` along `axis`
+    (utils/dm_slice_sample & gas_slice_sample role)."""
+    import jax.numpy as jnp
+    nf = cfg.nf_physical_dim
+    x, _, _ = gather_global(cfg, state)
+    if remove_shake:
+        x = np.mod(x - np.asarray(state.shake_offset)[None, :], nf)
+    c = x[:, axis]
+    sel = (c >= index) & (c < index + thickness)
+    x = x[sel]
+    w = jnp.full((x.shape[0],), jnp.float32(cfg.mass_p))
+    rho = np.asarray(ngp_deposit(jnp.asarray(x), w, (nf, nf, nf)))
+    sl = [slice(None)] * 3
+    sl[axis] = slice(index, index + thickness)
+    return rho[tuple(sl)].sum(axis=axis)
+
+
+def gas_slice(cfg: SimConfig, state: SimState, field: int = 0,
+              axis: int = 2, index: int = 0) -> np.ndarray:
+    """One plane of a gas conserved field (gas_slice_sample role)."""
+    g = np.asarray(state.gas_u[field])
+    sl = [slice(None)] * 3
+    sl[axis] = index
+    return g[tuple(sl)]
+
+
 def to_pgm(plane: np.ndarray, path: str, log_scale: bool = True) -> None:
     """Render a projection plane as an 8-bit PGM image
     (utils/pgm_proj/pgm_proj.f90 role)."""

@@ -162,3 +162,13 @@ def test_halofinder_refined_grid(cfg):
     # consistent mass scale between resolutions (exclusive SO differs some)
     assert 0.4 < m2["halo_mass"] / m1["halo_mass"] < 2.5
     assert 0.3 < m2["radius_calc"] / max(m1["radius_calc"], 1e-3) < 3.0
+
+
+def test_density_slice(cfg):
+    st = state_mod.random_ic(cfg, seed=17)
+    sl = proj.density_slice(cfg, st, axis=2, index=4, thickness=4)
+    nf = cfg.nf_physical_dim
+    assert sl.shape == (nf, nf)
+    # slab mass ~ thickness/nf of the total
+    total = float(st.np_local[0]) * cfg.mass_p
+    assert abs(sl.sum() / total - 4.0 / nf) < 0.1
