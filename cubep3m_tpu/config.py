@@ -117,10 +117,14 @@ class SimConfig:
 
     # --- particle capacity ---
     density_buffer: float = 2.0  # max_np headroom factor (parameters.example)
-    pp_band: int = 32            # PPINT pair window in cell-sorted order:
-                                 # >= max same-fine-cell occupancy or pairs
-                                 # are dropped (counted in pp_overflow);
-                                 # dense z~0 cores want 64-128
+    pp_band: int = 32            # PPINT pair window in cell-sorted order;
+                                 # cells denser than band+1 fall through to
+                                 # the dense-tail pass (never dropped)
+    pp_dense_band: int = 512     # dense-tail pair window: max supported
+                                 # same-fine-cell occupancy - 1; beyond this
+                                 # pairs are dropped and counted
+    pp_dense_cap_frac: float = 0.25  # dense-tail buffer capacity as a
+                                     # fraction of max_np
     pp_cell_capacity: int = 32   # max particles per fine cell for pp bucketing
     pp_coarse_capacity: int = 256  # max particles per coarse cell (pp bucket)
 

@@ -57,7 +57,13 @@ def decide_dt_dev(cfg: SimConfig, a, dt_limits) -> Tuple:
         da1, da2 = expansion_dev(a, dt_e, c)
         da = da1 + da2
         ra = da / (a + da)
-        return jnp.where(ra > cfg.ra_max, dt_e * (cfg.ra_max / ra), dt_e)
+        fac = jnp.where(ra > cfg.ra_max, cfg.ra_max / ra, 1.0)
+        if cfg.restrict_da:
+            # da_max limit (timestep.f90 restrict_da branch; mirrors the
+            # host controller cosmology.dt_expansion_limit)
+            fac = jnp.minimum(fac, jnp.where(da > cfg.da_max,
+                                             cfg.da_max / da, 1.0))
+        return dt_e * fac
 
     dt_e = jax.lax.fori_loop(0, 10, shrink,
                              jnp.asarray(cfg.dt_max, jnp.float32))

@@ -38,6 +38,7 @@ class StepLog:
     wall_s: float
     pp_overflow: int = 0
     bucket_overflow: int = 0
+    clamp_count: int = 0
 
 
 class Simulation:
@@ -142,7 +143,8 @@ class Simulation:
                     "nts": l.nts, "a": l.a, "a_mid": l.a_mid, "dt": l.dt,
                     "limits": list(l.limits), "wall_s": l.wall_s,
                     "pp_overflow": l.pp_overflow,
-                    "bucket_overflow": l.bucket_overflow}) + "\n")
+                    "bucket_overflow": l.bucket_overflow,
+                    "clamp_count": l.clamp_count}) + "\n")
 
     def dt_limits(self, state: SimState) -> tuple:
         return (float(state.dt_f_acc), float(state.dt_pp_acc),
@@ -167,7 +169,8 @@ class Simulation:
             nts=int(state.nts), a=dec.a_new, a_mid=dec.a_mid, dt=dec.dt,
             limits=dec.limits, wall_s=wall,
             pp_overflow=int(state.pp_overflow),
-            bucket_overflow=int(state.bucket_overflow)))
+            bucket_overflow=int(state.bucket_overflow),
+            clamp_count=int(state.clamp_count)))
         if self.cfg.verbosity >= 2:
             l = self.logs[-1]
             print(f"sweep {l.nts}: a={l.a:.6f} dt={l.dt:.4f} "
@@ -233,29 +236,33 @@ class Simulation:
                      and not cfg.cosmo.chaplygin)
         steps_done = 0
         while steps_done < max_steps:
+            dec = None
+            size = 0
             if chunkable:
                 budget = min(self._steps_to_next_event(float(state.a)),
                              max_steps - steps_done)
                 size = next((s for s in self.CHUNK_SIZES if s <= budget), 0)
-                if size:
-                    t0 = time.time()
-                    state = self._get_chunk(size)(state, self.kern_f,
-                                                  self.kern_c)
-                    steps_done += size
-                    if cfg.verbosity >= 2:
-                        print(f"chunk x{size}: a={float(state.a):.6f} "
-                              f"wall={time.time() - t0:.3f}s "
-                              f"({(time.time() - t0) / size * 1e3:.1f} "
-                              f"ms/sweep)")
-                    continue
-            state, dec = self.step(state)
-            steps_done += 1
+            if size:
+                t0 = time.time()
+                state = self._get_chunk(size)(state, self.kern_f,
+                                              self.kern_c)
+                steps_done += size
+                if cfg.verbosity >= 2:
+                    print(f"chunk x{size}: a={float(state.a):.6f} "
+                          f"wall={time.time() - t0:.3f}s "
+                          f"({(time.time() - t0) / size * 1e3:.1f} "
+                          f"ms/sweep)")
+            else:
+                state, dec = self.step(state)
+                steps_done += 1
+            # wall-clock kill checkpoint applies to chunked stepping too
+            # (cubepm_kill.f90:231-258; long runs spend most steps chunked)
             if self.kill_time_s is not None and self.on_kill and (
                     time.time() - self._start_wall > self.kill_time_s):
                 for h in self.on_kill:
                     h(self, state, dec)
                 break
-            if dec.final_step or (cfg.cosmo_expansion
-                                  and float(state.a) >= 1.0):
+            if (dec is not None and dec.final_step) or (
+                    cfg.cosmo_expansion and float(state.a) >= 1.0):
                 break
         return state

@@ -69,8 +69,8 @@ def state_specs(mhd: bool = False) -> SimState:
         a=r, tau=r, t=r, dt_old=r, nts=r,
         dt_f_acc=r, dt_pp_acc=r, dt_pp_ext_acc=r, dt_c_acc=r,
         dt_gas_acc=r,
-        shake_offset=r, pp_overflow=r, bucket_overflow=r, rng=r,
-        gas_u=gas, gas_b=gas)
+        shake_offset=r, pp_overflow=r, bucket_overflow=r, clamp_count=r,
+        rng=r, gas_u=gas, gas_b=gas)
 
 
 def shard_state(state: SimState, mesh: Mesh) -> SimState:
@@ -146,7 +146,12 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                                              nf, max_buf)
         x, v, pid, valid = ex.x, ex.v, ex.pid, ex.valid
         # guard residual out-of-range coords (shake can exceed one node
-        # width only if nf is tiny; clamp defensively)
+        # width only if nf is tiny; clamp defensively but COUNT it — a
+        # nonzero clamp_count means a particle crossed more than one node
+        # width in a step, which the single-hop exchange cannot route)
+        out_of_range = valid & jnp.any((x < 0.0) | (x >= nf), axis=-1)
+        clamp_count = jax.lax.psum(
+            jnp.sum(out_of_range.astype(jnp.int32)), AXES)
         x = jnp.clip(x, 0.0, nf - 1e-4)
         np_local = jnp.sum(valid.astype(jnp.int32))
 
@@ -204,11 +209,18 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         dt_pp_acc = jnp.asarray(1000.0, jnp.float32)
         dt_pp_ext_acc = jnp.asarray(1000.0, jnp.float32)
         bucket_overflow = jnp.asarray(0, jnp.int32)
+        # DM-DM pair forces scale by the dark-matter mass fraction in MHD
+        # runs, like the mesh deposit weight (the reference applies the
+        # (1 - omega_b/omega_m) factor in both the PPINT and PP_EXT MHD
+        # branches of particle_mesh_threaded.f90)
+        mass_pp = mass_p * (1.0 - fb)
         if cfg.pp:
             # same-fine-cell pairs are always device-local (cells are
             # wholly owned), so no ghost layer is needed.
-            res = pp.ppint_band_force(x, sp.cell, sp.rank, ncells_fine,
-                                      pp_band, mass_p, cfg.rsoft, cfg.pp_bias)
+            dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
+            res = pp.ppint_force(x, sp.cell, sp.rank, ncells_fine,
+                                 pp_band, cfg.pp_dense_band, dense_cap,
+                                 mass_pp, cfg.rsoft, cfg.pp_bias)
             v = v + jnp.where(valid[:, None], res.force * kick, 0.0)
             fmax_pp = jax.lax.pmax(res.fmax, AXES)
             dt_pp_acc = (jnp.sqrt(cfg.dt_pp_scale * cfg.rsoft)
@@ -218,7 +230,7 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             buckets = pp.bucket_by_coarse_cell(x, valid, nc, ms,
                                                cfg.pp_coarse_capacity)
             res = pp.pp_ext_force(x, buckets, nc, ms, cfg.pp_range,
-                                  cfg.nf_cutoff, mass_p, cfg.rsoft,
+                                  cfg.nf_cutoff, mass_pp, cfg.rsoft,
                                   cfg.pp_bias)
             v = v + jnp.where(valid[:, None], res.force * kick, 0.0)
             fmax_ppe = jax.lax.pmax(res.fmax, AXES)
@@ -318,6 +330,7 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             shake_offset=shake_offset,
             pp_overflow=pp_overflow + exchange_overflow,
             bucket_overflow=bucket_overflow,
+            clamp_count=clamp_count,
             rng=rng,
             gas_u=gas_u, gas_b=gas_b,
         )
@@ -361,7 +374,8 @@ def make_chunked_sweep(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
                 st2,
                 pp_overflow=jnp.maximum(st2.pp_overflow, st.pp_overflow),
                 bucket_overflow=jnp.maximum(st2.bucket_overflow,
-                                            st.bucket_overflow))
+                                            st.bucket_overflow),
+                clamp_count=jnp.maximum(st2.clamp_count, st.clamp_count))
             return st2, dt
         state, _ = jax.lax.scan(body, state, None, length=chunk)
         return state
@@ -412,8 +426,10 @@ def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,
     if cfg.pp:
         sp = binning.sort_by_cell(x, valid, nf)
         inv = jnp.argsort(sp.order)
-        res = pp.ppint_band_force(x[sp.order], sp.cell, sp.rank, nf ** 3,
-                                  pp_band, mass_p, cfg.rsoft, cfg.pp_bias)
+        dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
+        res = pp.ppint_force(x[sp.order], sp.cell, sp.rank, nf ** 3,
+                             pp_band, cfg.pp_dense_band, dense_cap,
+                             mass_p, cfg.rsoft, cfg.pp_bias)
         force = force + res.force[inv]
     if cfg.pp_ext:
         buckets = pp.bucket_by_coarse_cell(x, valid, nc, ms,

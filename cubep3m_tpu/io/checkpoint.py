@@ -177,8 +177,16 @@ def read_reference_checkpoint(outdir: str, cfg: SimConfig, z: float,
         if cfg.pid and os.path.exists(fn_pid):
             with open(fn_pid, "rb") as f:
                 f.seek(_HEADER_DTYPE.itemsize)
-                pids[rank * cap:rank * cap + n] = np.frombuffer(
-                    f.read(n * 8), dtype="<i8").astype(np.int32)
+                pid8 = np.frombuffer(f.read(n * 8), dtype="<i8")
+            # reference PIDs are integer(8); SimState.pid is int32 (x64 is
+            # disabled on device) — refuse to wrap silently
+            if pid8.size and (pid8.max() > np.iinfo(np.int32).max
+                              or pid8.min() < np.iinfo(np.int32).min):
+                raise OverflowError(
+                    f"{fn_pid}: PIDs exceed int32 range "
+                    f"(max {pid8.max()}); >2^31 particle runs are not "
+                    f"representable in SimState.pid")
+            pids[rank * cap:rank * cap + n] = pid8.astype(np.int32)
         else:
             pids[rank * cap:rank * cap + n] = np.arange(1, n + 1)
     from ..state import _default_gas
@@ -195,6 +203,7 @@ def read_reference_checkpoint(outdir: str, cfg: SimConfig, z: float,
         shake_offset=jnp.zeros(3, jnp.float32),
         pp_overflow=jnp.asarray(0, jnp.int32),
         bucket_overflow=jnp.asarray(0, jnp.int32),
+        clamp_count=jnp.asarray(0, jnp.int32),
         rng=jax.random.PRNGKey(int(hdr["nts"])),
         gas_u=_dg[0], gas_b=_dg[1],
     )

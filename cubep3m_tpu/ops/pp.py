@@ -11,8 +11,13 @@ Two TPU-native strategies:
   fine-cell key (ops/binning.py), so same-cell partners are contiguous.  We
   sweep a static band of width `band` over the sorted array — a fully
   vectorized shifted-difference loop with no materialized pair matrices.
-  Overflow (cell occupancy > band+1) is counted and surfaced, mirroring the
-  reference's `max_llf` guard (`particle_mesh_threaded.f90:280-284`).
+  Cells denser than the band (z~0 halo cores) are handled by a second
+  *dense-tail* pass (`ppint_dense_tail`): their particles are compacted
+  into a fixed-capacity buffer and swept with offsets band+1..dense_band,
+  so no pair is ever dropped up to `dense_band` occupancy — the reference
+  never drops pairs either (it sizes `max_llf` and aborts,
+  `particle_mesh_threaded.f90:280-284`).  Residual overflow (occupancy >
+  dense_band+1, or the dense buffer filling up) is counted and surfaced.
 
 * **PP_EXT** (pairs in distinct fine cells within `pp_range`): fixed-capacity
   buckets per coarse cell; each bucket interacts with its 3^3 coarse-cell
@@ -48,13 +53,13 @@ def _pair_force(sep: jnp.ndarray, rmag: jnp.ndarray, ok: jnp.ndarray,
     return jnp.where(ok[..., None], (mass_p / r3)[..., None] * sep, 0.0)
 
 
-def ppint_band_force(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
-                     ncells: int, band: int, mass_p: float, rsoft: float,
-                     pp_bias: float) -> PPResult:
-    """Same-fine-cell pair forces over a cell-sorted particle array.
+def _band_pass(pos: jnp.ndarray, cell: jnp.ndarray, lo: int, hi: int,
+               mass_p: float, rsoft: float, pp_bias: float) -> jnp.ndarray:
+    """Same-cell pair forces for sorted-order offsets d in [lo, hi].
 
-    pos: (N,3) sorted by `cell`; cell: (N,) sorted flat keys in [0, ncells)
-    (padding slots carry key >= ncells and never pair); rank: in-cell rank.
+    pos: (N,3) sorted by `cell`; cell: (N,) sorted keys (padding/sentinel
+    slots must either carry unique keys or coincide in position so r <=
+    rsoft excludes them).  Returns (N,3) accumulated force.
 
     Implemented as a fori_loop over band offsets on structure-of-arrays
     (three (N,) lanes) with padded Newton-3rd-law accumulators: bounded
@@ -62,12 +67,11 @@ def ppint_band_force(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
     alive and OOMed at production sizes).
     """
     n = pos.shape[0]
-    real = cell < ncells
-    # SoA lanes, padded by `band` with an unmatchable sentinel cell
-    px = jnp.concatenate([pos[:, 0], jnp.zeros(band, pos.dtype)])
-    py = jnp.concatenate([pos[:, 1], jnp.zeros(band, pos.dtype)])
-    pz = jnp.concatenate([pos[:, 2], jnp.zeros(band, pos.dtype)])
-    cl = jnp.concatenate([cell, jnp.full((band,), ncells + 1, cell.dtype)])
+    # SoA lanes, padded by `hi` with an unmatchable sentinel cell
+    px = jnp.concatenate([pos[:, 0], jnp.zeros(hi, pos.dtype)])
+    py = jnp.concatenate([pos[:, 1], jnp.zeros(hi, pos.dtype)])
+    pz = jnp.concatenate([pos[:, 2], jnp.zeros(hi, pos.dtype)])
+    cl = jnp.concatenate([cell, jnp.full((hi,), -1, cell.dtype)])
     rsoft2 = rsoft * rsoft
     bias3 = pp_bias ** 3
 
@@ -100,13 +104,96 @@ def ppint_band_force(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
         return fxm, fym, fzm, fxp, fyp, fzp
 
     zero_n = jnp.zeros((n,), pos.dtype)
-    zero_p = jnp.zeros((n + band,), pos.dtype)
+    zero_p = jnp.zeros((n + hi,), pos.dtype)
     fxm, fym, fzm, fxp, fyp, fzp = jax.lax.fori_loop(
-        1, band + 1, body, (zero_n, zero_n, zero_n, zero_p, zero_p, zero_p))
-    force = jnp.stack([fxp[:n] - fxm, fyp[:n] - fym, fzp[:n] - fzm], axis=-1)
+        lo, hi + 1, body, (zero_n, zero_n, zero_n, zero_p, zero_p, zero_p))
+    return jnp.stack([fxp[:n] - fxm, fyp[:n] - fym, fzp[:n] - fzm], axis=-1)
+
+
+def cell_occupancy(cell: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
+    """Per-particle occupancy of its own cell, from sorted keys + ranks
+    (backward min-scan finds each cell run's end index)."""
+    n = cell.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    endb = jnp.concatenate([cell[:-1] != cell[1:],
+                            jnp.ones((1,), bool)])
+    end = jnp.flip(jax.lax.associative_scan(
+        jnp.minimum, jnp.flip(jnp.where(endb, idx, n - 1))))
+    return end - (idx - rank) + 1
+
+
+def ppint_band_force(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
+                     ncells: int, band: int, mass_p: float, rsoft: float,
+                     pp_bias: float) -> PPResult:
+    """Same-fine-cell pair forces over a cell-sorted particle array,
+    covering pair offsets 1..band (cells denser than band+1 need
+    `ppint_dense_tail` for the rest; overflow here counts the particles
+    whose pairs the band alone would miss)."""
+    real = cell < ncells
+    force = _band_pass(pos, cell, 1, band, mass_p, rsoft, pp_bias)
     fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=-1)))
     overflow = jnp.sum(((rank > band) & real).astype(jnp.int32))
     return PPResult(force=force, fmax=fmax, overflow=overflow)
+
+
+def ppint_dense_tail(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
+                     occ: jnp.ndarray, ncells: int, band: int,
+                     dense_band: int, cap: int, mass_p: float, rsoft: float,
+                     pp_bias: float) -> PPResult:
+    """The pairs the band pass missed: same-cell pairs at sorted-order
+    offset > band.
+
+    Particles in cells with occupancy > band+1 are compacted (whole cells,
+    order preserved) into a fixed `cap`-slot buffer; a second band pass with
+    offsets band+1..dense_band runs there.  Overflow counts particles whose
+    pairs are STILL incomplete: dense particles beyond `cap`, or occupancy
+    beyond dense_band+1.  Skipped entirely (lax.cond) while no dense cells
+    exist — the common case until halos collapse.
+    """
+    n = pos.shape[0]
+    dense = (cell < ncells) & (occ > band + 1)
+    n_dense = jnp.sum(dense.astype(jnp.int32))
+
+    def run(_):
+        idx = jnp.nonzero(dense, size=cap, fill_value=n)[0]
+        pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)])
+        # fill slots share one sentinel key but coincide at the origin, so
+        # r <= rsoft excludes their mutual "pairs"
+        cell_pad = jnp.concatenate(
+            [cell, jnp.full((1,), ncells + 1, cell.dtype)])
+        cpos = pos_pad[idx]
+        ccell = cell_pad[idx]
+        fc = _band_pass(cpos, ccell, band + 1, dense_band, mass_p, rsoft,
+                        pp_bias)
+        fc = jnp.where((idx < n)[:, None], fc, 0.0)
+        return jnp.zeros((n, 3), pos.dtype).at[jnp.clip(idx, 0, n - 1)].add(
+            fc)
+
+    force = jax.lax.cond(n_dense > 0, run,
+                         lambda _: jnp.zeros((n, 3), pos.dtype), None)
+    fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=-1)))
+    overflow = (jnp.maximum(n_dense - cap, 0)
+                + jnp.sum(((rank > dense_band) & (cell < ncells))
+                          .astype(jnp.int32)))
+    return PPResult(force=force, fmax=fmax, overflow=overflow)
+
+
+def ppint_force(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
+                ncells: int, band: int, dense_band: int, dense_cap: int,
+                mass_p: float, rsoft: float, pp_bias: float) -> PPResult:
+    """Complete PPINT force: band pass + dense tail.  Overflow counts only
+    pairs genuinely dropped (occupancy > dense_band+1 or dense buffer
+    exhausted)."""
+    res = ppint_band_force(pos, cell, rank, ncells, band, mass_p, rsoft,
+                           pp_bias)
+    if dense_band <= band:
+        return res
+    occ = cell_occupancy(cell, rank)
+    tail = ppint_dense_tail(pos, cell, rank, occ, ncells, band, dense_band,
+                            dense_cap, mass_p, rsoft, pp_bias)
+    force = res.force + tail.force
+    fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=-1)))
+    return PPResult(force=force, fmax=fmax, overflow=tail.overflow)
 
 
 # ----------------------------------------------------------------------

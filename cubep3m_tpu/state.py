@@ -50,6 +50,10 @@ class SimState:
     # overflow diagnostics (reference aborts; we count and surface)
     pp_overflow: jnp.ndarray   # () int32
     bucket_overflow: jnp.ndarray  # () int32
+    clamp_count: jnp.ndarray   # () int32: particles position-clamped after
+                               # the ownership exchange (should stay 0; a
+                               # nonzero count means a particle moved more
+                               # than one node width in a step)
 
     # RNG for the mesh shake
     rng: jnp.ndarray           # PRNG key
@@ -95,6 +99,7 @@ def _base_state(cfg: SimConfig, x: np.ndarray, v: np.ndarray,
         shake_offset=jnp.zeros(3, jnp.float32),
         pp_overflow=jnp.asarray(0, jnp.int32),
         bucket_overflow=jnp.asarray(0, jnp.int32),
+        clamp_count=jnp.asarray(0, jnp.int32),
         rng=jax.random.PRNGKey(seed),
         gas_u=_default_gas(cfg)[0], gas_b=_default_gas(cfg)[1],
     )
@@ -221,6 +226,7 @@ def distribute_global(cfg: SimConfig, x_global: np.ndarray,
         shake_offset=jnp.zeros(3, jnp.float32),
         pp_overflow=jnp.asarray(0, jnp.int32),
         bucket_overflow=jnp.asarray(0, jnp.int32),
+        clamp_count=jnp.asarray(0, jnp.int32),
         rng=jax.random.PRNGKey(seed),
         gas_u=_default_gas(cfg)[0], gas_b=_default_gas(cfg)[1],
     )

@@ -77,3 +77,28 @@ def test_step_log_written(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert len(lines) == 3
     assert lines[0]["nts"] == 1 and "limits" in lines[0]
+
+
+def test_clamp_counter_surfaces_multihop_particles():
+    """A particle moving more than one node width in a step is clamped AND
+    counted (core/step.py clamp_count) — never silently pinned."""
+    import jax.numpy as jnp
+    from cubep3m_tpu.core import step as step_mod
+
+    cfg = small_config(pp=False, cosmo_expansion=False, shake=False)
+    sim = Simulation(cfg)
+    nf = cfg.nf_physical_node_dim
+    x = np.array([[nf / 2.0] * 3, [nf / 4.0] * 3], np.float32)
+    v = np.zeros_like(x)
+    v[0, 0] = 5.0 * nf  # drift = v*(dt+dt_old)/2 = 2.5 node widths at dt=1
+    st = state_mod.particles_ic(cfg, x, v)
+    st = step_mod.shard_state(st, sim.mesh)
+    st2 = sim.sweep(st, sim.kern_f, sim.kern_c, jnp.float32(1.0),
+                    jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+                    jnp.float32(1.0))
+    assert int(st2.clamp_count) == 1
+    # and a benign step counts zero
+    st3 = sim.sweep(st, sim.kern_f, sim.kern_c, jnp.float32(1.0),
+                    jnp.float32(0.0), jnp.float32(1.0), jnp.float32(1.0),
+                    jnp.float32(1.0))
+    assert int(st3.clamp_count) == 0

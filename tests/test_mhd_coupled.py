@@ -76,3 +76,34 @@ def test_mhd_multidevice_runs_and_conserves():
     assert np.all(np.isfinite(gas))
     assert abs(float(gas[0].sum()) - gas_mass0) / gas_mass0 < 1e-4
     assert int(np.asarray(st.np_local).sum()) == 3000
+
+
+def test_mhd_pp_force_scaled_by_dm_fraction():
+    """In MHD runs the DM-DM short-range pair force carries the
+    (1 - omega_b/omega_m) mass fraction, like the mesh deposit weight
+    (reference particle_mesh_threaded.f90 MHD PPINT branch)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cubep3m_tpu import state as state_mod
+    from cubep3m_tpu.core import step as step_mod
+    from cubep3m_tpu.core.driver import Simulation
+
+    kick = {}
+    for mhd in (False, True):
+        cfg = small_config(mhd=mhd, cosmo_expansion=False, shake=False,
+                           pp=True)
+        sim = Simulation(cfg)
+        nf = cfg.nf_physical_node_dim
+        # same-cell pair: force is pure PPINT (mesh contribution of a
+        # sub-cell pair is negligible by comparison at this separation)
+        x1 = np.array([nf / 2 + 0.2] * 3, np.float32)
+        x2 = np.array([nf / 2 + 0.7] * 3, np.float32)
+        st = state_mod.pair_ic(cfg, x1, x2)
+        st = step_mod.shard_state(st, sim.mesh)
+        st2 = sim.sweep(st, sim.kern_f, sim.kern_c, jnp.float32(1.0),
+                        jnp.float32(1e-3), jnp.float32(1.0),
+                        jnp.float32(1e-3), jnp.float32(1e-3))
+        kick[mhd] = np.asarray(st2.v[0])
+    fb = 0.04 / 0.24  # small_config default cosmology omega_b/omega_m
+    ratio = np.linalg.norm(kick[True]) / np.linalg.norm(kick[False])
+    np.testing.assert_allclose(ratio, 1.0 - fb, rtol=0.05)
