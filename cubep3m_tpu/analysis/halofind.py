@@ -4,8 +4,11 @@ Replaces `source_threads/halofind.f90` (+`initialize_halofind` :795-864 and
 the offline `utils/halofinder/halofind.f90`): density peaks above
 `den_peak_cutoff` grown over radially-sorted shells until the enclosed mean
 overdensity drops below `halo_odc` (exclusive mass assignment — consumed
-cells are zeroed), then per-halo particle statistics (center of mass, bulk
-velocity, angular momentum, velocity dispersion, inertia tensor).
+cells are zeroed), TIS-model mass rescaling for overdensity overshoot
+(halofind.f90:718-730, table regenerated in tis_mass_overdensity_table),
+then per-halo particle statistics (center of mass, bulk velocity, angular
+momentum, velocity dispersion, inertia tensor, 50 most-bound PIDs by
+E = v^2/2 - G M/r) gathered via cell-sorted range queries.
 
 TPU split: density + local-maxima + parabolic peak interpolation run on
 device (maxpool-style reductions); the sphere growth is inherently
@@ -39,13 +42,16 @@ _CATALOG_FIELDS = [
     ("l_cm", "<f4", (3,)),         # specific angular momentum about CM
     ("v2_wrt_halo", "<f4", (3,)),  # velocity dispersion components
     ("radius_calc", "<f4"),        # SO radius [cells]
-    ("halo_mass", "<f4"),          # grid mass within SO radius (odc mass)
+    ("halo_mass", "<f4"),          # TIS-rescaled SO mass (halofind.f90:725)
     ("imass", "<f4"),              # particle-counted mass
+    ("halo_mass1", "<f4"),         # raw grid mass within the SO radius
+                                   # (the reference's unrescaled amtot)
     ("halo_mass_pk", "<f4"),       # mass at the peak cell
     ("var_x", "<f4", (3,)),        # position variance
     ("i_ij", "<f4", (6,)),         # inertia tensor (xx,yy,zz,xy,xz,yz)
-    ("pid_bound", "<i4", (10,)),   # most-bound member PIDs (halofind.f90
-                                   # PID variant stores 50; we keep 10)
+    ("pid_bound", "<i4", (50,)),   # 50 most-bound member PIDs, by
+                                   # E = v^2/2 - G M/r like the reference
+                                   # (halofind.f90:473,495-516)
 ]
 CATALOG_DTYPE = np.dtype(_CATALOG_FIELDS)
 
@@ -58,6 +64,95 @@ class HalofindParams:
     mass_cut: float = 160.0        # write cut (halofind.f90:528)
     nc_halo_max: int = 64          # max SO radius in cells
     refine: int = 1                # density-mesh refinement (finer-grid var.)
+    tis_rescale: bool = True       # TIS M(Delta) mass correction
+    n_bound: int = 50              # most-bound PIDs stored (N_p)
+
+
+_TIS_TABLE = None
+
+
+def tis_mass_overdensity_table(n: int = 20000, zeta_max: float = 200.0
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """(mean_overdensity, dimensionless_mass) curve of the TIS + 1/r^2 halo
+    model, regenerated from the published analytic fit (NOT copied from the
+    reference's table_M_Delta.dat, halofind.f90:846-861).
+
+    Truncated isothermal sphere (Shapiro, Iliev & Raga 1999 eq. 12):
+      rho(z)/rho0 = A/(a^2+z^2) - B/(b^2+z^2),
+      A=21.38, a^2=9.08, B=19.81, b^2=14.62, truncation z_t=29.4,
+      central density rho0 = 1.8e4 * rho_mean;
+    extended beyond z_t as rho ~ 1/r^2 (the '+1/r^2' part).
+    Enclosed dimensionless mass m(z) = int_0^z (rho/rho0) z'^2 dz' has a
+    closed form; mean enclosed overdensity Delta(z) = 1.8e4 * 3 m / z^3.
+    Cross-checks: Delta(z_t) = 129 (the known TIS mean overdensity ~130)
+    and m(Delta=178) = 53.9 (the reference's halo_nondim_mass=53.92,
+    cubepm.par:112).
+    """
+    global _TIS_TABLE
+    if _TIS_TABLE is not None:
+        return _TIS_TABLE
+    A, a2, B, b2, zt = 21.38, 9.08, 19.81, 14.62, 29.4
+    a, b = np.sqrt(a2), np.sqrt(b2)
+    z = np.linspace(zeta_max / n, zeta_max, n)
+
+    def m_fit(zz):
+        return (A * (zz - a * np.arctan(zz / a))
+                - B * (zz - b * np.arctan(zz / b)))
+
+    rho_t = A / (a2 + zt ** 2) - B / (b2 + zt ** 2)
+    m = np.where(z <= zt, m_fit(z), m_fit(zt) + rho_t * zt ** 2 * (z - zt))
+    delta = 1.8e4 * 3.0 * m / z ** 3
+    _TIS_TABLE = (delta, m)
+    return _TIS_TABLE
+
+
+def tis_rescale_mass(mass: np.ndarray, actual_odc: np.ndarray,
+                     target_odc: float) -> np.ndarray:
+    """Correct SO masses for overdensity overshoot through the TIS model
+    (halofind.f90:718-730): the growth stops at mean overdensity
+    `actual_odc` >= `target_odc`; scale the enclosed mass to the target
+    isodensity radius along the TIS m(Delta) curve:
+      m_corrected = m_measured * m_tis(target) / m_tis(actual).
+    Halos whose actual overdensity falls outside the tabulated curve are
+    left unrescaled (the reference skips them when no table crossing is
+    found)."""
+    delta, m = tis_mass_overdensity_table()
+    # delta is decreasing in radius; np.interp needs increasing x
+    m_of = lambda d: np.interp(-np.asarray(d), -delta, m)
+    ok = (actual_odc <= delta[0]) & (actual_odc >= delta[-1])
+    scale = np.where(ok, m_of(target_odc) / m_of(actual_odc), 1.0)
+    return mass * scale
+
+
+def _multi_range_gather(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Concatenate arange(s, e) for every (s, e) pair, vectorized."""
+    lens = ends - starts
+    sel = lens > 0
+    starts, lens = starts[sel], lens[sel]
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    out = np.ones(total, np.int64)
+    heads = np.zeros(lens.size, np.int64)
+    heads[1:] = np.cumsum(lens)[:-1]
+    out[heads] = starts
+    out[heads[1:]] -= starts[:-1] + lens[:-1] - 1
+    return np.cumsum(out)
+
+
+def _sphere_cell_offsets(ri: int, _cache={}) -> np.ndarray:
+    """Integer cell offsets whose cube intersects a radius-(ri+1) sphere
+    centered anywhere in the middle cell (cached per radius)."""
+    if ri in _cache:
+        return _cache[ri]
+    g = np.arange(-ri - 1, ri + 2)
+    ox, oy, oz = np.meshgrid(g, g, g, indexing="ij")
+    off = np.stack([ox.ravel(), oy.ravel(), oz.ravel()], 1)
+    # min distance from the center cell to each offset cell's cube
+    d = np.maximum(np.abs(off) - 1.0, 0.0)
+    keep = (d ** 2).sum(1) <= (ri + 1) ** 2
+    _cache[ri] = off[keep].astype(np.int64)
+    return _cache[ri]
 
 
 def _shell_offsets(rmax: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -155,9 +250,9 @@ def find_halos(cfg: SimConfig, state: SimState,
                                 p.halo_odc, min_mass)
     halos = []
     if res is not None:
-        rho, mass_arr, radius_arr, kept = res
-        halos = [(h, float(mass_arr[h]), float(radius_arr[h]))
-                 for h in np.where(kept)[0]]
+        rho, mass_arr, radius_arr, kept, ncells_arr = res
+        halos = [(h, float(mass_arr[h]), float(radius_arr[h]),
+                  int(ncells_arr[h])) for h in np.where(kept)[0]]
     else:
         odc = p.halo_odc
         for h in range(peaks.shape[0]):
@@ -182,7 +277,7 @@ def find_halos(cfg: SimConfig, state: SimState,
                 continue
             used = cells[:stop]
             rho[used[:, 0], used[:, 1], used[:, 2]] = 0.0
-            halos.append((h, mass, radius))
+            halos.append((h, mass, radius, stop))
 
     if not halos:
         return np.zeros(0, dtype=CATALOG_DTYPE)
@@ -191,66 +286,84 @@ def find_halos(cfg: SimConfig, state: SimState,
     if r > 1:
         peak_pos = peak_pos / r
         peak_vals = peak_vals / r ** 3
-        halos = [(h, mass / r ** 3, radius / r) for (h, mass, radius)
-                 in halos]
+        halos = [(h, mass / r ** 3, radius / r, nc)
+                 for (h, mass, radius, nc) in halos]
 
-    # --- per-halo particle statistics ---
+    # --- TIS mass rescaling (halofind.f90:718-730) -----------------------
+    mass_raw = np.array([m for (_, m, _, _) in halos])
+    if p.tis_rescale:
+        # actual mean overdensity of the consumed cells, in refined units
+        # (cell volume 1/r^3 of a fine cell; mass already in fine units)
+        actual_odc = (mass_raw * r ** 3
+                      / np.maximum([nc for (_, _, _, nc) in halos], 1))
+        mass_cor = tis_rescale_mass(mass_raw, actual_odc, p.halo_odc)
+    else:
+        mass_cor = mass_raw
+
+    # --- per-halo particle statistics (cell-sorted range queries) --------
+    # The reference walks its linked list over the cells around each peak
+    # (halofind.f90:423-520); we sort particles by fine cell once and
+    # gather each halo's candidates with searchsorted range queries —
+    # O(N log N + sum over halos of candidate counts), never O(N) per halo.
+    from ..config import G
     cat = np.zeros(len(halos), dtype=CATALOG_DTYPE)
-    # cell index for particle lookup
-    cell = (np.floor(x[:, 0]) * nf + np.floor(x[:, 1])) * nf + np.floor(
-        x[:, 2])
+    cell = ((np.floor(x[:, 0]).astype(np.int64) * nf
+             + np.floor(x[:, 1]).astype(np.int64)) * nf
+            + np.floor(x[:, 2]).astype(np.int64))
     order = np.argsort(cell)
-    cell_sorted = cell[order]
+    cell_s = cell[order]
+    x_s, v_s, pid_s = x[order], v[order], pid[order]
 
-    for i, (h, mass, radius) in enumerate(halos):
+    for i, (h, _, radius, _) in enumerate(halos):
         cpos = peak_pos[h]
-        r_i = int(np.ceil(radius))
-        # candidate particles from the bounding box of cells
-        g = np.arange(-r_i - 1, r_i + 2)
-        bx = (np.floor(cpos[0]).astype(int) + g) % nf
-        cand = []
-        for xx in bx:
-            lo = (xx * nf + (np.floor(cpos[1]).astype(int) - r_i - 1) % nf)
-            # fall back to radius query over all cells in the box
-        # simpler: brute-force distance on a pre-filtered slab
-        dx = x - cpos[None, :]
-        dx -= nf * np.round(dx / nf)
-        r2 = (dx ** 2).sum(1)
-        sel = r2 < radius ** 2
-        n_in = int(sel.sum())
+        mass = float(mass_cor[i])
         entry = cat[i]
         entry["peak_pos"] = cpos
         entry["radius_calc"] = radius
         entry["halo_mass"] = mass
+        entry["halo_mass1"] = mass_raw[i]
         entry["halo_mass_pk"] = peak_vals[h]
+
+        c0 = np.floor(cpos).astype(np.int64)
+        off = _sphere_cell_offsets(int(np.ceil(radius)))
+        cc = (c0[None, :] + off) % nf
+        cids = (cc[:, 0] * nf + cc[:, 1]) * nf + cc[:, 2]
+        starts = np.searchsorted(cell_s, cids, side="left")
+        ends = np.searchsorted(cell_s, cids, side="right")
+        idx = _multi_range_gather(starts, ends)
+        dx = x_s[idx] - cpos[None, :]
+        dx -= nf * np.round(dx / nf)
+        r2 = (dx ** 2).sum(1)
+        sel = r2 < radius ** 2
+        n_in = int(sel.sum())
         entry["imass"] = n_in * cfg.mass_p
-        if n_in > 0:
-            xs = x[sel]
-            vs = v[sel]
-            dxs = dx[sel]
-            # most-bound proxy: smallest kinetic energy wrt the halo frame
-            # + deepest in the potential well (closest to center)
-            vrel2 = ((vs - vs.mean(0)) ** 2).sum(1)
-            r_in = np.sqrt((dxs ** 2).sum(1))
-            score = vrel2 + r_in  # simple binding proxy (report in docs)
-            bound_order = np.argsort(score)[:10]
-            pb = pid[sel][bound_order]
-            entry["pid_bound"][: pb.size] = pb
-            xm = cpos + dxs.mean(0)
-            vm = vs.mean(0)
-            entry["x_mean"] = np.mod(xm, nf)
-            entry["v_mean"] = vm
-            dxc = dxs - dxs.mean(0)
-            dvc = vs - vm
-            entry["l_cm"] = np.cross(dxc, dvc).mean(0)
-            entry["v2_wrt_halo"] = (dvc ** 2).mean(0)
-            entry["var_x"] = dxc.var(0)
-            entry["i_ij"] = np.array([
-                (dxc[:, 0] ** 2).mean(), (dxc[:, 1] ** 2).mean(),
-                (dxc[:, 2] ** 2).mean(),
-                (dxc[:, 0] * dxc[:, 1]).mean(),
-                (dxc[:, 0] * dxc[:, 2]).mean(),
-                (dxc[:, 1] * dxc[:, 2]).mean()])
+        if n_in == 0:
+            continue
+        dxs = dx[sel]
+        vs = v_s[idx[sel]]
+        xm = cpos + dxs.mean(0)
+        vm = vs.mean(0)
+        entry["x_mean"] = np.mod(xm, nf)
+        entry["v_mean"] = vm
+        dxc = dxs - dxs.mean(0)
+        dvc = vs - vm
+        entry["l_cm"] = np.cross(dxc, dvc).mean(0)
+        entry["v2_wrt_halo"] = (dvc ** 2).mean(0)
+        entry["var_x"] = dxc.var(0)
+        entry["i_ij"] = np.array([
+            (dxc[:, 0] ** 2).mean(), (dxc[:, 1] ** 2).mean(),
+            (dxc[:, 2] ** 2).mean(),
+            (dxc[:, 0] * dxc[:, 1]).mean(),
+            (dxc[:, 0] * dxc[:, 2]).mean(),
+            (dxc[:, 1] * dxc[:, 2]).mean()])
+        # most-bound members by E = v^2/2 - G M / r in the halo frame
+        # (halofind.f90:473: point-mass potential from the SO mass)
+        dist = np.maximum(np.sqrt((dxc ** 2).sum(1)), 1e-4)
+        e_bind = 0.5 * (dvc ** 2).sum(1) - mass * G / dist
+        nb = min(p.n_bound, n_in, entry["pid_bound"].size)
+        part = np.argpartition(e_bind, nb - 1)[:nb]
+        part = part[np.argsort(e_bind[part])]
+        entry["pid_bound"][:nb] = pid_s[idx[sel]][part]
     # apply the reference write cut
     cat = cat[cat["halo_mass"] > 0]
     return cat

@@ -58,7 +58,7 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.c_float, ctypes.c_float,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
     ]
     lib.grow_halos.restype = None
     _LIB = lib
@@ -69,7 +69,7 @@ def grow_halos(rho: np.ndarray, peaks: np.ndarray, offsets: np.ndarray,
                rdist: np.ndarray, odc: float, min_mass: float):
     """Run the native growth loop; modifies rho in place.
 
-    Returns (mass, radius, kept) arrays, or None if the library is
+    Returns (mass, radius, kept, ncells) arrays, or None if the library is
     unavailable (caller falls back to numpy).
     """
     lib = load()
@@ -83,6 +83,7 @@ def grow_halos(rho: np.ndarray, peaks: np.ndarray, offsets: np.ndarray,
     mass = np.zeros(npeaks, np.float32)
     radius = np.zeros(npeaks, np.float32)
     kept = np.zeros(npeaks, np.int32)
+    ncells = np.zeros(npeaks, np.int64)
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int64)
     lib.grow_halos(
@@ -92,5 +93,6 @@ def grow_halos(rho: np.ndarray, peaks: np.ndarray, offsets: np.ndarray,
         ctypes.c_int64(offsets.shape[0]),
         ctypes.c_float(odc), ctypes.c_float(min_mass),
         mass.ctypes.data_as(fp), radius.ctypes.data_as(fp),
-        kept.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-    return rho, mass, radius, kept.astype(bool)
+        kept.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ncells.ctypes.data_as(ip))
+    return rho, mass, radius, kept.astype(bool), ncells

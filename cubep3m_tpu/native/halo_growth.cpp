@@ -21,7 +21,8 @@ void grow_halos(float* rho, int64_t nf,
                 const int64_t* peaks, int64_t npeaks,
                 const int64_t* offsets, const float* rdist, int64_t noff,
                 float odc, float min_mass,
-                float* out_mass, float* out_radius, int32_t* out_kept) {
+                float* out_mass, float* out_radius, int32_t* out_kept,
+                int64_t* out_ncells) {
   const int64_t nf2 = nf * nf;
   for (int64_t h = 0; h < npeaks; ++h) {
     const int64_t cx = peaks[3 * h];
@@ -30,6 +31,7 @@ void grow_halos(float* rho, int64_t nf,
     out_kept[h] = 0;
     out_mass[h] = 0.0f;
     out_radius[h] = 0.0f;
+    out_ncells[h] = 0;
     if (rho[cx * nf2 + cy * nf + cz] <= 0.0f) continue;  // consumed
 
     double csum = 0.0;
@@ -74,6 +76,7 @@ void grow_halos(float* rho, int64_t nf,
     out_mass[h] = float(mass_in);
     out_radius[h] = (stop > 1) ? rdist[stop - 1] : 1.0f;
     out_kept[h] = 1;
+    out_ncells[h] = stop;  // actual mean overdensity = mass_in / stop
   }
 }
 

