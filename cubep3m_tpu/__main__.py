@@ -51,8 +51,15 @@ def cmd_ic(args):
     cfg, _ = load_config(args.config)
     print(cfg.summary())
     t0 = time.time()
-    st = zl.zeldovich_ic(cfg, seed=args.seed,
-                         transfer_file=args.transfer_file)
+    if cfg.nodes_dim > 1:
+        # never build a global field on one device (dist_init role)
+        from .parallel.mesh import make_sim_mesh
+        st = zl.zeldovich_ic_distributed(
+            cfg, make_sim_mesh(cfg.nodes_dim), seed=args.seed,
+            transfer_file=args.transfer_file)
+    else:
+        st = zl.zeldovich_ic(cfg, seed=args.seed,
+                             transfer_file=args.transfer_file)
     print(f"ICs generated in {time.time() - t0:.1f}s "
           f"({int(np.asarray(st.np_local).sum())} particles)")
     ck.save_native(os.path.join(args.outdir, "ic.npz"), cfg, st, Cursors())

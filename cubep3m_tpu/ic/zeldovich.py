@@ -188,6 +188,172 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
     return st
 
 
+def zeldovich_ic_distributed(cfg: SimConfig, mesh, seed: int = 0,
+                             transfer_file: Optional[str] = None,
+                             noise_block: int = 16,
+                             return_delta: bool = False):
+    """Fully distributed Zel'dovich ICs: no device ever holds a global
+    field (the reference dist_init is likewise distributed, with per-slab
+    noise seeds, dist_init.f90:628-749).
+
+    * White noise is generated per `noise_block`^3 block with a key folded
+      on the GLOBAL block index, so the realization is identical for any
+      device count whose nf_physical_node_dim is divisible by noise_block.
+    * All spectral factors (amplitude, discrete Poisson kernel, gradient)
+      are evaluated per-device on its own k-space block; transforms go
+      through the all_to_all pencil FFT (parallel/pfft.pfft3d).
+    * Particles are displaced locally and routed to their owning device
+      with the standard ownership exchange.
+
+    The Ewald `correct_kernel` option needs a global-kernel IFFT and is
+    only available through `zeldovich_ic` (replicated path).
+    """
+    import dataclasses as _dc
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import AXES
+    from ..parallel import halo as halo_mod
+    from ..parallel import exchange as exchange_mod
+    from ..parallel import pfft as pfft_mod
+    from ..ops.deposit import cic_gather
+
+    if cfg.ic_correct_kernel:
+        raise ValueError(
+            "ic_correct_kernel requires the replicated zeldovich_ic path "
+            "(global-kernel IFFT); disable it for distributed ICs")
+    c = cfg.cosmo
+    nf = cfg.nf_physical_dim
+    nfn = cfg.nf_physical_node_dim
+    nd = cfg.nodes_dim
+    if nfn % noise_block != 0:
+        raise ValueError(f"noise_block={noise_block} must divide "
+                         f"nf_physical_node_dim={nfn}")
+    a_i = cfg.a_i
+    lin = transfer_mod.linear_power(c, a_i, transfer_file=transfer_file)
+    k_fac = 2 * math.pi / cfg.box
+    vf = vfactor(a_i, c)
+
+    # 1-D log-spaced amplitude table: kr -> sqrt(P_grid(kr) * nf^3)
+    # (the global-path formula, evaluated by interpolation on device)
+    kr_tab = np.geomspace(0.5, nf * math.sqrt(3.0) / 2.0, 8192)
+    amp_tab = np.sqrt(lin.delta2(kr_tab * k_fac)
+                      / (4 * math.pi * kr_tab ** 3) * float(nf) ** 3)
+    log_kr = jnp.asarray(np.log(kr_tab), jnp.float32)
+    log_amp = jnp.asarray(np.log(np.maximum(amp_tab, 1e-30)), jnp.float32)
+
+    nb = noise_block
+    nblk = nfn // nb          # owned noise blocks per axis
+    NB = nf // nb             # global noise blocks per axis
+    npd_loc = nfn // 2        # particles per axis per device
+    cap = cfg.max_np
+    max_buf = max(256, cap // 16)
+    mhd_gas = cfg.mhd and cfg.gas_from_delta
+
+    def _local_k(coord):
+        """Global integer wavenumbers of this device's k block along one
+        axis (fftfreq convention)."""
+        gi = coord * nfn + jnp.arange(nfn)
+        return jnp.where(gi <= nf // 2, gi, gi - nf).astype(jnp.float32)
+
+    def local_make(key):
+        cx, cy, cz = halo_mod.device_coords()
+        # --- block-keyed white noise (global-index folded) -------------
+        bx = cx * nblk + jnp.arange(nblk)
+        by = cy * nblk + jnp.arange(nblk)
+        bz = cz * nblk + jnp.arange(nblk)
+        gb = ((bx[:, None, None] * NB + by[None, :, None]) * NB
+              + bz[None, None, :]).reshape(-1)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(gb)
+        blocks = jax.vmap(
+            lambda k: jax.random.normal(k, (nb, nb, nb), jnp.float32))(keys)
+        noise = blocks.reshape(nblk, nblk, nblk, nb, nb, nb).transpose(
+            0, 3, 1, 4, 2, 5).reshape(nfn, nfn, nfn)
+
+        # --- spectral factors on this device's k block ------------------
+        kx = _local_k(cx)
+        ky = _local_k(cy)
+        kz = _local_k(cz)
+        kr = jnp.sqrt(kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+                      + kz[None, None, :] ** 2)
+        amp = jnp.where(kr > 0, jnp.exp(jnp.interp(
+            jnp.log(jnp.maximum(kr, 1e-10)), log_kr, log_amp)), 0.0)
+        kd2 = lambda k: (2.0 * jnp.sin(math.pi * k / nf)) ** 2
+        kd2_tot = (kd2(kx)[:, None, None] + kd2(ky)[None, :, None]
+                   + kd2(kz)[None, None, :])
+        inv_kd2 = jnp.where(kd2_tot > 0,
+                            1.0 / jnp.maximum(kd2_tot, 1e-20), 0.0)
+        sin_g = lambda k: jnp.sin(2.0 * math.pi * k / nf)
+
+        delta_k = pfft_mod.pfft3d(noise) * amp
+        psi = []
+        grads = (sin_g(kx)[:, None, None], sin_g(ky)[None, :, None],
+                 sin_g(kz)[None, None, :])
+        for axis in range(3):
+            psi_k = 1j * grads[axis] * delta_k * inv_kd2
+            psi.append(pfft_mod.pfft3d(psi_k, inverse=True).real
+                       .astype(jnp.float32))
+        psi = jnp.stack(psi)
+
+        # --- particles on the local every-2nd-cell lattice ---------------
+        disp = psi[:, ::2, ::2, ::2]
+        q = jnp.arange(npd_loc, dtype=jnp.float32) * 2.0 + 0.5
+        x = jnp.stack(
+            [q[:, None, None] + disp[0],
+             q[None, :, None] + disp[1],
+             q[None, None, :] + disp[2]], axis=-1).reshape(-1, 3)
+        psi_pad = halo_mod.halo_pad(psi, 1)
+        v = vf * cic_gather(psi_pad, x, scale=1.0, offset=-0.5, pad=1)
+        # global PID from the lattice site
+        npd_glob = nf // 2
+        gi = cx * npd_loc + jnp.arange(npd_loc)
+        gj = cy * npd_loc + jnp.arange(npd_loc)
+        gk = cz * npd_loc + jnp.arange(npd_loc)
+        pid = (1 + ((gi[:, None, None] * npd_glob + gj[None, :, None])
+                    * npd_glob + gk[None, None, :])).reshape(-1)
+
+        n = npd_loc ** 3
+        xp = jnp.zeros((cap, 3), jnp.float32).at[:n].set(x)
+        vp = jnp.zeros((cap, 3), jnp.float32).at[:n].set(v)
+        pp = jnp.zeros((cap,), jnp.int32).at[:n].set(pid.astype(jnp.int32))
+        valid = jnp.arange(cap) < n
+        ex = exchange_mod.exchange_particles(xp, vp, pp, valid, nfn,
+                                             max_buf)
+        np_local = jnp.sum(ex.valid.astype(jnp.int32))[None]
+        outs = (ex.x, ex.v, ex.pid, np_local)
+        delta = None
+        if return_delta or mhd_gas:
+            delta = pfft_mod.pfft3d(delta_k, inverse=True).real.astype(
+                jnp.float32)
+        if mhd_gas:
+            outs = outs + (gas_ic_from_delta(cfg, delta, psi, vf),)
+        if return_delta:
+            outs = outs + (delta,)
+        return outs
+
+    pa = P(AXES)
+    out_specs = [pa, pa, pa, pa]
+    if mhd_gas:
+        out_specs.append(P(None, *AXES))
+    if return_delta:
+        out_specs.append(P(*AXES))
+    made = jax.jit(shard_map(local_make, mesh=mesh, in_specs=(P(),),
+                             out_specs=tuple(out_specs), check_vma=False))
+    outs = made(jax.random.PRNGKey(seed))
+    x, v, pid, np_local = outs[:4]
+
+    skel = particles_ic(cfg, np.zeros((0, 3), np.float32),
+                        np.zeros((0, 3), np.float32), seed=seed)
+    st = _dc.replace(skel, x=x, v=v, pid=pid,
+                     np_local=np_local.astype(jnp.int32))
+    i = 4
+    if mhd_gas:
+        st = _dc.replace(st, gas_u=outs[i])
+        i += 1
+    if return_delta:
+        return st, np.asarray(outs[i])
+    return st
+
+
 def gas_ic_from_delta(cfg: SimConfig, delta, psi, vf):
     """Gas conserved fields tracing the matter field (mhd_init.f90 role):
     rho_gas = 1 + delta (clipped), momentum = rho * vfactor * psi, thermal

@@ -84,3 +84,47 @@ def test_zeldovich_velocities_sane():
     disp_rms = np.sqrt((v ** 2).mean()) / vf
     assert 0.01 < disp_rms < 4.0
     assert x.min() >= 0.0 and x.max() < cfg.nf_physical_dim
+
+
+def _dist_cfg(nodes_dim):
+    return small_config(nodes_dim=nodes_dim, tiles_node_dim=4 // nodes_dim,
+                        box=100.0, z_i=20.0)
+
+
+def test_distributed_ic_power_matches_linear():
+    """zeldovich_ic_distributed on a 2^3 mesh: particle P(k) matches the
+    input linear spectrum (dist_init.f90 validation role) without any
+    device holding a global field."""
+    from cubep3m_tpu import state as state_mod
+    from cubep3m_tpu.parallel.mesh import make_sim_mesh
+
+    cfg = _dist_cfg(2)
+    mesh = make_sim_mesh(2)
+    st = zl.zeldovich_ic_distributed(cfg, mesh, seed=3)
+    assert int(np.asarray(st.np_local).sum()) == cfg.np_total
+    x, v, pid = state_mod.gather_global(cfg, st)
+    # PIDs are the global lattice ids, each exactly once
+    assert np.unique(pid).size == cfg.np_total
+    ps = pw.power_of_particles(cfg, x, assignment="cic")
+    lin = tr.linear_power(cfg.cosmo, cfg.a_i)
+    sel = (ps.k > 3 * 2 * math.pi / cfg.box) & (ps.k < 0.8)
+    ratio = ps.delta2[sel] / lin.delta2(ps.k[sel])
+    assert abs(np.average(ratio, weights=ps.nmodes[sel]) - 1.0) < 0.2
+
+
+def test_distributed_ic_invariant_across_device_counts():
+    """The block-keyed noise makes the realization identical on a 1^3 and
+    a 2^3 mesh (same seed, same noise_block) up to fp32 FFT reordering."""
+    from cubep3m_tpu import state as state_mod
+    from cubep3m_tpu.parallel.mesh import make_sim_mesh
+
+    outs = {}
+    for nd in (1, 2):
+        cfg = _dist_cfg(nd)
+        st = zl.zeldovich_ic_distributed(cfg, make_sim_mesh(nd), seed=5,
+                                         noise_block=16)
+        x, v, pid = state_mod.gather_global(cfg, st)
+        order = np.argsort(pid)
+        outs[nd] = (x[order], v[order])
+    np.testing.assert_allclose(outs[1][0], outs[2][0], atol=2e-3)
+    np.testing.assert_allclose(outs[1][1], outs[2][1], atol=2e-3)
