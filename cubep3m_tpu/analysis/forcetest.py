@@ -36,9 +36,14 @@ def pairwise_force_sweep(cfg: SimConfig, kern_f, kern_c,
                          n_sep: int = 32, n_orient: int = 8,
                          seed: int = 0) -> PairSweepResult:
     """Force error vs separation over random orientations/placements."""
+    import jax
+
     nf = cfg.nf_physical_node_dim
     max_sep = max_sep or nf / 4.0
     rng = np.random.default_rng(seed)
+    # one compile for the whole sweep (pair states share shapes)
+    forces = jax.jit(lambda st: step_mod.compute_forces(cfg, st, kern_f,
+                                                        kern_c))
     seps, f_rad, f_tan, f_ex, errs = [], [], [], [], []
     for s in np.linspace(min_sep, max_sep, n_sep):
         for _ in range(n_orient):
@@ -48,7 +53,7 @@ def pairwise_force_sweep(cfg: SimConfig, kern_f, kern_c,
             x1 = center + u * s / 2.0
             x2 = center - u * s / 2.0
             st = state_mod.pair_ic(cfg, x1, x2)
-            f = np.asarray(step_mod.compute_forces(cfg, st, kern_f, kern_c))
+            f = np.asarray(forces(st))
             fe = cfg.mass_p / s ** 2
             fr = -np.dot(f[0], u)           # attraction toward partner
             ft = np.linalg.norm(f[0] + fr * u)

@@ -20,26 +20,42 @@ from ..ops.deposit import ngp_deposit
 
 
 def project_density(cfg: SimConfig, state: SimState,
-                    half: bool = False,
+                    half: bool = False, finer_factor: int = 1,
                     remove_shake: bool = True) -> Dict[str, np.ndarray]:
     """Return {'xy','xz','yz'} projected mass planes of the global volume.
 
     half=True projects only the z<nf/2 half (projection_half.f90 analog).
+    finer_factor>1 deposits onto a finer_factor-refined plane grid
+    (projection_half_finer.f90's proj_finer_factor=4 variant) for
+    higher-resolution imaging; the plane is (nf*finer_factor)^2.
     Positions are un-shaken before projecting (move_grid_back semantics).
     """
     nf = cfg.nf_physical_dim
+    ff = max(1, int(finer_factor))
     x, _, _ = gather_global(cfg, state)
     if remove_shake:
         x = np.mod(x - np.asarray(state.shake_offset)[None, :], nf)
     if half:
         x = x[x[:, 2] < nf / 2]
     w = jnp.full((x.shape[0],), jnp.float32(cfg.mass_p))
-    rho = np.asarray(ngp_deposit(jnp.asarray(x), w, (nf, nf, nf)))
-    return {
-        "xy": rho.sum(axis=2),
-        "xz": rho.sum(axis=1),
-        "yz": rho.sum(axis=0),
-    }
+    if ff == 1:
+        rho = np.asarray(ngp_deposit(jnp.asarray(x), w, (nf, nf, nf)))
+        return {
+            "xy": rho.sum(axis=2),
+            "xz": rho.sum(axis=1),
+            "yz": rho.sum(axis=0),
+        }
+    # refined planes: deposit each projection on a (nf*ff, nf*ff, 1) grid
+    # directly (a refined 3-D grid would be ff^3 the memory for no gain)
+    nr = nf * ff
+    planes = {}
+    for name, (i, j) in (("xy", (0, 1)), ("xz", (0, 2)), ("yz", (1, 2))):
+        xy = jnp.asarray(np.stack(
+            [x[:, i] * ff, x[:, j] * ff, np.zeros(x.shape[0])], 1)
+            .astype(np.float32))
+        planes[name] = np.asarray(
+            ngp_deposit(xy, w, (nr, nr, 1)))[:, :, 0]
+    return planes
 
 
 def write_projections(outdir: str, cfg: SimConfig, state: SimState,

@@ -137,6 +137,8 @@ class SimConfig:
                                      # (dist_init correct_kernel option)
 
     # --- lifecycle / outputs ---
+    coarse_ps: bool = False     # per-step coarse-grid P(k) diagnostic
+                                # (coarse_ps flag, coarse_power.f90)
     shake: bool = True          # DISP_MESH random mesh shake each step
     move_grid_back: bool = True # subtract accumulated shake before outputs
     pid: bool = True            # track particle IDs (PID_FLAG)

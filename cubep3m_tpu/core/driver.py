@@ -65,6 +65,9 @@ class Simulation:
         self.kill_time_s = kill_time_s
         self._start_wall = time.time()
         self.logs: List[StepLog] = []
+        # per-step coarse P(k) records (coarse_power.f90 `ps_c` role):
+        # [(nts, a, k[h/Mpc], P(k)[Mpc/h]^3), ...] when cfg.coarse_ps
+        self.coarse_ps_log: List[tuple] = []
         # output hooks: fn(sim, state, decision) -> None
         self.on_checkpoint: List[Callable] = []
         self.on_projection: List[Callable] = []
@@ -176,6 +179,18 @@ class Simulation:
             print(f"sweep {l.nts}: a={l.a:.6f} dt={l.dt:.4f} "
                   f"limits={tuple(round(x, 3) for x in l.limits)} "
                   f"wall={l.wall_s:.3f}s")
+        l = self.logs[-1]
+        if self.cfg.verbosity >= 1 and (l.pp_overflow or l.bucket_overflow
+                                        or l.clamp_count):
+            # the reference mpi_aborts on any such invariant break; we
+            # count, surface loudly, and keep going
+            print(f"WARNING sweep {l.nts}: pp_overflow={l.pp_overflow} "
+                  f"bucket_overflow={l.bucket_overflow} "
+                  f"clamp_count={l.clamp_count} — raise pp_dense_band / "
+                  f"pp_coarse_capacity / check dt")
+
+        if cfg.coarse_ps:
+            self._record_coarse_ps(state)
 
         # output triggers
         if dec.checkpoint_step:
@@ -191,6 +206,31 @@ class Simulation:
                 h(self, state, dec)
             self.cursors.halofind += 1
         return state, dec
+
+    def _record_coarse_ps(self, state: SimState) -> None:
+        """Coarse-grid P(k) after a sweep (the reference's per-step
+        `coarse_ps` diagnostic, coarse_power.f90): device-resident on one
+        device, via a host gather on a multi-device mesh."""
+        from ..analysis import power as pw
+        cfg = self.cfg
+        if cfg.nodes_dim == 1:
+            ps = pw.power_on_device(cfg, state.x, int(state.np_local[0]),
+                                    ngrid=cfg.nc_dim)
+        else:
+            from ..state import gather_global
+            x, _, _ = gather_global(cfg, state)
+            ps = pw.power_of_particles(cfg, x, ngrid=cfg.nc_dim)
+        self.coarse_ps_log.append((int(state.nts), float(state.a),
+                                   ps.k, ps.pk))
+
+    def write_coarse_ps(self, path: str) -> None:
+        """Dump the per-step coarse spectra as JSON lines."""
+        import json
+        with open(path, "w") as f:
+            for nts, a, k, pk in self.coarse_ps_log:
+                f.write(json.dumps({"nts": nts, "a": a,
+                                    "k": list(map(float, k)),
+                                    "pk": list(map(float, pk))}) + "\n")
 
     # chunk sizes compiled on demand (device-side dt control between
     # scheduled outputs; one host sync per chunk instead of per sweep)
@@ -232,8 +272,10 @@ class Simulation:
         """
         cfg = self.cfg
         max_steps = max_steps if max_steps is not None else cfg.max_nts
+        # coarse_ps is a PER-STEP diagnostic: it forces host stepping so
+        # no sweep is skipped inside a device-side chunk
         chunkable = (use_chunks and cfg.cosmo_expansion
-                     and not cfg.cosmo.chaplygin)
+                     and not cfg.cosmo.chaplygin and not cfg.coarse_ps)
         steps_done = 0
         while steps_done < max_steps:
             dec = None

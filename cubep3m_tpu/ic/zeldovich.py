@@ -8,7 +8,8 @@ field.  Numerical contract (dist_init.f90):
 * `deltafield` (:851-947): delta_k = sqrt(Delta^2(k)/(4 pi k_r^3) * N^3)
   * whitenoise_k, k_r in grid wavenumbers.
 * `potentialfield` (:1320-1524): phi_k = -4 pi delta_k / k_d^2 with
-  k_d = 2 sin(pi k / N) per axis (Ewald `correct_kernel` option TODO).
+  k_d = 2 sin(pi k / N) per axis; the Ewald-matched `correct_kernel`
+  option is implemented in `_corrected_inv_kd2` (replicated path only).
 * displacement = central-difference gradient: psi_k = i sin(2 pi k / N)
   * delta_k / k_d^2 (dist_init.f90:1507-1509 combined with the -4pi kernel).
 * particles at cell centers of every 2nd fine cell, displaced by psi at

@@ -49,13 +49,43 @@ def z_string(a: float) -> str:
 # ----------------------------------------------------------------------
 # native format
 # ----------------------------------------------------------------------
+_PARTICLE_FIELDS = ("x", "v", "pid")
+_CHUNK_ROWS = 1 << 22   # ~48 MB of xv per pull (32 MB-blocked writes role,
+                        # checkpoint.f90:87-95)
+
+
 def save_native(path: str, cfg: SimConfig, state: SimState,
                 cursors: Cursors) -> None:
+    """Write a bit-faithful native checkpoint (format 2).
+
+    Particle arrays are pulled COMPACTED (valid slots only, per device,
+    in bounded chunks) so a checkpoint moves ~np rows instead of
+    nodes*max_np — on a remote-tunneled TPU at ~50 MB/s the padding
+    slots would otherwise dominate the stall.  Stored uncompressed:
+    deflate on fp32 phase-space data gains a few % and costs minutes of
+    host CPU at production sizes.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    flat = {f.name: np.asarray(getattr(state, f.name))
-            for f in dataclasses.fields(state)}
-    np.savez_compressed(
-        path, __config=repr(cfg),
+    counts = np.asarray(state.np_local)
+    cap = state.x.shape[0] // counts.size
+    flat = {}
+    for f in dataclasses.fields(state):
+        if f.name in _PARTICLE_FIELDS:
+            continue
+        flat[f.name] = np.asarray(getattr(state, f.name))
+    for name in _PARTICLE_FIELDS:
+        arr = getattr(state, name)
+        parts = []
+        for d in range(counts.size):
+            n = int(counts[d])
+            for s in range(0, n, _CHUNK_ROWS):
+                e = min(n, s + _CHUNK_ROWS)
+                # device-side slice: only valid rows cross the link
+                parts.append(np.asarray(arr[d * cap + s:d * cap + e]))
+        flat[name] = (np.concatenate(parts) if parts
+                      else np.asarray(arr[:0]))
+    np.savez(
+        path, __fmt=np.int32(2), __cap=np.int32(cap), __config=repr(cfg),
         __cursors=np.array([cursors.checkpoint, cursors.projection,
                             cursors.halofind], np.int32),
         **flat)
@@ -63,9 +93,23 @@ def save_native(path: str, cfg: SimConfig, state: SimState,
 
 def load_native(path: str, cfg: SimConfig) -> Tuple[SimState, Cursors]:
     data = np.load(path, allow_pickle=False)
+    fmt = int(data["__fmt"]) if "__fmt" in data else 1
     kw = {}
+    if fmt >= 2:
+        counts = np.asarray(data["np_local"])
+        cap = int(data["__cap"])
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        for name in _PARTICLE_FIELDS:
+            compact = data[name]
+            shape = (counts.size * cap,) + compact.shape[1:]
+            full = np.zeros(shape, compact.dtype)
+            for d in range(counts.size):
+                n = int(counts[d])
+                full[d * cap:d * cap + n] = compact[offs[d]:offs[d] + n]
+            kw[name] = jnp.asarray(full)
     for f in dataclasses.fields(SimState):
-        kw[f.name] = jnp.asarray(data[f.name])
+        if f.name not in kw:
+            kw[f.name] = jnp.asarray(data[f.name])
     cur = data["__cursors"]
     return SimState(**kw), Cursors(checkpoint=int(cur[0]),
                                    projection=int(cur[1]),

@@ -230,3 +230,22 @@ def test_halofind_stats_match_bruteforce(cfg):
     # ties can swap neighbors; compare as sets and check the first entry
     assert set(got.tolist()) == set(expect.tolist())
     assert got[0] == expect[0]
+
+
+def test_projection_finer_factor(cfg):
+    """proj_finer_factor variant (projection_half_finer.f90): refined
+    planes conserve total mass and refine block-sums to the base planes."""
+    rng = np.random.default_rng(5)
+    nf = cfg.nf_physical_node_dim
+    x = rng.uniform(0, nf, (800, 3)).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, np.zeros_like(x))
+    import cubep3m_tpu.analysis.projection as proj
+    base = proj.project_density(cfg, st)
+    fine = proj.project_density(cfg, st, finer_factor=4)
+    total = 800 * cfg.mass_p
+    for name in ("xy", "xz", "yz"):
+        assert fine[name].shape == (nf * 4, nf * 4)
+        np.testing.assert_allclose(fine[name].sum(), total, rtol=1e-5)
+        # block-summed refined plane equals the base NGP plane
+        blk = fine[name].reshape(nf, 4, nf, 4).sum(axis=(1, 3))
+        np.testing.assert_allclose(blk, base[name], rtol=1e-4, atol=1e-3)

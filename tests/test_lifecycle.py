@@ -102,3 +102,16 @@ def test_clamp_counter_surfaces_multihop_particles():
                     jnp.float32(0.0), jnp.float32(1.0), jnp.float32(1.0),
                     jnp.float32(1.0))
     assert int(st3.clamp_count) == 0
+
+
+def test_coarse_ps_recorded_each_step():
+    """cfg.coarse_ps triggers the per-step coarse P(k) diagnostic
+    (coarse_power.f90 role)."""
+    cfg = small_config(z_i=50.0, coarse_ps=True)
+    sim = Simulation(cfg)
+    st = state_mod.random_ic(cfg, seed=2)
+    for _ in range(2):
+        st, _ = sim.step(st)
+    assert len(sim.coarse_ps_log) == 2
+    nts, a, k, pk = sim.coarse_ps_log[0]
+    assert nts == 1 and k.size > 0 and np.all(np.isfinite(pk))

@@ -69,3 +69,22 @@ def test_exchange_preserves_particles():
     assert int(st.pp_overflow) == 0
     xg, vg, pg = state_mod.gather_global(cfg8, st)
     assert np.unique(pg).size == 3000
+
+
+@requires_8
+def test_pencil_fft_matches_replicated_in_sweep():
+    """The distributed pencil coarse FFT (p3dfft_coarse role) gives the
+    same evolution as the replicated all_gather solve inside the full
+    multi-device sweep."""
+    x, v = _global_ic(64, 2000, seed=9)
+    outs = {}
+    for pencil in (False, True):
+        cfg = small_config(nodes_dim=2, tiles_node_dim=2,
+                           cosmo_expansion=False, shake=False,
+                           coarse_pencil_fft=pencil)
+        outs[pencil] = _run(cfg, x, v, steps=3)
+    xr, vr, pr = outs[False]
+    xp, vp, pp_ = outs[True]
+    orr, op = np.argsort(pr), np.argsort(pp_)
+    np.testing.assert_allclose(xr[orr], xp[op], atol=5e-3)
+    np.testing.assert_allclose(vr[orr], vp[op], atol=5e-3)

@@ -57,8 +57,11 @@ def test_pairwise_force_accuracy(sim):
         # Newton's 3rd law: forces must be antisymmetric
         np.testing.assert_allclose(f[0], -f[1], atol=2e-4 * cfg.mass_p)
     errs = np.array(errs)
-    assert np.median(errs) < 0.25
-    assert np.mean(errs) < 0.35
+    # measured envelope (scripts/force_accuracy.py, VALIDATION.md): this
+    # config/separation range sits at median ~0.17, mean ~0.20; regression
+    # margin ~25%
+    assert np.median(errs) < 0.21
+    assert np.mean(errs) < 0.26
 
 
 def test_pp_same_cell_exact(sim):
