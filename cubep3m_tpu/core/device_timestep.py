@@ -7,9 +7,9 @@ module re-expresses the dt decision in jnp so `lax.scan` can run chunks of
 sweeps entirely on device; the host only intervenes near scheduled outputs
 (exact landing still happens host-side, matching timestep.f90:121-161).
 
-Only the LCDM(+wde) background is implemented on device (the reference's
-3rd-order Taylor integrator, timestep.f90:241-293); Chaplygin runs fall
-back to host stepping.
+Backgrounds: LCDM(+wde) via the reference's 3rd-order Taylor integrator
+(timestep.f90:241-293) and the Chaplygin gas via RK4 on the same adot(a)
+(the host controller's documented correctness divergence, cosmology.py).
 """
 from __future__ import annotations
 
@@ -34,9 +34,39 @@ def lcdm_adot_terms(a, c):
     return adot, addot, atdot
 
 
+def chaplygin_adot(a, c):
+    """adot(a) for the Chaplygin-gas background (timestep.f90:296-339's
+    adot; see cosmology._chaplygin_derivs for the addot/atdot caveat)."""
+    a3rchm = a ** (-3.0) * (c.omega_ch / c.omega_m)
+    arkm = a * (1.0 - c.omega_m - c.omega_ch) / c.omega_m
+    g_ch = c.A_ch + (1.0 - c.A_ch) * a ** (-3.0 - 3.0 * c.alpha_ch)
+    om_hsq = 4.0 / 9.0
+    return jnp.sqrt(om_hsq * a ** 3
+                    * (1.0 + arkm + a3rchm * g_ch ** (1.0 / (1.0 + c.alpha_ch))))
+
+
+def _chaplygin_half_da(a, dth, c, nsub: int = 8):
+    """RK4 integral of da/dtau over one half step (cosmology._rk4_da)."""
+    h = dth / nsub
+
+    def body(_, av):
+        k1 = chaplygin_adot(av, c)
+        k2 = chaplygin_adot(av + 0.5 * h * k1, c)
+        k3 = chaplygin_adot(av + 0.5 * h * k2, c)
+        k4 = chaplygin_adot(av + h * k3, c)
+        return av + h / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+    return jax.lax.fori_loop(0, nsub, body, a) - a
+
+
 def expansion_dev(a0, dt, c):
-    """(da1, da2): two half-step 3rd-order Taylor increments (device)."""
+    """(da1, da2): two half-step scale-factor increments (device); 3rd-order
+    Taylor for LCDM(+wde), RK4 for Chaplygin."""
     dth = dt / 2.0
+    if c.chaplygin:
+        da1 = _chaplygin_half_da(a0, dth, c)
+        da2 = _chaplygin_half_da(a0 + da1, dth, c)
+        return da1, da2
     adot, addot, atdot = lcdm_adot_terms(a0, c)
     da1 = adot * dth + addot * dth ** 2 / 2.0 + atdot * dth ** 3 / 6.0
     adot, addot, atdot = lcdm_adot_terms(a0 + da1, c)

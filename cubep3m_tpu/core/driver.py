@@ -78,12 +78,21 @@ class Simulation:
     def attach_outputs(self, outdir: str, reference_format: bool = False,
                        native_checkpoints: bool = True,
                        projections: bool = True,
-                       halofinds: bool = True) -> None:
+                       halofinds: bool = True,
+                       async_checkpoints: bool = False) -> None:
         """Register the standard output writers (cubepm.f90:171-233 trigger
-        path): checkpoints, projections, halo catalogs, kill checkpoint."""
+        path): checkpoints, projections, halo catalogs, kill checkpoint.
+
+        `async_checkpoints` drains native checkpoint writes on a background
+        thread (io.checkpoint.AsyncWriter) so sweeps continue during the
+        state pull; call `finish()` (or let the final checkpoint's wait do
+        it) before reading the files."""
         from ..io import checkpoint as ckpt_mod
         from ..analysis import projection as proj_mod
         from ..analysis import halofind as hf_mod
+
+        writer = ckpt_mod.AsyncWriter() if async_checkpoints else None
+        self._async_writer = writer
 
         def _sched_z(lst, cursor):
             # name outputs by the scheduled redshift, like the reference's
@@ -107,8 +116,13 @@ class Simulation:
                 halofind=sim.cursors.halofind
                 + (1 if dec.halofind_step else 0))
             if native_checkpoints:
-                ckpt_mod.save_native(f"{outdir}/ckpt_{zs}.npz",
-                                     sim.cfg, state, cur)
+                if writer is not None:
+                    writer.submit(ckpt_mod.save_native,
+                                  f"{outdir}/ckpt_{zs}.npz",
+                                  sim.cfg, state, cur)
+                else:
+                    ckpt_mod.save_native(f"{outdir}/ckpt_{zs}.npz",
+                                         sim.cfg, state, cur)
             if reference_format:
                 ckpt_mod.write_reference_checkpoint(outdir, sim.cfg, state,
                                                     cur, z=z)
@@ -135,6 +149,12 @@ class Simulation:
         if halofinds:
             self.on_halofind.append(_halo)
         self.on_kill.append(_kill)
+
+    def finish(self) -> None:
+        """Drain any in-flight async checkpoint write."""
+        w = getattr(self, "_async_writer", None)
+        if w is not None:
+            w.wait()
 
     def write_log(self, path: str) -> None:
         """Dump the structured step log as JSON lines (the reference's
@@ -232,6 +252,18 @@ class Simulation:
                                     "k": list(map(float, k)),
                                     "pk": list(map(float, pk))}) + "\n")
 
+    def profile(self, state: SimState, trace_dir: str,
+                steps: int = 3) -> SimState:
+        """Capture a `jax.profiler` device trace of `steps` sweeps
+        (the reference's -DMPI_TIME per-phase timing role, timers.f90:68-77,
+        at full XLA-op granularity).  View with TensorBoard or Perfetto on
+        the files written under `trace_dir`."""
+        import jax.profiler
+        with jax.profiler.trace(trace_dir):
+            for _ in range(steps):
+                state, _ = self.step(state)
+        return state
+
     # chunk sizes compiled on demand (device-side dt control between
     # scheduled outputs; one host sync per chunk instead of per sweep)
     CHUNK_SIZES = (8, 4)  # tunneled executions beyond ~30s wall hang the worker
@@ -275,7 +307,7 @@ class Simulation:
         # coarse_ps is a PER-STEP diagnostic: it forces host stepping so
         # no sweep is skipped inside a device-side chunk
         chunkable = (use_chunks and cfg.cosmo_expansion
-                     and not cfg.cosmo.chaplygin and not cfg.coarse_ps)
+                     and not cfg.coarse_ps)
         steps_done = 0
         while steps_done < max_steps:
             dec = None
@@ -307,4 +339,5 @@ class Simulation:
             if (dec is not None and dec.final_step) or (
                     cfg.cosmo_expansion and float(state.a) >= 1.0):
                 break
+        self.finish()
         return state

@@ -91,6 +91,45 @@ def save_native(path: str, cfg: SimConfig, state: SimState,
         **flat)
 
 
+class AsyncWriter:
+    """Background checkpoint drain: the simulation keeps stepping while the
+    previous snapshot is pulled and written (orbax-async-style overlap;
+    the reference instead stalls every rank on 32 MB-blocked synchronous
+    writes, checkpoint.f90:87-95).
+
+    jax arrays are immutable, so a submitted SimState is a consistent
+    snapshot no matter how far the sweep advances afterwards.  One write in
+    flight at a time: submitting while busy first drains the previous write
+    (checkpoint cadence >> write time in production).  Exceptions surface
+    on the next submit()/wait().
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._err = None
+
+    def _run(self, fn, args, kwargs):
+        try:
+            fn(*args, **kwargs)
+        except BaseException as e:   # surfaced on next wait()
+            self._err = e
+
+    def submit(self, fn, *args, **kwargs) -> None:
+        import threading
+        self.wait()
+        self._thread = threading.Thread(
+            target=self._run, args=(fn, args, kwargs), daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 def load_native(path: str, cfg: SimConfig) -> Tuple[SimState, Cursors]:
     data = np.load(path, allow_pickle=False)
     fmt = int(data["__fmt"]) if "__fmt" in data else 1

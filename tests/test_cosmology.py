@@ -81,3 +81,18 @@ def test_growth_factor_eds():
     assert abs(d2 / d1 - 2.0) < 1e-2
     f = cosmo.growth_rate_f(0.5, c)
     assert abs(f - 1.0) < 1e-2
+
+
+def test_device_chaplygin_expansion_matches_host():
+    """On-device RK4 Chaplygin background (device_timestep.expansion_dev)
+    tracks the host controller's integration of the same adot(a)."""
+    import jax.numpy as jnp
+    from cubep3m_tpu.core import device_timestep as dts
+
+    c = Cosmology(omega_m=0.3, chaplygin=True, omega_ch=0.7,
+                  A_ch=0.8, alpha_ch=0.5)
+    a0, dt = 0.2, 0.01
+    da1_h, da2_h = cosmo.expansion(a0, dt, c)
+    da1_d, da2_d = dts.expansion_dev(jnp.float32(a0), jnp.float32(dt), c)
+    assert abs(float(da1_d) - da1_h) / da1_h < 2e-4
+    assert abs(float(da2_d) - da2_h) / da2_h < 2e-4

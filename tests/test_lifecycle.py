@@ -115,3 +115,41 @@ def test_coarse_ps_recorded_each_step():
     assert len(sim.coarse_ps_log) == 2
     nts, a, k, pk = sim.coarse_ps_log[0]
     assert nts == 1 and k.size > 0 and np.all(np.isfinite(pk))
+
+
+def test_async_checkpoints_match_sync(tmp_path):
+    """attach_outputs(async_checkpoints=True) produces byte-identical
+    checkpoints to the synchronous path (the sweep keeps running while the
+    previous snapshot drains)."""
+    cfg = small_config(z_i=50.0, shake=True)
+    sched = OutputSchedule.from_redshifts(checkpoints=[45.0, 40.0])
+
+    def run(sub, async_ck):
+        sim = Simulation(cfg, schedule=sched)
+        sim.attach_outputs(str(tmp_path / sub), halofinds=False,
+                           projections=False, async_checkpoints=async_ck)
+        st = state_mod.random_ic(cfg, seed=3)
+        sim.run(st, max_steps=100, use_chunks=False)
+        sim.finish()
+
+    run("sync", False)
+    run("async", True)
+    for z in ("45.000", "40.000"):
+        a = np.load(str(tmp_path / "sync" / f"ckpt_{z}.npz"))
+        b = np.load(str(tmp_path / "async" / f"ckpt_{z}.npz"))
+        assert set(a.files) == set(b.files)
+        for k in a.files:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_async_writer_surfaces_errors():
+    from cubep3m_tpu.io.checkpoint import AsyncWriter
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    w = AsyncWriter()
+    w.submit(boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        w.wait()
+    w.wait()  # error consumed; writer reusable
