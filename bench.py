@@ -50,10 +50,15 @@ def main():
 
     np_dim = args.np_dim or (64 if args.small else 128)
     nf = 2 * np_dim                      # fine mesh = 2x particles per dim
-    # single chip: one node, 2 tiles/dim; nf_buf=32 keeps the padded FFT
-    # size FFT-friendly (nf + 64: 576 = 2^6*3^2 for the 256^3 box)
+    # single chip: one node, 2 tiles/dim.  nf_buf only needs to cover the
+    # fine kernel support (nf_cutoff=16); extra buffer is chosen per size
+    # to keep the padded FFT length smooth (288 = 2^5*3^2 at 128^3,
+    # 576 = 2^6*3^2 at 256^3 — 512+2*16 = 544 has a factor 17)
+    buf_extra = 16 if nf + 32 in (544,) else 0
+    nf_buf = 16 + buf_extra
     cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
-                    nf_tile=nf // 2 + 2 * 32, nf_cutoff=16, buf_extra=16,
+                    nf_tile=nf // 2 + 2 * nf_buf, nf_cutoff=16,
+                    buf_extra=buf_extra,
                     density_buffer=1.3, shake=True, pid=False, z_i=100.0,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 PI = math.pi
 # Gravitational constant in grid units (cubepm.par:149).
@@ -127,6 +127,9 @@ class SimConfig:
                                      # fraction of max_np
     pp_cell_capacity: int = 32   # max particles per fine cell for pp bucketing
     pp_coarse_capacity: int = 256  # max particles per coarse cell (pp bucket)
+    pp_pallas: Optional[bool] = None  # PPINT band pass as the fused Pallas
+                                      # TPU kernel (ops/pp_pallas.py);
+                                      # None = auto (on when backend is TPU)
 
     # --- MHD gas (cpp flag MHD; module mpi_tvd_mhd) ---
     mhd: bool = False

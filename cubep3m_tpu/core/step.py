@@ -97,6 +97,8 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     mass_p = cfg.mass_p
     ncells_fine = nf ** 3
     max_buf = max(256, cfg.max_np // 16)  # face buffers; shake moves <= 2*mesh_scale/step
+    use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
+                     else jax.default_backend() == "tpu")
 
     fb = cfg.cosmo.omega_b / cfg.cosmo.omega_m if cfg.mhd else 0.0
     gas_pad = 8  # TVD stencil reach over a fwd+bwd pass (2 sweeps x radius 3)
@@ -142,8 +144,10 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         x = jnp.where(valid[:, None], x, 0.0)
 
         # ---- ownership exchange (particle_pass/delete_particles role) ----
+        # compact=False: the cell sort below orders invalid slots last
+        # anyway, so the exchange skips its compaction argsort+gather
         ex = exchange_mod.exchange_particles(x, state.v, state.pid, valid,
-                                             nf, max_buf)
+                                             nf, max_buf, compact=False)
         x, v, pid, valid = ex.x, ex.v, ex.pid, ex.valid
         # guard residual out-of-range coords (shake can exceed one node
         # width only if nf is tiny; clamp defensively but COUNT it — a
@@ -153,13 +157,27 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         clamp_count = jax.lax.psum(
             jnp.sum(out_of_range.astype(jnp.int32)), AXES)
         x = jnp.clip(x, 0.0, nf - 1e-4)
-        np_local = jnp.sum(valid.astype(jnp.int32))
+        n_valid_ex = jnp.sum(valid.astype(jnp.int32))
+        # capacity: valid slots beyond max_np fall off the sorted tail
+        capacity_drop = jnp.maximum(n_valid_ex - n_slots, 0)
+        np_local = jnp.minimum(n_valid_ex, n_slots)
 
         # ---- sort by fine cell (replaces link_list.f90) ----
-        sp = binning.sort_by_cell(x, valid, nf)
-        x = x[sp.order]
-        v = v[sp.order]
-        pid = pid[sp.order]
+        # sorts the UNCOMPACTED exchange output (invalid slots carry the
+        # sentinel key and sort last); truncating the permutation to
+        # n_slots both compacts and restores the state capacity
+        sp_full = binning.sort_by_cell(x, valid, nf)
+        # one packed row gather instead of three (index traversal dominates
+        # TPU gather cost; payload width is nearly free — scatter_bench)
+        packed = jnp.concatenate(
+            [x, v, pid.view(jnp.float32)[:, None]],
+            axis=1)[sp_full.order[:n_slots]]
+        x = packed[:, 0:3]
+        v = packed[:, 3:6]
+        pid = packed[:, 6].view(jnp.int32)
+        sp = binning.SortedParticles(order=None,
+                                     cell=sp_full.cell[:n_slots],
+                                     rank=sp_full.rank[:n_slots])
         valid = sp.cell < ncells_fine
 
         # dark matter carries (1 - omega_b/omega_m) of the mass in MHD runs
@@ -220,7 +238,8 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
             res = pp.ppint_force(x, sp.cell, sp.rank, ncells_fine,
                                  pp_band, cfg.pp_dense_band, dense_cap,
-                                 mass_pp, cfg.rsoft, cfg.pp_bias)
+                                 mass_pp, cfg.rsoft, cfg.pp_bias,
+                                 use_pallas=use_pp_pallas)
             v = v + jnp.where(valid[:, None], res.force * kick, 0.0)
             fmax_pp = jax.lax.pmax(res.fmax, AXES)
             dt_pp_acc = (jnp.sqrt(cfg.dt_pp_scale * cfg.rsoft)
@@ -248,12 +267,9 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             rho_c_pad = cst.coarse_deposit_from_fine(rho, ms)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
         else:
-            # particles are fine-cell sorted and the coarse CIC base cell
-            # is constant per fine cell, so these scatter indices are
-            # sorted too (lexicographic monotone) -> segment-sum fast path
-            rho_c_pad = deposit.cic_deposit(x, w, (ncp, ncp, ncp), scale=ms,
-                                            offset=-0.5, pad=1,
-                                            sorted_cells=True)
+            # corner-split single-scatter CIC (deposit.cic_deposit_corner)
+            rho_c_pad = deposit.cic_deposit_corner(
+                x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
             if cfg.mhd:
                 # gas mass: sum-pool mesh_scale^3 gas cells
@@ -290,8 +306,8 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                 f_c_fine, x, flat_cells=jnp.clip(sp.cell, 0,
                                                  ncells_fine - 1))
         else:
-            fcp = deposit.cic_gather(f_c_pad, x, scale=ms, offset=-0.5,
-                                     pad=1)
+            fcp = deposit.cic_gather_corner(f_c_pad, x, scale=ms,
+                                            offset=-0.5, pad=1)
         v = v + jnp.where(valid[:, None], fcp * kick, 0.0)
 
         if cfg.mhd:
@@ -313,7 +329,7 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             dt_gas_acc = 4.0 * jax.lax.pmin(
                 tvd_mod.calcfl(gas_u, gas_b, gamma=cfg.gas_gamma), AXES)
 
-        exchange_overflow = jax.lax.psum(ex.overflow, AXES)
+        exchange_overflow = jax.lax.psum(ex.overflow + capacity_drop, AXES)
 
         return SimState(
             x=x, v=v, pid=pid,

@@ -91,6 +91,77 @@ def cic_deposit(pos: jnp.ndarray, weight: jnp.ndarray,
     return grid.reshape(shape)
 
 
+def cic_deposit_corner(pos: jnp.ndarray, weight: jnp.ndarray,
+                       shape: Tuple[int, int, int], scale: float = 1.0,
+                       offset: float = 0.0, pad: int = 0) -> jnp.ndarray:
+    """CIC deposit with ONE scatter (corner-split accumulator).
+
+    Equivalent to `cic_deposit` but TPU-fast: scatter/gather cost on TPU is
+    ~per-INDEX, nearly independent of payload width (scripts/scatter_bench),
+    so instead of 8 corner scatter-adds we scatter all 8 corner weights at
+    the particle's base cell into an (8, nx*ny*nz) accumulator (one
+    (N,)-index scatter with an 8-wide payload in the sublane axis — no
+    layout padding), then recombine with 8 static shifted adds on the tiny
+    coarse grid.  ~4x faster at 128^3 (228 -> 57 ms).
+
+    Requires every corner in range after clipping the base cell to
+    [0, shape-2] — callers use pad >= 1 (as the sweep's coarse deposit
+    does, matching `coarse_cic_mass_buffer.f90` clipping semantics).
+    """
+    nx, ny, nz = shape
+    c0, w0, w1 = _cic_weights(pos, scale, offset)
+    c0 = jnp.clip(c0 + pad, 0, jnp.array(shape) - 2)
+    base = _flat_index(c0, shape)
+    wx = jnp.stack([w0[:, 0], w1[:, 0]])             # (2, N)
+    wy = jnp.stack([w0[:, 1], w1[:, 1]])
+    wz = jnp.stack([w0[:, 2], w1[:, 2]])
+    # (8, N) corner weights, corner-major (dx, dy, dz)
+    w8 = (weight[None] * wx[:, None, None] * wy[None, :, None]
+          * wz[None, None, :]).reshape(8, -1)
+    acc = jnp.zeros((8, nx * ny * nz), jnp.float32)
+    acc = acc.at[:, base].add(w8)
+    acc = acc.reshape(2, 2, 2, nx, ny, nz)
+    grid = jnp.zeros((nx, ny, nz), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                grid = grid.at[dx:, dy:, dz:].add(
+                    acc[dx, dy, dz, :nx - dx, :ny - dy, :nz - dz])
+    return grid
+
+
+def cic_gather_corner(field: jnp.ndarray, pos: jnp.ndarray,
+                      scale: float = 1.0, offset: float = 0.0,
+                      pad: int = 0) -> jnp.ndarray:
+    """CIC interpolation with ONE gather (corner-packed field).
+
+    Equivalent to `cic_gather` for (C, X, Y, Z) fields: the 8 corner values
+    of every cell are pre-packed into a (8*C, X*Y*Z) table by static shifts
+    (dense, tiny at coarse resolution), then one (N,)-index gather reads all
+    corners of a particle's base cell and the trilinear dot happens on the
+    VPU.  8x fewer gather indices (256 -> ~60 ms at 128^3).
+    """
+    C = field.shape[0]
+    nx, ny, nz = field.shape[-3:]
+    c0, w0, w1 = _cic_weights(pos, scale, offset)
+    c0 = jnp.clip(c0 + pad, 0, jnp.array(field.shape[-3:]) - 2)
+    base = _flat_index(c0, (nx, ny, nz))
+    corners = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corners.append(jnp.pad(
+                    field[:, dx:, dy:, dz:],
+                    ((0, 0), (0, dx), (0, dy), (0, dz))))
+    packed = jnp.stack(corners).reshape(8 * C, -1)   # (8C, XYZ)
+    vals = packed[:, base].reshape(2, 2, 2, C, -1)   # one gather
+    wx = jnp.stack([w0[:, 0], w1[:, 0]])             # (2, N)
+    wy = jnp.stack([w0[:, 1], w1[:, 1]])
+    wz = jnp.stack([w0[:, 2], w1[:, 2]])
+    out = jnp.einsum("xyzcn,xn,yn,zn->nc", vals, wx, wy, wz)
+    return out
+
+
 def ngp_gather(field: jnp.ndarray, pos: jnp.ndarray,
                offset: float = 0.0,
                flat_cells: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -180,12 +180,26 @@ def ppint_dense_tail(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
 
 def ppint_force(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
                 ncells: int, band: int, dense_band: int, dense_cap: int,
-                mass_p: float, rsoft: float, pp_bias: float) -> PPResult:
+                mass_p: float, rsoft: float, pp_bias: float,
+                use_pallas: bool = False,
+                pallas_interpret: bool = False) -> PPResult:
     """Complete PPINT force: band pass + dense tail.  Overflow counts only
     pairs genuinely dropped (occupancy > dense_band+1 or dense buffer
-    exhausted)."""
-    res = ppint_band_force(pos, cell, rank, ncells, band, mass_p, rsoft,
-                           pp_bias)
+    exhausted).  `use_pallas` runs the band pass as the fused Pallas TPU
+    kernel (ops/pp_pallas.py) instead of the XLA fori_loop."""
+    if use_pallas:
+        from . import pp_pallas
+        force = pp_pallas.ppint_band_force_pallas(
+            pos, cell, band, mass_p, rsoft, pp_bias,
+            interpret=pallas_interpret)
+        real = cell < ncells
+        res = PPResult(
+            force=force,
+            fmax=jnp.sqrt(jnp.max(jnp.sum(force * force, axis=-1))),
+            overflow=jnp.sum(((rank > band) & real).astype(jnp.int32)))
+    else:
+        res = ppint_band_force(pos, cell, rank, ncells, band, mass_p,
+                               rsoft, pp_bias)
     if dense_band <= band:
         return res
     occ = cell_occupancy(cell, rank)

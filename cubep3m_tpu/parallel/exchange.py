@@ -7,8 +7,16 @@ three sequential axis passes: every particle is classified once by its
 3-axis direction vector d in {-1,0,1}^3, one stable sort groups the 26
 outgoing classes into contiguous segments, and each segment ships straight
 to its (possibly diagonal) neighbor with a statically-permuted `ppermute`
-over the full mesh.  One sort + one merge replaces the reference's 6-pass
+over the full mesh.  One sort replaces the reference's 6-pass
 pack/send/unpack/relink cycle.
+
+TPU cost shape (scripts/scatter_bench): gather/scatter cost is per-INDEX,
+payload width nearly free — so x/v/pid travel as ONE packed (N, 7) row
+matrix through a single class-sort gather, per-class counts come from
+searchsorted on the sorted keys (29 probes) instead of a length-N bincount
+scatter, and compaction is NOT done here: the caller's cell sort orders
+invalid slots last anyway (`compact=False` path), so the merge argsort is
+deleted.
 
 Buffer sizing: faces carry the bulk of the traffic (the mesh shake moves
 every particle by up to 2*mesh_scale per step), edges and corners scale
@@ -53,9 +61,15 @@ def _mesh_perm(nd: int, d) -> list:
 
 def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
                        valid: jnp.ndarray, nf_node: int, max_buf: int,
-                       axis_names=AXES) -> ExchangeResult:
+                       axis_names=AXES,
+                       compact: bool = True) -> ExchangeResult:
     """Move particles whose coordinates left [0, nf_node) to their owning
-    neighbor (single hop; drift+shake < one node width per step)."""
+    neighbor (single hop; drift+shake < one node width per step).
+
+    With `compact=False` the result arrays have max_np + total-buffer rows
+    and are NOT compacted (use `valid`); callers that re-sort anyway (the
+    sweep's cell sort) skip a full argsort+gather that way.
+    """
     max_np = x.shape[0]
     nd = 1
     try:
@@ -71,18 +85,21 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     # shift leaving coordinates into the destination frame
     xs = x - d.astype(x.dtype) * float(nf_node)
 
-    # --- one stable sort groups the classes ----------------------------
+    # --- one stable sort groups the classes; ONE packed payload gather -
     order = jnp.argsort(cls)
     cls_s = cls[order]
+    payload = jnp.concatenate(
+        [xs, v, pid.view(jnp.float32)[:, None]], axis=1)[order]   # (N, 7)
     # pad so dynamic slices below never clamp (clamped starts would pull
     # rows from neighboring class segments)
-    pad = max_np
-    xs = jnp.concatenate([xs[order], jnp.zeros((pad, 3), x.dtype)])
-    vs = jnp.concatenate([v[order], jnp.zeros((pad, 3), v.dtype)])
-    ps = jnp.concatenate([pid[order], jnp.zeros((pad,), pid.dtype)])
-    counts = jnp.zeros(29, jnp.int32).at[jnp.clip(cls_s, 0, 28)].add(1)
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                              jnp.cumsum(counts)[:-1]])
+    payload = jnp.concatenate(
+        [payload, jnp.zeros((max_buf, 7), payload.dtype)])
+    # per-class offsets from the sorted keys (29 probes instead of a
+    # length-N bincount scatter)
+    bounds = jnp.searchsorted(cls_s, jnp.arange(29, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    counts = bounds[1:] - bounds[:-1]                    # (28,)
+    starts = bounds[:-1]
 
     overflow = jnp.asarray(0, jnp.int32)
     face_buf = max_buf
@@ -90,52 +107,47 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     corner_buf = max(64, max_buf // 32)
 
     # --- ship each class to its neighbor -------------------------------
-    recv_f, recv_i = [], []
+    recv = []
     for ci, dd in enumerate(DIRS):
         if ci == STAY:
             continue
         order1 = sum(abs(c) for c in dd)
         buf = (face_buf if order1 == 1 else
                edge_buf if order1 == 2 else corner_buf)
-        seg = jax.lax.dynamic_slice_in_dim(xs, starts[ci], buf, axis=0)
-        segv = jax.lax.dynamic_slice_in_dim(vs, starts[ci], buf, axis=0)
-        segp = jax.lax.dynamic_slice_in_dim(ps, starts[ci], buf, axis=0)
+        seg = jax.lax.dynamic_slice_in_dim(payload, starts[ci], buf, axis=0)
         ok = jnp.arange(buf, dtype=jnp.int32) < counts[ci]
-        fbuf = jnp.concatenate([seg, segv], axis=1)
-        fbuf = jnp.where(ok[:, None], fbuf, 0.0)
-        ibuf = jnp.stack([jnp.where(ok, segp, 0), ok.astype(jnp.int32)], 1)
+        seg = jnp.concatenate([jnp.where(ok[:, None], seg, 0.0),
+                               ok[:, None].astype(jnp.float32)], axis=1)
         overflow = overflow + jnp.maximum(counts[ci] - buf, 0)
         if nd > 1:
-            perm = _mesh_perm(nd, dd)
-            fbuf = jax.lax.ppermute(fbuf, axis_names, perm)
-            ibuf = jax.lax.ppermute(ibuf, axis_names, perm)
-        recv_f.append(fbuf)
-        recv_i.append(ibuf)
+            seg = jax.lax.ppermute(seg, axis_names, _mesh_perm(nd, dd))
+        recv.append(seg)
 
     # --- merge: stay segment + received --------------------------------
     stay_start = starts[STAY]
     n_stay = counts[STAY]
-    stay_x = jax.lax.dynamic_slice_in_dim(xs, stay_start, max_np, axis=0)
-    stay_v = jax.lax.dynamic_slice_in_dim(vs, stay_start, max_np, axis=0)
-    stay_p = jax.lax.dynamic_slice_in_dim(ps, stay_start, max_np, axis=0)
+    stay = jax.lax.dynamic_slice_in_dim(payload, stay_start, max_np, axis=0)
     stay_ok = jnp.arange(max_np, dtype=jnp.int32) < n_stay
+    stay = jnp.concatenate([stay, stay_ok[:, None].astype(jnp.float32)],
+                           axis=1)
 
-    rf = jnp.concatenate(recv_f)
-    ri = jnp.concatenate(recv_i)
-    all_x = jnp.concatenate([stay_x, rf[:, 0:3]])
-    all_v = jnp.concatenate([stay_v, rf[:, 3:6]])
-    all_p = jnp.concatenate([stay_p, ri[:, 0]])
-    all_ok = jnp.concatenate([stay_ok, ri[:, 1] > 0])
+    allp = jnp.concatenate([stay] + recv)                # (max_np + R, 8)
+    all_ok = allp[:, 7] > 0.0
+
+    if not compact:
+        return ExchangeResult(
+            x=allp[:, 0:3], v=allp[:, 3:6],
+            pid=allp[:, 6].view(jnp.int32),
+            valid=all_ok, overflow=overflow)
 
     morder = jnp.argsort(~all_ok)          # compaction via (cheap) sort
     keep = morder[:max_np]
     n_valid = jnp.sum(all_ok.astype(jnp.int32))
     overflow = overflow + jnp.maximum(n_valid - max_np, 0)
-    x_o = all_x[keep]
-    v_o = all_v[keep]
-    p_o = all_p[keep]
-    ok_o = all_ok[keep]
-    x_o = jnp.where(ok_o[:, None], x_o, 0.0)
-    v_o = jnp.where(ok_o[:, None], v_o, 0.0)
-    return ExchangeResult(x=x_o, v=v_o, pid=p_o, valid=ok_o,
-                          overflow=overflow)
+    kept = allp[keep]
+    ok_o = kept[:, 7] > 0.0
+    return ExchangeResult(
+        x=jnp.where(ok_o[:, None], kept[:, 0:3], 0.0),
+        v=jnp.where(ok_o[:, None], kept[:, 3:6], 0.0),
+        pid=kept[:, 6].view(jnp.int32),
+        valid=ok_o, overflow=overflow)

@@ -95,17 +95,33 @@ def main():
     ppf = jax.jit(lambda xx: pp.ppint_band_force(
         xx, sp.cell, sp.rank, nf ** 3, 32, cfg.mass_p, cfg.rsoft,
         cfg.pp_bias).force)
-    timeit("ppint_band(32)", ppf, xs)
+    timeit("ppint_band(32) xla", ppf, xs)
+
+    from cubep3m_tpu.ops import pp_pallas
+    ppp = jax.jit(lambda xx: pp_pallas.ppint_band_force_pallas(
+        xx, sp.cell, 32, cfg.mass_p, cfg.rsoft, cfg.pp_bias))
+    timeit("ppint_band(32) pallas", ppp, xs)
 
     def coarse(xx, kc):
         ncp = nc + 2
-        rc = fold_pads(deposit.cic_deposit(xx, w, (ncp,) * 3, scale=ms,
-                                           offset=-0.5, pad=1), 1)
+        rc = fold_pads(deposit.cic_deposit_corner(
+            xx, w, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1)
         fc = fftconv.coarse_force(rc, kc)
         fcp = jnp.pad(fc, ((0, 0), (1, 1), (1, 1), (1, 1)), mode="wrap")
-        return deposit.cic_gather(fcp, xx, scale=ms, offset=-0.5, pad=1)
+        return deposit.cic_gather_corner(fcp, xx, scale=ms, offset=-0.5,
+                                         pad=1)
 
-    timeit("coarse cic+FFT+gather", jax.jit(coarse), xs, kern_c)
+    timeit("coarse corner+FFT+gather", jax.jit(coarse), xs, kern_c)
+
+    from cubep3m_tpu.parallel import exchange as ex_mod
+    pid0 = jnp.zeros((cap,), jnp.int32)
+
+    def exch(xx):
+        return ex_mod.exchange_particles(xx, xx, pid0, valid, nf,
+                                         max(256, cap // 16),
+                                         compact=False)
+
+    timeit("exchange(no-compact)", jax.jit(exch), x)
 
 
 if __name__ == "__main__":
