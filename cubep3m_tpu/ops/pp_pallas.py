@@ -33,22 +33,25 @@ _T = 896
 _MARGIN = 64          # >= band; keeps W = 1024 a multiple of 128
 
 
+_ROWS = 8             # windows per pallas block (sublane tiling constraint)
+
+
 def _band_kernel(win_x, win_y, win_z, win_c, fx_ref, fy_ref, fz_ref, *,
                  band: int, mass_p: float, rsoft2: float, bias3: float):
-    xi = win_x[0, _MARGIN:_MARGIN + _T]
-    yi = win_y[0, _MARGIN:_MARGIN + _T]
-    zi = win_z[0, _MARGIN:_MARGIN + _T]
-    ci = win_c[0, _MARGIN:_MARGIN + _T]
-    fx = jnp.zeros((_T,), jnp.float32)
-    fy = jnp.zeros((_T,), jnp.float32)
-    fz = jnp.zeros((_T,), jnp.float32)
+    xi = win_x[:, _MARGIN:_MARGIN + _T]
+    yi = win_y[:, _MARGIN:_MARGIN + _T]
+    zi = win_z[:, _MARGIN:_MARGIN + _T]
+    ci = win_c[:, _MARGIN:_MARGIN + _T]
+    fx = jnp.zeros((_ROWS, _T), jnp.float32)
+    fy = jnp.zeros((_ROWS, _T), jnp.float32)
+    fz = jnp.zeros((_ROWS, _T), jnp.float32)
     for d in range(1, band + 1):
         for s in (d, -d):
             o = _MARGIN + s
-            xj = win_x[0, o:o + _T]
-            yj = win_y[0, o:o + _T]
-            zj = win_z[0, o:o + _T]
-            cj = win_c[0, o:o + _T]
+            xj = win_x[:, o:o + _T]
+            yj = win_y[:, o:o + _T]
+            zj = win_z[:, o:o + _T]
+            cj = win_c[:, o:o + _T]
             dx = xi - xj
             dy = yi - yj
             dz = zi - zj
@@ -60,9 +63,9 @@ def _band_kernel(win_x, win_y, win_z, win_c, fx_ref, fy_ref, fz_ref, *,
             fx -= dx * inv
             fy -= dy * inv
             fz -= dz * inv
-    fx_ref[0, :] = fx
-    fy_ref[0, :] = fy
-    fz_ref[0, :] = fz
+    fx_ref[:, :] = fx
+    fy_ref[:, :] = fy
+    fz_ref[:, :] = fz
 
 
 def _windows(lane: jnp.ndarray, nblk: int, fill) -> jnp.ndarray:
@@ -92,7 +95,7 @@ def ppint_band_force_pallas(pos: jnp.ndarray, cell: jnp.ndarray, band: int,
     """
     assert band <= _MARGIN, f"band {band} exceeds kernel margin {_MARGIN}"
     n = pos.shape[0]
-    nblk = -(-n // _T)
+    nblk = _ROWS * (-(-n // (_T * _ROWS)))   # window rows, multiple of 8
     pad = nblk * _T - n
     # padding slots: unique-ish sentinel cell would still equal each other,
     # but their positions coincide (0) so r2 <= rsoft2 masks them out —
@@ -111,12 +114,13 @@ def ppint_band_force_pallas(pos: jnp.ndarray, cell: jnp.ndarray, band: int,
     kern = functools.partial(
         _band_kernel, band=band, mass_p=float(mass_p),
         rsoft2=float(rsoft) ** 2, bias3=float(pp_bias) ** 3)
-    row = pl.BlockSpec((1, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_row = pl.BlockSpec((1, _T), lambda i: (i, 0),
+    row = pl.BlockSpec((_ROWS, W), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    out_row = pl.BlockSpec((_ROWS, _T), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     fx, fy, fz = pl.pallas_call(
         kern,
-        grid=(nblk,),
+        grid=(nblk // _ROWS,),
         in_specs=[row, row, row, row],
         out_specs=(out_row, out_row, out_row),
         out_shape=tuple(jax.ShapeDtypeStruct((nblk, _T), jnp.float32)
