@@ -236,3 +236,37 @@ def power_on_device(cfg: SimConfig, x: jnp.ndarray, n_valid,
     delta2 = pk * k_phys ** 3 / (2 * math.pi ** 2)
     return PowerSpectrum(k=k_phys, delta2=delta2, pk=pk,
                          nmodes=counts[ok])
+
+
+def coarse_grid_global(cfg: SimConfig, state, mesh) -> np.ndarray:
+    """Global coarse CIC density grid from a sharded multi-device state.
+
+    Deposit + halo fold + all_gather run on device under shard_map; only
+    the nc_dim^3 grid (a few MB) moves to host — the per-step `coarse_ps`
+    diagnostic path for nodes_dim > 1 (coarse_power.f90 role) without
+    pulling the particle arrays.
+    """
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel import halo as halo_mod
+    from ..parallel.mesh import AXES
+
+    nf = cfg.nf_physical_node_dim
+    nc = cfg.nc_node_dim
+    ncp = nc + 2
+    ms = cfg.mesh_scale
+
+    def local(x, np_local):
+        valid = jnp.arange(x.shape[0]) < np_local[0]
+        w = jnp.where(valid, jnp.float32(1.0), 0.0)
+        g = cic_deposit(x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1)
+        g = halo_mod.halo_fold(g, 1)
+        return halo_mod.all_gather_grid(g)
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXES), P(AXES)),
+        out_specs=P(),
+        check_vma=False))
+    return np.asarray(fn(state.x, state.np_local))

@@ -237,9 +237,12 @@ class Simulation:
             ps = pw.power_on_device(cfg, state.x, int(state.np_local[0]),
                                     ngrid=cfg.nc_dim)
         else:
-            from ..state import gather_global
-            x, _, _ = gather_global(cfg, state)
-            ps = pw.power_of_particles(cfg, x, ngrid=cfg.nc_dim)
+            # device-side deposit; only the small coarse grid moves to host
+            grid = pw.coarse_grid_global(cfg, state, self.mesh)
+            n_tot = int(np.sum(np.asarray(state.np_local)))
+            delta = grid * (grid.size / n_tot) - 1.0
+            ps = pw.measure_power(delta, cfg.box, assignment="cic",
+                                  subtract_shot=None)
         self.coarse_ps_log.append((int(state.nts), float(state.a),
                                    ps.k, ps.pk))
 

@@ -153,3 +153,28 @@ def test_async_writer_surfaces_errors():
     with pytest.raises(RuntimeError, match="disk full"):
         w.wait()
     w.wait()  # error consumed; writer reusable
+
+
+def test_coarse_ps_multidevice_device_resident():
+    """Multi-device coarse_ps uses the device-side deposit path (no
+    particle gather) and matches the single-device spectrum."""
+    from cubep3m_tpu.core import step as step_mod
+
+    def run(nd, tiles):
+        cfg = small_config(nodes_dim=nd, tiles_node_dim=tiles, z_i=50.0,
+                           coarse_ps=True, shake=False)
+        nf = cfg.nf_physical_dim
+        x = np.random.default_rng(7).uniform(
+            0, nf, (2000, 3)).astype(np.float32)
+        v = np.zeros_like(x)
+        sim = Simulation(cfg)
+        st = state_mod.distribute_global(cfg, x, v)
+        st = step_mod.shard_state(st, sim.mesh)
+        st, _ = sim.step(st)
+        return sim.coarse_ps_log[0]
+
+    _, _, k1, pk1 = run(1, 4)
+    _, _, k8, pk8 = run(2, 2)
+    np.testing.assert_allclose(k8, k1, rtol=1e-5)
+    # same realization, same deposit -> same spectrum to fp tolerance
+    np.testing.assert_allclose(pk8, pk1, rtol=2e-3, atol=1e-10)
