@@ -130,6 +130,15 @@ class SimConfig:
     pp_pallas: Optional[bool] = None  # PPINT band pass as the fused Pallas
                                       # TPU kernel (ops/pp_pallas.py);
                                       # None = auto (on when backend is TPU)
+    coarse_corner_deposit: bool = False  # corner-split single-scatter coarse
+                                         # CIC deposit: ~1.5x faster steady
+                                         # state (153 vs 228 ms at 128^3) but
+                                         # the windowed scatter costs ~330 s
+                                         # of XLA compile — enable for long
+                                         # production runs, off for quick
+                                         # benches (the corner GATHER is
+                                         # always on: 4x faster, cheap
+                                         # compile)
 
     # --- MHD gas (cpp flag MHD; module mpi_tvd_mhd) ---
     mhd: bool = False

@@ -267,9 +267,17 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             rho_c_pad = cst.coarse_deposit_from_fine(rho, ms)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
         else:
-            # corner-split single-scatter CIC (deposit.cic_deposit_corner)
-            rho_c_pad = deposit.cic_deposit_corner(
-                x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1)
+            if cfg.coarse_corner_deposit:
+                # corner-split single-scatter CIC (fast steady state,
+                # ~330 s extra XLA compile — see config.py)
+                rho_c_pad = deposit.cic_deposit_corner(
+                    x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1)
+            else:
+                # particles are fine-cell sorted, so the per-corner coarse
+                # scatter indices are monotone -> segment-sum fast path
+                rho_c_pad = deposit.cic_deposit(
+                    x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,
+                    sorted_cells=True)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
             if cfg.mhd:
                 # gas mass: sum-pool mesh_scale^3 gas cells
