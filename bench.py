@@ -33,6 +33,17 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="stencil coarse kick + potential fine solve "
                          "(quantized variants; see DESIGN.md)")
+    ap.add_argument("--buffer", type=float, default=1.3,
+                    help="density_buffer (single-chip runs conserve "
+                         "np_local exactly, so 1.05 cuts ~20%% of every "
+                         "index op's padding-slot traversals)")
+    ap.add_argument("--corner-deposit", action="store_true",
+                    help="corner-split coarse CIC deposit: 1.5x faster "
+                         "steady state, ~330s extra first-time compile "
+                         "(cached afterwards)")
+    ap.add_argument("--staged", action="store_true",
+                    help="three-jit staged sweep (the fused 512^3-mesh "
+                         "program OOM-kills the tunnel's compile helper)")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +70,8 @@ def main():
     cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
                     nf_tile=nf // 2 + 2 * nf_buf, nf_cutoff=16,
                     buf_extra=buf_extra,
-                    density_buffer=1.3, shake=True, pid=False, z_i=100.0,
+                    density_buffer=args.buffer, shake=True, pid=False,
+                    z_i=100.0, coarse_corner_deposit=args.corner_deposit,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     assert cfg.nf_physical_dim == nf
@@ -69,7 +81,8 @@ def main():
     kern_f = jnp.asarray(kern_f)
     kern_c = jnp.asarray(kern_c)
     mesh = make_sim_mesh(1)
-    sweep = step_mod.make_sweep(cfg, mesh)
+    sweep = (step_mod.make_staged_sweep(cfg, mesh) if args.staged
+             else step_mod.make_sweep(cfg, mesh))
     print(f"# kernels built in {time.time() - t0:.1f}s; "
           f"{cfg.summary()}", file=sys.stderr)
 

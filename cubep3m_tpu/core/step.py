@@ -371,6 +371,219 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     return jitted
 
 
+def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
+    """The sweep as THREE separately-compiled shard_map programs.
+
+    Numerically identical to `make_sweep` for non-MHD configs (pinned by
+    tests/test_staged.py).  Exists because AOT/remote compilers can OOM on
+    the monolithic program — the fused 512^3-mesh sweep SIGKILLs the TPU
+    tunnel's compile helper — while each stage compiles comfortably.
+    Stage boundaries materialize the particle arrays in HBM (~100s of MB
+    at 256^3, ~ms of bandwidth) that XLA would otherwise fuse through.
+
+    Stages: A = shake+drift+exchange+sort (particle reorder);
+    B = fine level (deposit, halo, FFT force, NGP/CIC kick) + PP;
+    C = coarse level (CIC deposit, global FFT force, kick) + dt limiters.
+
+    Returns staged_sweep(state, kern_f_im, kern_c_im, a_mid, dt, a_new,
+    tau_new, t_new) -> state, like make_sweep.
+    """
+    cfg.validate()
+    if cfg.mhd:
+        raise NotImplementedError("staged sweep covers non-MHD configs; "
+                                  "MHD runs use the fused make_sweep")
+    nf = cfg.nf_physical_node_dim
+    nf_buf = cfg.nf_buf
+    nc = cfg.nc_node_dim
+    ms = cfg.mesh_scale
+    mass_p = cfg.mass_p
+    ncells_fine = nf ** 3
+    max_buf = max(256, cfg.max_np // 16)
+    use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
+                     else jax.default_backend() == "tpu")
+
+    def a_local(state: SimState, a_mid, dt):
+        dt = jnp.asarray(dt, jnp.float32)
+        n_slots = state.x.shape[0]
+        valid = jnp.arange(n_slots) < state.np_local[0]
+        rng = state.rng
+        if cfg.shake:
+            rng, sub = jax.random.split(rng)
+            offset = ((jax.random.uniform(sub, (3,)) - 0.5)
+                      * (4.0 * ms) - state.shake_offset)
+            shake_offset = state.shake_offset + offset
+        else:
+            offset = jnp.zeros(3, jnp.float32)
+            shake_offset = state.shake_offset
+        x = state.x + state.v * (0.5 * (dt + state.dt_old)) + offset
+        x = jnp.where(valid[:, None], x, 0.0)
+        ex = exchange_mod.exchange_particles(x, state.v, state.pid, valid,
+                                             nf, max_buf, compact=False)
+        x, v, pid, valid = ex.x, ex.v, ex.pid, ex.valid
+        out_of_range = valid & jnp.any((x < 0.0) | (x >= nf), axis=-1)
+        clamp_count = jax.lax.psum(
+            jnp.sum(out_of_range.astype(jnp.int32)), AXES)
+        x = jnp.clip(x, 0.0, nf - 1e-4)
+        n_valid_ex = jnp.sum(valid.astype(jnp.int32))
+        capacity_drop = jnp.maximum(n_valid_ex - n_slots, 0)
+        np_local = jnp.minimum(n_valid_ex, n_slots)
+        sp_full = binning.sort_by_cell(x, valid, nf)
+        packed = jnp.concatenate(
+            [x, v, pid.view(jnp.float32)[:, None]],
+            axis=1)[sp_full.order[:n_slots]]
+        exchange_overflow = jax.lax.psum(ex.overflow + capacity_drop, AXES)
+        return (packed[:, 0:3], packed[:, 3:6],
+                packed[:, 6].view(jnp.int32),
+                sp_full.cell[:n_slots], sp_full.rank[:n_slots],
+                np_local[None], rng, shake_offset, clamp_count,
+                exchange_overflow)
+
+    def b_local(x, v, cell, rank, kern_f_im, a_mid, dt):
+        a_mid = jnp.asarray(a_mid, jnp.float32)
+        kick = a_mid * G * jnp.asarray(dt, jnp.float32)
+        valid = cell < ncells_fine
+        w = jnp.where(valid, jnp.float32(mass_p), 0.0)
+        if cfg.ngp:
+            rho = deposit.ngp_deposit(x, w, (nf, nf, nf),
+                                      sorted_cells=True)
+        else:
+            rho = halo_mod.halo_fold(deposit.cic_deposit(
+                x, w, (nf + 2, nf + 2, nf + 2), scale=1.0, offset=-0.5,
+                pad=1), 1)
+        rho_halo = halo_mod.halo_pad(rho, nf_buf)
+        if cfg.fine_potential:
+            f_fine = fftconv.fine_force_potential(rho_halo, kern_f_im,
+                                                  nf_buf, nf)
+        else:
+            f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf)
+        fmax2_f = jnp.max(jnp.sum(f_fine * f_fine, axis=0))
+        if cfg.ngp:
+            fp = deposit.ngp_gather(
+                f_fine, x, flat_cells=jnp.clip(cell, 0, ncells_fine - 1))
+        else:
+            fp = deposit.cic_gather(halo_mod.halo_pad(f_fine, 1), x,
+                                    scale=1.0, offset=-0.5, pad=1)
+        v = v + jnp.where(valid[:, None], fp * kick, 0.0)
+        fmax_f = jnp.sqrt(jax.lax.pmax(fmax2_f, AXES))
+        dt_f_acc = 1.0 / jnp.sqrt(jnp.maximum(1e-4, fmax_f) * a_mid * G)
+
+        pp_overflow = jnp.asarray(0, jnp.int32)
+        dt_pp_acc = jnp.asarray(1000.0, jnp.float32)
+        dt_pp_ext_acc = jnp.asarray(1000.0, jnp.float32)
+        bucket_overflow = jnp.asarray(0, jnp.int32)
+        if cfg.pp:
+            dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
+            res = pp.ppint_force(x, cell, rank, ncells_fine, pp_band,
+                                 cfg.pp_dense_band, dense_cap, mass_p,
+                                 cfg.rsoft, cfg.pp_bias,
+                                 use_pallas=use_pp_pallas)
+            v = v + jnp.where(valid[:, None], res.force * kick, 0.0)
+            fmax_pp = jax.lax.pmax(res.fmax, AXES)
+            dt_pp_acc = (jnp.sqrt(cfg.dt_pp_scale * cfg.rsoft)
+                         / jnp.maximum(jnp.sqrt(fmax_pp * a_mid * G),
+                                       1e-3))
+            pp_overflow = jax.lax.psum(res.overflow, AXES)
+        if cfg.pp_ext:
+            buckets = pp.bucket_by_coarse_cell(x, valid, nc, ms,
+                                               cfg.pp_coarse_capacity)
+            res = pp.pp_ext_force(x, buckets, nc, ms, cfg.pp_range,
+                                  cfg.nf_cutoff, mass_p, cfg.rsoft,
+                                  cfg.pp_bias)
+            v = v + jnp.where(valid[:, None], res.force * kick, 0.0)
+            fmax_ppe = jax.lax.pmax(res.fmax, AXES)
+            dt_pp_ext_acc = (jnp.sqrt(cfg.dt_pp_ext_scale * cfg.rsoft)
+                             / jnp.maximum(jnp.sqrt(fmax_ppe * a_mid * G),
+                                           1e-3))
+            bucket_overflow = jax.lax.psum(res.overflow, AXES)
+        return (v, rho, dt_f_acc.astype(jnp.float32),
+                dt_pp_acc.astype(jnp.float32),
+                dt_pp_ext_acc.astype(jnp.float32), pp_overflow,
+                bucket_overflow)
+
+    def c_local(x, v, cell, rho, kern_c_im, a_mid, dt):
+        a_mid = jnp.asarray(a_mid, jnp.float32)
+        kick = a_mid * G * jnp.asarray(dt, jnp.float32)
+        valid = cell < ncells_fine
+        w = jnp.where(valid, jnp.float32(mass_p), 0.0)
+        ncp = nc + 2
+        if cfg.coarse_from_fine:
+            from ..ops import coarse_stencil as cst
+            rho_c_pad = cst.coarse_deposit_from_fine(rho, ms)
+            rho_c = halo_mod.halo_fold(rho_c_pad, 1)
+        elif cfg.coarse_corner_deposit:
+            rho_c = halo_mod.halo_fold(deposit.cic_deposit_corner(
+                x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
+        else:
+            rho_c = halo_mod.halo_fold(deposit.cic_deposit(
+                x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,
+                sorted_cells=True), 1)
+        if cfg.coarse_pencil_fft:
+            from ..parallel import pfft as pfft_mod
+            f_c_local = pfft_mod.coarse_force_pencil(rho_c, kern_c_im, nc)
+            f_c_pad = halo_mod.halo_pad(f_c_local, 1)
+        else:
+            rho_c_glob = halo_mod.all_gather_grid(rho_c)
+            f_c_glob = fftconv.coarse_force(rho_c_glob, kern_c_im)
+            cx, cy, cz = halo_mod.device_coords()
+            f_c_wrap = jnp.pad(f_c_glob, ((0, 0), (1, 1), (1, 1), (1, 1)),
+                               mode="wrap")
+            f_c_pad = jax.lax.dynamic_slice(
+                f_c_wrap, (0, cx * nc, cy * nc, cz * nc),
+                (3, ncp, ncp, ncp))
+        fmax_c_local = jnp.max(jnp.sum(
+            f_c_pad[:, 1:-1, 1:-1, 1:-1] ** 2, axis=0))
+        fmax_c = jnp.sqrt(jax.lax.pmax(fmax_c_local, AXES))
+        dt_c_acc = jnp.sqrt(ms / (fmax_c * a_mid * G))
+        if cfg.coarse_from_fine:
+            from ..ops import coarse_stencil as cst
+            f_c_fine = cst.coarse_gather_to_fine(f_c_pad, ms)
+            fcp = deposit.ngp_gather(
+                f_c_fine, x, flat_cells=jnp.clip(cell, 0,
+                                                 ncells_fine - 1))
+        else:
+            fcp = deposit.cic_gather_corner(f_c_pad, x, scale=ms,
+                                            offset=-0.5, pad=1)
+        v = v + jnp.where(valid[:, None], fcp * kick, 0.0)
+        return v, dt_c_acc.astype(jnp.float32)
+
+    pa = P(AXES)
+    r = P()
+    grid_spec = P(*AXES)
+    specs = state_specs(mhd=False)
+    a_jit = jax.jit(shard_map(
+        a_local, mesh=mesh, in_specs=(specs, r, r),
+        out_specs=(pa, pa, pa, pa, pa, pa, r, r, r, r), check_vma=False))
+    b_jit = jax.jit(shard_map(
+        b_local, mesh=mesh, in_specs=(pa, pa, pa, pa, r, r, r),
+        out_specs=(pa, grid_spec, r, r, r, r, r), check_vma=False))
+    c_jit = jax.jit(shard_map(
+        c_local, mesh=mesh, in_specs=(pa, pa, pa, grid_spec, r, r, r),
+        out_specs=(pa, r), check_vma=False))
+
+    def staged_sweep(state: SimState, kern_f_im, kern_c_im, a_mid, dt,
+                     a_new, tau_new, t_new) -> SimState:
+        (x, v, pid, cell, rank, np_local, rng, shake_offset, clamp_count,
+         exchange_overflow) = a_jit(state, a_mid, dt)
+        (v, rho, dt_f_acc, dt_pp_acc, dt_pp_ext_acc, pp_overflow,
+         bucket_overflow) = b_jit(x, v, cell, rank, kern_f_im, a_mid, dt)
+        v, dt_c_acc = c_jit(x, v, cell, rho, kern_c_im, a_mid, dt)
+        return SimState(
+            x=x, v=v, pid=pid, np_local=np_local,
+            a=jnp.asarray(a_new, jnp.float32),
+            tau=jnp.asarray(tau_new, jnp.float32),
+            t=jnp.asarray(t_new, jnp.float32),
+            dt_old=jnp.asarray(dt, jnp.float32), nts=state.nts + 1,
+            dt_f_acc=dt_f_acc, dt_pp_acc=dt_pp_acc,
+            dt_pp_ext_acc=dt_pp_ext_acc, dt_c_acc=dt_c_acc,
+            dt_gas_acc=jnp.asarray(1000.0, jnp.float32),
+            shake_offset=shake_offset,
+            pp_overflow=pp_overflow + exchange_overflow,
+            bucket_overflow=bucket_overflow, clamp_count=clamp_count,
+            rng=rng, gas_u=state.gas_u, gas_b=state.gas_b)
+
+    return staged_sweep
+
+
 def make_chunked_sweep(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
     """lax.scan over `chunk` sweeps with ON-DEVICE dt decisions.
 

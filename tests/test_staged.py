@@ -1,0 +1,72 @@
+"""Staged (3-jit) sweep vs the fused sweep: identical trajectories.
+
+The staged path exists because AOT/remote compilers OOM on the fused
+512^3-mesh program (see step.make_staged_sweep); it must remain
+numerically IDENTICAL to make_sweep for non-MHD configs.
+"""
+import jax
+import numpy as np
+import pytest
+
+from cubep3m_tpu import small_config
+from cubep3m_tpu import state as state_mod
+from cubep3m_tpu import kernels as km
+from cubep3m_tpu.core import step as step_mod
+from cubep3m_tpu.parallel.mesh import make_sim_mesh
+
+import jax.numpy as jnp
+
+
+def _run(cfg, sweep_fn, steps=3):
+    if cfg.nodes_dim == 1:
+        st = state_mod.random_ic(cfg, seed=9)
+    else:
+        rng = np.random.default_rng(9)
+        nfg = cfg.nf_physical_dim
+        x = rng.uniform(0, nfg, (2000, 3)).astype(np.float32)
+        v = (rng.normal(size=(2000, 3)) * 0.1).astype(np.float32)
+        st = state_mod.distribute_global(cfg, x, v)
+    mesh = make_sim_mesh(cfg.nodes_dim)
+    st = step_mod.shard_state(st, mesh)
+    kf, kc = km.build_kernels(cfg)
+    kf, kc = jnp.asarray(kf), jnp.asarray(kc)
+    t = 0.0
+    for _ in range(steps):
+        t += 0.1
+        st = sweep_fn(st, kf, kc, jnp.float32(1.0), jnp.float32(0.1),
+                      jnp.float32(1.0), jnp.float32(t), jnp.float32(t))
+    return st
+
+
+@pytest.mark.parametrize("nodes_dim", [1, 2])
+def test_staged_matches_fused(nodes_dim):
+    if nodes_dim ** 3 > len(jax.devices()):
+        pytest.skip("needs 8 virtual devices")
+    cfg = small_config(nodes_dim=nodes_dim, shake=True,
+                       cosmo_expansion=False)
+    mesh = make_sim_mesh(cfg.nodes_dim)
+    fused = step_mod.make_sweep(cfg, mesh)
+    staged = step_mod.make_staged_sweep(cfg, mesh)
+    st_f = _run(cfg, fused)
+    st_s = _run(cfg, staged)
+    assert int(st_f.np_local.sum()) == int(st_s.np_local.sum())
+    for name in ("x", "v", "pid", "dt_f_acc", "dt_pp_acc", "dt_c_acc",
+                 "shake_offset", "a", "nts"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_f, name)),
+            np.asarray(getattr(st_s, name)), rtol=1e-6, atol=1e-6,
+            err_msg=name)
+
+
+def test_staged_pp_ext_and_cic():
+    cfg = small_config(shake=False, cosmo_expansion=False, ngp=False,
+                       pp_ext=True, pp_range=4, pp_coarse_capacity=64)
+    mesh = make_sim_mesh(1)
+    fused = step_mod.make_sweep(cfg, mesh)
+    staged = step_mod.make_staged_sweep(cfg, mesh)
+    st_f = _run(cfg, fused, steps=2)
+    st_s = _run(cfg, staged, steps=2)
+    np.testing.assert_allclose(np.asarray(st_f.x), np.asarray(st_s.x),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_s.v),
+                               rtol=1e-6, atol=1e-6)
