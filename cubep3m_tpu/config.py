@@ -130,6 +130,12 @@ class SimConfig:
     pp_pallas: Optional[bool] = None  # PPINT band pass as the fused Pallas
                                       # TPU kernel (ops/pp_pallas.py);
                                       # None = auto (on when backend is TPU)
+    staged_sweep: bool = False  # run the sweep as 3 separately-compiled
+                                # jits (step.make_staged_sweep): identical
+                                # physics, much smaller compile units —
+                                # required at 512^3-mesh scale where AOT
+                                # compilers OOM on the fused program.
+                                # Disables on-device chunked stepping.
     coarse_corner_deposit: bool = False  # corner-split single-scatter coarse
                                          # CIC deposit: ~1.5x faster steady
                                          # state (153 vs 228 ms at 128^3) but

@@ -60,8 +60,12 @@ class Simulation:
         self.kern_f = jnp.asarray(kern_f)
         self.kern_c = jnp.asarray(kern_c)
         self.pp_band = pp_band if pp_band is not None else cfg.pp_band
-        self.sweep = step_mod.make_sweep(cfg, self.mesh,
-                                         pp_band=self.pp_band)
+        if cfg.staged_sweep:
+            self.sweep = step_mod.make_staged_sweep(cfg, self.mesh,
+                                                    pp_band=self.pp_band)
+        else:
+            self.sweep = step_mod.make_sweep(cfg, self.mesh,
+                                             pp_band=self.pp_band)
         self.kill_time_s = kill_time_s
         self._start_wall = time.time()
         self.logs: List[StepLog] = []
@@ -310,7 +314,7 @@ class Simulation:
         # coarse_ps is a PER-STEP diagnostic: it forces host stepping so
         # no sweep is skipped inside a device-side chunk
         chunkable = (use_chunks and cfg.cosmo_expansion
-                     and not cfg.coarse_ps)
+                     and not cfg.coarse_ps and not cfg.staged_sweep)
         steps_done = 0
         while steps_done < max_steps:
             dec = None

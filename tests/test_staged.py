@@ -70,3 +70,14 @@ def test_staged_pp_ext_and_cic():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_s.v),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_driver_staged_sweep_runs():
+    """cfg.staged_sweep drives Simulation through the 3-jit path."""
+    from cubep3m_tpu.core.driver import Simulation
+    cfg = small_config(z_i=100.0, shake=False, staged_sweep=True)
+    sim = Simulation(cfg, pp_band=16)
+    st = state_mod.random_ic(cfg, seed=4)
+    st = sim.run(st, max_steps=5)
+    assert int(st.nts) == 5
+    assert np.isfinite(float(st.a)) and float(st.a) > 1.0 / 101.0
