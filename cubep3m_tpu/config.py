@@ -135,7 +135,8 @@ class SimConfig:
                                 # physics, much smaller compile units —
                                 # required at 512^3-mesh scale where AOT
                                 # compilers OOM on the fused program.
-                                # Disables on-device chunked stepping.
+                                # Chunked stepping dispatches staged steps
+                                # with on-device dt (make_staged_stepper).
     coarse_corner_deposit: bool = False  # corner-split single-scatter coarse
                                          # CIC deposit: ~1.5x faster steady
                                          # state (153 vs 228 ms at 128^3) but

@@ -283,6 +283,16 @@ class Simulation:
                 self.cfg, self.mesh, self.sweep, size)
         return self._chunks[size]
 
+    def _run_staged_chunk(self, state: SimState, size: int) -> SimState:
+        """`size` staged steps with on-device dt decisions — the host
+        dispatches blind and fences once (staged-mode chunking)."""
+        if not hasattr(self, "_staged_stepper"):
+            self._staged_stepper = step_mod.make_staged_stepper(
+                self.cfg, self.sweep)
+        for _ in range(size):
+            state = self._staged_stepper(state, self.kern_f, self.kern_c)
+        return state
+
     def _steps_to_next_event(self, a: float) -> int:
         """Safe number of sweeps before the next scheduled output could
         trigger: per-step growth is bounded by ra_max."""
@@ -314,7 +324,7 @@ class Simulation:
         # coarse_ps is a PER-STEP diagnostic: it forces host stepping so
         # no sweep is skipped inside a device-side chunk
         chunkable = (use_chunks and cfg.cosmo_expansion
-                     and not cfg.coarse_ps and not cfg.staged_sweep)
+                     and not cfg.coarse_ps)
         steps_done = 0
         while steps_done < max_steps:
             dec = None
@@ -325,8 +335,11 @@ class Simulation:
                 size = next((s for s in self.CHUNK_SIZES if s <= budget), 0)
             if size:
                 t0 = time.time()
-                state = self._get_chunk(size)(state, self.kern_f,
-                                              self.kern_c)
+                if cfg.staged_sweep:
+                    state = self._run_staged_chunk(state, size)
+                else:
+                    state = self._get_chunk(size)(state, self.kern_f,
+                                                  self.kern_c)
                 steps_done += size
                 if cfg.verbosity >= 2:
                     print(f"chunk x{size}: a={float(state.a):.6f} "

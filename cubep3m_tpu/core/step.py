@@ -584,6 +584,31 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     return staged_sweep
 
 
+def make_staged_stepper(cfg: SimConfig, staged):
+    """Staged sweep with ON-DEVICE dt decisions: step(state, kern_f,
+    kern_c) -> state with no host reads — the host can dispatch many steps
+    ahead and fence at its own cadence (the staged-mode analog of
+    make_chunked_sweep; each dispatch stays small, which also avoids the
+    tunnel's long-execution hangs).  `staged` is a make_staged_sweep
+    product (reused, not rebuilt, so its stage compiles are shared)."""
+    from . import device_timestep as dts_mod
+
+    @jax.jit
+    def decide(a, tau, t, limits):
+        dt, a_mid, a_new = dts_mod.decide_dt_dev(cfg, a, limits)
+        return dt, a_mid, a_new, tau + dt, t + dt
+
+    def step(state: SimState, kern_f_im, kern_c_im) -> SimState:
+        limits = (state.dt_f_acc, state.dt_pp_acc, state.dt_pp_ext_acc,
+                  state.dt_c_acc, state.dt_gas_acc)
+        dt, a_mid, a_new, tau_new, t_new = decide(state.a, state.tau,
+                                                  state.t, limits)
+        return staged(state, kern_f_im, kern_c_im, a_mid, dt, a_new,
+                      tau_new, t_new)
+
+    return step
+
+
 def make_chunked_sweep(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
     """lax.scan over `chunk` sweeps with ON-DEVICE dt decisions.
 

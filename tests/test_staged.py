@@ -81,3 +81,19 @@ def test_driver_staged_sweep_runs():
     st = sim.run(st, max_steps=5)
     assert int(st.nts) == 5
     assert np.isfinite(float(st.a)) and float(st.a) > 1.0 / 101.0
+
+
+def test_staged_chunked_matches_host_stepping():
+    """Staged chunking (on-device dt dispatch loop) == host stepping."""
+    from cubep3m_tpu.core.driver import Simulation
+
+    def run(use_chunks):
+        cfg = small_config(z_i=100.0, shake=False, staged_sweep=True)
+        sim = Simulation(cfg, pp_band=16)
+        st = state_mod.random_ic(cfg, seed=6)
+        return sim.run(st, max_steps=20, use_chunks=use_chunks)
+
+    st_h = run(False)
+    st_c = run(True)
+    assert abs(int(st_h.nts) - int(st_c.nts)) <= 1
+    np.testing.assert_allclose(float(st_c.a), float(st_h.a), rtol=5e-4)
