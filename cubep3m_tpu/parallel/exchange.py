@@ -90,10 +90,12 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     cls_s = cls[order]
     payload = jnp.concatenate(
         [xs, v, pid.view(jnp.float32)[:, None]], axis=1)[order]   # (N, 7)
-    # pad so dynamic slices below never clamp (clamped starts would pull
-    # rows from neighboring class segments)
+    # pad by max_np so dynamic slices below NEVER clamp: the stay-segment
+    # slice starts at stay_start (can approach N when many particles
+    # leave through low-class faces) and spans max_np rows — a clamped
+    # start would silently read neighboring class segments as residents
     payload = jnp.concatenate(
-        [payload, jnp.zeros((max_buf, 7), payload.dtype)])
+        [payload, jnp.zeros((max_np, 7), payload.dtype)])
     # per-class offsets from the sorted keys (29 probes instead of a
     # length-N bincount scatter)
     bounds = jnp.searchsorted(cls_s, jnp.arange(29, dtype=jnp.int32),

@@ -97,3 +97,33 @@ def test_staged_chunked_matches_host_stepping():
     st_c = run(True)
     assert abs(int(st_h.nts) - int(st_c.nts)) <= 1
     np.testing.assert_allclose(float(st_c.a), float(st_h.a), rtol=5e-4)
+
+
+def test_exchange_heavy_exodus_stay_block_integrity():
+    """Regression: when more particles leave than the face-buffer size,
+    the stay-segment dynamic_slice must not clamp (a clamped start
+    silently reads leaver rows as residents).  700 of 1024 particles
+    leave through -x with a face buffer of only 64."""
+    from cubep3m_tpu.parallel import exchange as ex_mod
+    n, nf = 1024, 16
+    x = np.zeros((n, 3), np.float32)
+    x[:700, 0] = -1.0            # leave through -x
+    x[700:] = 5.25               # residents, all at one spot
+    v = np.zeros((n, 3), np.float32)
+    pid = np.arange(n, dtype=np.int32)
+    valid = np.ones(n, bool)
+    ex = step_mod.exchange_mod.exchange_particles(
+        jnp.asarray(x), jnp.asarray(v), jnp.asarray(pid),
+        jnp.asarray(valid), nf, max_buf=64, compact=False)
+    xs = np.asarray(ex.x)
+    ok = np.asarray(ex.valid)
+    # the first 1024 rows are the stay block: 324 residents at 5.25
+    stay_x = xs[:n][ok[:n]]
+    assert stay_x.shape[0] == 324
+    np.testing.assert_allclose(stay_x, 5.25)
+    # leavers wrap back to this device (1^3 mesh), shifted +nf, capped by
+    # the face buffer; the excess is counted
+    recv_x = xs[n:][ok[n:]]
+    assert recv_x.shape[0] == 64
+    np.testing.assert_allclose(recv_x[:, 0], 15.0)
+    assert int(ex.overflow) == 700 - 64
