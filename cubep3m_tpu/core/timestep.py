@@ -40,6 +40,25 @@ class OutputSchedule:
                    projections=z2a(projections),
                    halofinds=z2a(halofinds))
 
+    @classmethod
+    def from_input_dir(cls, path: str) -> "OutputSchedule":
+        """Read the reference's `input/` redshift list files (one redshift
+        per line: `checkpoints`, `projections`, `halofinds`;
+        variable_initialization.f90:69-211).  Missing files = empty list."""
+        import os
+
+        def read(name):
+            p = os.path.join(path, name)
+            if not os.path.exists(p):
+                return []
+            with open(p) as f:
+                return [float(line) for line in f
+                        if line.strip() and not line.startswith("#")]
+
+        return cls.from_redshifts(checkpoints=read("checkpoints"),
+                                  projections=read("projections"),
+                                  halofinds=read("halofinds"))
+
 
 @dataclasses.dataclass
 class Cursors:

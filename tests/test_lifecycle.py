@@ -178,3 +178,15 @@ def test_coarse_ps_multidevice_device_resident():
     np.testing.assert_allclose(k8, k1, rtol=1e-5)
     # same realization, same deposit -> same spectrum to fp tolerance
     np.testing.assert_allclose(pk8, pk1, rtol=2e-3, atol=1e-10)
+
+
+def test_schedule_from_reference_input_dir(tmp_path):
+    """OutputSchedule reads the reference's input/ list files (one
+    redshift per line, variable_initialization.f90:69-211)."""
+    (tmp_path / "checkpoints").write_text("12.0\n3.0\n0.0\n")
+    (tmp_path / "halofinds").write_text("3.0\n")
+    s = OutputSchedule.from_input_dir(str(tmp_path))
+    np.testing.assert_allclose(s.checkpoints,
+                               sorted([1/13.0, 1/4.0, 1.0]))
+    np.testing.assert_allclose(s.halofinds, [1/4.0])
+    assert s.projections == []
