@@ -130,6 +130,12 @@ class SimConfig:
     pp_pallas: Optional[bool] = None  # PPINT band pass as the fused Pallas
                                       # TPU kernel (ops/pp_pallas.py);
                                       # None = auto (on when backend is TPU)
+    fine_fft_tiles: int = 1     # fine solve: 1 = single padded-node FFT;
+                                # t>1 = t^3 overlapping tile FFTs (the
+                                # reference's tile strategy) — required
+                                # when the padded transform exceeds the
+                                # backend's FFT limits (axon TPU: 288^3 ok,
+                                # 576^3 UNIMPLEMENTED)
     staged_sweep: bool = False  # run the sweep as 3 separately-compiled
                                 # jits (step.make_staged_sweep): identical
                                 # physics, much smaller compile units —
@@ -182,6 +188,13 @@ class SimConfig:
     def nf_physical_dim(self) -> int:
         """Global fine mesh cells per axis."""
         return self.nf_physical_node_dim * self.nodes_dim
+
+    @property
+    def fine_solve_pad(self) -> int:
+        """FFT size of the fine solve: the halo-padded node (or tile, when
+        fine_fft_tiles > 1) — also the fine kernel's spectrum size."""
+        return (self.nf_physical_node_dim // self.fine_fft_tiles
+                + 2 * self.nf_buf)
 
     @property
     def nodes(self) -> int:
@@ -249,6 +262,8 @@ class SimConfig:
             raise ValueError("coarse mesh must divide evenly across devices")
         if self.pp_ext and self.pp_range + 1 > self.nf_cutoff:
             raise ValueError("pp_range+1 must be < nf_cutoff")
+        if self.nf_physical_node_dim % self.fine_fft_tiles != 0:
+            raise ValueError("fine_fft_tiles must divide the node size")
 
     def memory_estimate(self) -> dict:
         """Static per-device memory budget in bytes (mem_usage.f90 analog)."""

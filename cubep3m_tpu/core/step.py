@@ -195,7 +195,14 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         if cfg.mhd:
             rho = rho + jnp.float32(fb) * gas_u[0]
         rho_halo = halo_mod.halo_pad(rho, nf_buf)
-        if cfg.fine_potential:
+        if cfg.fine_fft_tiles > 1:
+            if cfg.fine_potential:
+                f_fine = fftconv.fine_force_potential_tiled(
+                    rho_halo, kern_f_im, nf_buf, nf, cfg.fine_fft_tiles)
+            else:
+                f_fine = fftconv.fine_force_tiled(
+                    rho_halo, kern_f_im, nf_buf, nf, cfg.fine_fft_tiles)
+        elif cfg.fine_potential:
             f_fine = fftconv.fine_force_potential(rho_halo, kern_f_im,
                                                   nf_buf, nf)
         else:
@@ -451,7 +458,14 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                 x, w, (nf + 2, nf + 2, nf + 2), scale=1.0, offset=-0.5,
                 pad=1), 1)
         rho_halo = halo_mod.halo_pad(rho, nf_buf)
-        if cfg.fine_potential:
+        if cfg.fine_fft_tiles > 1:
+            if cfg.fine_potential:
+                f_fine = fftconv.fine_force_potential_tiled(
+                    rho_halo, kern_f_im, nf_buf, nf, cfg.fine_fft_tiles)
+            else:
+                f_fine = fftconv.fine_force_tiled(
+                    rho_halo, kern_f_im, nf_buf, nf, cfg.fine_fft_tiles)
+        elif cfg.fine_potential:
             f_fine = fftconv.fine_force_potential(rho_halo, kern_f_im,
                                                   nf_buf, nf)
         else:
@@ -581,6 +595,7 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             bucket_overflow=bucket_overflow, clamp_count=clamp_count,
             rng=rng, gas_u=state.gas_u, gas_b=state.gas_b)
 
+    staged_sweep._stages = (a_jit, b_jit, c_jit)  # for probes/diagnostics
     return staged_sweep
 
 
@@ -673,7 +688,14 @@ def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,
             x, w, (nf + 2, nf + 2, nf + 2), scale=1.0, offset=-0.5, pad=1),
             1)
     rho_halo = jnp.pad(rho, cfg.nf_buf, mode="wrap")
-    if cfg.fine_potential:
+    if cfg.fine_fft_tiles > 1:
+        if cfg.fine_potential:
+            f_fine = fftconv.fine_force_potential_tiled(
+                rho_halo, kern_f_im, cfg.nf_buf, nf, cfg.fine_fft_tiles)
+        else:
+            f_fine = fftconv.fine_force_tiled(
+                rho_halo, kern_f_im, cfg.nf_buf, nf, cfg.fine_fft_tiles)
+    elif cfg.fine_potential:
         f_fine = fftconv.fine_force_potential(rho_halo, kern_f_im,
                                               cfg.nf_buf, nf)
     else:

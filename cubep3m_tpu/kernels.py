@@ -480,7 +480,7 @@ def build_kernels(cfg: SimConfig, use_cache: bool = True,
     kernels build on-device by default (host FFTs of a 576^3 grid take
     minutes); the small coarse kernel always builds on host in float64.
     """
-    nf_h = cfg.nf_physical_node_dim + 2 * cfg.nf_buf
+    nf_h = cfg.fine_solve_pad
     if device is None:
         device = nf_h > 192
     kern_f = fine_kernel_fourier(nf_h, cfg.nf_cutoff, cfg.pp_ext,

@@ -98,3 +98,80 @@ def coarse_force(rho_c: jnp.ndarray, kern_c_im: jnp.ndarray) -> jnp.ndarray:
     with sharded FFT (see parallel/pfft.py).
     """
     return force_from_density(rho_c, kern_c_im)
+
+
+def _extract_tiles(grid: jnp.ndarray, tiles: int, tp: int,
+                   tpad: int) -> jnp.ndarray:
+    """(T^3, tpad, tpad, tpad) overlapping tiles of a halo-padded node
+    grid; tile (i,j,k) starts at (i*tp, j*tp, k*tp)."""
+    blocks = []
+    for ix in range(tiles):
+        for iy in range(tiles):
+            for iz in range(tiles):
+                blocks.append(jax.lax.slice(
+                    grid, (ix * tp, iy * tp, iz * tp),
+                    (ix * tp + tpad, iy * tp + tpad, iz * tp + tpad)))
+    return jnp.stack(blocks)
+
+
+def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
+                     nf_buf: int, nf_node: int, tiles: int) -> jnp.ndarray:
+    """Fine force via tiles^3 overlapping tile FFTs — the reference's
+    per-tile strategy (`particle_mesh_threaded.f90:72-628`), used when the
+    single padded-node transform exceeds the backend's FFT limits (the
+    axon TPU backend compiles a 288^3 c2c fine solve but reports
+    UNIMPLEMENTED at 576^3).  Same linear-convolution-by-cropping argument
+    as `fine_force`, applied per tile: each tile carries the full nf_buf
+    halo, so its cropped physical region is exact.
+
+    kern_f_im: (3, tpad, tpad, tpad) spectrum at the TILE size
+    (tpad = nf_node//tiles + 2*nf_buf).
+    """
+    tp = nf_node // tiles
+    tpad = tp + 2 * nf_buf
+    assert kern_f_im.shape[-1] == tpad, (kern_f_im.shape, tpad)
+    batch = _extract_tiles(rho_halo, tiles, tp, tpad)
+    rho_k = jnp.fft.fftn(batch.astype(jnp.complex64), axes=(1, 2, 3))
+    fx_k = (1j * kern_f_im[0]) * rho_k
+    fy_k = (1j * kern_f_im[1]) * rho_k
+    fz_k = (1j * kern_f_im[2]) * rho_k
+    fxy = jnp.fft.ifftn(fx_k + 1j * fy_k, axes=(1, 2, 3))
+    fz = jnp.fft.ifftn(fz_k, axes=(1, 2, 3))
+    f = jnp.stack([fxy.real, fxy.imag, fz.real],
+                  axis=1).astype(jnp.float32)       # (T^3, 3, tpad^3)
+    sl = slice(nf_buf, nf_buf + tp)
+    f = f[:, :, sl, sl, sl].reshape(tiles, tiles, tiles, 3, tp, tp, tp)
+    # reassemble (3, nf_node^3): tile index -> spatial offset
+    f = jnp.moveaxis(f, 3, 0)                       # (3, tx, ty, tz, ...)
+    f = jnp.transpose(f, (0, 1, 4, 2, 5, 3, 6))
+    return f.reshape(3, nf_node, nf_node, nf_node)
+
+
+def fine_force_potential_tiled(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
+                               nf_buf: int, nf_node: int,
+                               tiles: int) -> jnp.ndarray:
+    """Tiled variant of `fine_force_potential` (2 FFTs per tile + central
+    differences inside the tile halo)."""
+    tp = nf_node // tiles
+    tpad = tp + 2 * nf_buf
+    assert pot_kern.shape[-1] == tpad, (pot_kern.shape, tpad)
+    batch = _extract_tiles(rho_halo, tiles, tp, tpad)
+    rho_k = jnp.fft.fftn(batch.astype(jnp.complex64), axes=(1, 2, 3))
+    phi = jnp.fft.ifftn(rho_k * pot_kern, axes=(1, 2, 3)).real.astype(
+        jnp.float32)
+    lo, hi = nf_buf, nf_buf + tp
+
+    def diff(axis):
+        down = jax.lax.slice_in_dim(phi, lo - 1, hi - 1, axis=axis + 1)
+        up = jax.lax.slice_in_dim(phi, lo + 1, hi + 1, axis=axis + 1)
+        other = [a for a in range(3) if a != axis]
+        sl = [slice(None)] * 4
+        for a in other:
+            sl[a + 1] = slice(lo, hi)
+        return (0.5 * (down - up))[tuple(sl)]
+
+    f = jnp.stack([diff(0), diff(1), diff(2)], axis=1)  # (T^3, 3, tp^3)
+    f = f.reshape(tiles, tiles, tiles, 3, tp, tp, tp)
+    f = jnp.moveaxis(f, 3, 0)
+    f = jnp.transpose(f, (0, 1, 4, 2, 5, 3, 6))
+    return f.reshape(3, nf_node, nf_node, nf_node)
