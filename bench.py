@@ -61,17 +61,16 @@ def main():
 
     np_dim = args.np_dim or (64 if args.small else 128)
     nf = 2 * np_dim                      # fine mesh = 2x particles per dim
-    # single chip: one node, 2 tiles/dim.  nf_buf only needs to cover the
-    # fine kernel support (nf_cutoff=16); extra buffer is chosen per size
-    # to keep the padded FFT length smooth (288 = 2^5*3^2 at 128^3,
-    # 576 = 2^6*3^2 at 256^3 — 512+2*16 = 544 has a factor 17)
-    buf_extra = 16 if nf + 32 in (544,) else 0
-    nf_buf = 16 + buf_extra
+    # single chip: one node, 2 tiles/dim; nf_buf covers the fine kernel
+    # support (nf_cutoff=16).  The fine solve runs as tile FFTs of at most
+    # 288^3 (=256+2*16): the axon TPU backend compiles 288^3 c2c but
+    # reports UNIMPLEMENTED at 576^3.
+    fft_tiles = max(1, nf // 256)
     cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
-                    nf_tile=nf // 2 + 2 * nf_buf, nf_cutoff=16,
-                    buf_extra=buf_extra,
+                    nf_tile=nf // 2 + 2 * 16, nf_cutoff=16, buf_extra=0,
                     density_buffer=args.buffer, shake=True, pid=False,
                     z_i=100.0, coarse_corner_deposit=args.corner_deposit,
+                    fine_fft_tiles=fft_tiles,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     assert cfg.nf_physical_dim == nf

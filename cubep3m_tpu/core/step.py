@@ -167,14 +167,16 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         # sentinel key and sort last); truncating the permutation to
         # n_slots both compacts and restores the state capacity
         sp_full = binning.sort_by_cell(x, valid, nf)
-        # one packed row gather instead of three (index traversal dominates
-        # TPU gather cost; payload width is nearly free — scatter_bench)
+        # one packed column gather instead of three row gathers (index
+        # traversal dominates TPU gather cost, payload width is nearly
+        # free; the (7, N) sublane-major pack avoids the lane-padded
+        # relayout a (N, 7) minor-axis concat triggers — scatter_bench)
         packed = jnp.concatenate(
-            [x, v, pid.view(jnp.float32)[:, None]],
-            axis=1)[sp_full.order[:n_slots]]
-        x = packed[:, 0:3]
-        v = packed[:, 3:6]
-        pid = packed[:, 6].view(jnp.int32)
+            [x.T, v.T, pid.view(jnp.float32)[None, :]],
+            axis=0)[:, sp_full.order[:n_slots]]
+        x = packed[0:3].T
+        v = packed[3:6].T
+        pid = packed[6].view(jnp.int32)
         sp = binning.SortedParticles(order=None,
                                      cell=sp_full.cell[:n_slots],
                                      rank=sp_full.rank[:n_slots])
@@ -436,11 +438,11 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         np_local = jnp.minimum(n_valid_ex, n_slots)
         sp_full = binning.sort_by_cell(x, valid, nf)
         packed = jnp.concatenate(
-            [x, v, pid.view(jnp.float32)[:, None]],
-            axis=1)[sp_full.order[:n_slots]]
+            [x.T, v.T, pid.view(jnp.float32)[None, :]],
+            axis=0)[:, sp_full.order[:n_slots]]
         exchange_overflow = jax.lax.psum(ex.overflow + capacity_drop, AXES)
-        return (packed[:, 0:3], packed[:, 3:6],
-                packed[:, 6].view(jnp.int32),
+        return (packed[0:3].T, packed[3:6].T,
+                packed[6].view(jnp.int32),
                 sp_full.cell[:n_slots], sp_full.rank[:n_slots],
                 np_local[None], rng, shake_offset, clamp_count,
                 exchange_overflow)

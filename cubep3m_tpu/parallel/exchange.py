@@ -86,16 +86,20 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     xs = x - d.astype(x.dtype) * float(nf_node)
 
     # --- one stable sort groups the classes; ONE packed payload gather -
+    # payload is (7, N) SUBLANE-major: concatenating (N, k) arrays along
+    # the minor axis makes XLA relayout them into lane-padded {1,0:T(8,128)}
+    # copies (42x memory — OOMs at 256^3); the transposed form tiles to
+    # (8, 128) with no padding
     order = jnp.argsort(cls)
     cls_s = cls[order]
     payload = jnp.concatenate(
-        [xs, v, pid.view(jnp.float32)[:, None]], axis=1)[order]   # (N, 7)
+        [xs.T, v.T, pid.view(jnp.float32)[None, :]], axis=0)[:, order]
     # pad by max_np so dynamic slices below NEVER clamp: the stay-segment
     # slice starts at stay_start (can approach N when many particles
     # leave through low-class faces) and spans max_np rows — a clamped
     # start would silently read neighboring class segments as residents
     payload = jnp.concatenate(
-        [payload, jnp.zeros((max_np, 7), payload.dtype)])
+        [payload, jnp.zeros((7, max_np), payload.dtype)], axis=1)
     # per-class offsets from the sorted keys (29 probes instead of a
     # length-N bincount scatter)
     bounds = jnp.searchsorted(cls_s, jnp.arange(29, dtype=jnp.int32),
@@ -116,10 +120,10 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
         order1 = sum(abs(c) for c in dd)
         buf = (face_buf if order1 == 1 else
                edge_buf if order1 == 2 else corner_buf)
-        seg = jax.lax.dynamic_slice_in_dim(payload, starts[ci], buf, axis=0)
+        seg = jax.lax.dynamic_slice_in_dim(payload, starts[ci], buf, axis=1)
         ok = jnp.arange(buf, dtype=jnp.int32) < counts[ci]
-        seg = jnp.concatenate([jnp.where(ok[:, None], seg, 0.0),
-                               ok[:, None].astype(jnp.float32)], axis=1)
+        seg = jnp.concatenate([jnp.where(ok[None, :], seg, 0.0),
+                               ok[None, :].astype(jnp.float32)], axis=0)
         overflow = overflow + jnp.maximum(counts[ci] - buf, 0)
         if nd > 1:
             seg = jax.lax.ppermute(seg, axis_names, _mesh_perm(nd, dd))
@@ -128,28 +132,28 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     # --- merge: stay segment + received --------------------------------
     stay_start = starts[STAY]
     n_stay = counts[STAY]
-    stay = jax.lax.dynamic_slice_in_dim(payload, stay_start, max_np, axis=0)
+    stay = jax.lax.dynamic_slice_in_dim(payload, stay_start, max_np, axis=1)
     stay_ok = jnp.arange(max_np, dtype=jnp.int32) < n_stay
-    stay = jnp.concatenate([stay, stay_ok[:, None].astype(jnp.float32)],
-                           axis=1)
+    stay = jnp.concatenate([stay, stay_ok[None, :].astype(jnp.float32)],
+                           axis=0)
 
-    allp = jnp.concatenate([stay] + recv)                # (max_np + R, 8)
-    all_ok = allp[:, 7] > 0.0
+    allp = jnp.concatenate([stay] + recv, axis=1)        # (8, max_np + R)
+    all_ok = allp[7] > 0.0
 
     if not compact:
         return ExchangeResult(
-            x=allp[:, 0:3], v=allp[:, 3:6],
-            pid=allp[:, 6].view(jnp.int32),
+            x=allp[0:3].T, v=allp[3:6].T,
+            pid=allp[6].view(jnp.int32),
             valid=all_ok, overflow=overflow)
 
     morder = jnp.argsort(~all_ok)          # compaction via (cheap) sort
     keep = morder[:max_np]
     n_valid = jnp.sum(all_ok.astype(jnp.int32))
     overflow = overflow + jnp.maximum(n_valid - max_np, 0)
-    kept = allp[keep]
-    ok_o = kept[:, 7] > 0.0
+    kept = allp[:, keep]
+    ok_o = kept[7] > 0.0
     return ExchangeResult(
-        x=jnp.where(ok_o[:, None], kept[:, 0:3], 0.0),
-        v=jnp.where(ok_o[:, None], kept[:, 3:6], 0.0),
-        pid=kept[:, 6].view(jnp.int32),
+        x=jnp.where(ok_o[:, None], kept[0:3].T, 0.0),
+        v=jnp.where(ok_o[:, None], kept[3:6].T, 0.0),
+        pid=kept[6].view(jnp.int32),
         valid=ok_o, overflow=overflow)
