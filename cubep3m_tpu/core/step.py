@@ -390,9 +390,12 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     Stage boundaries materialize the particle arrays in HBM (~100s of MB
     at 256^3, ~ms of bandwidth) that XLA would otherwise fuse through.
 
-    Stages: A = shake+drift+exchange+sort (particle reorder);
-    B = fine level (deposit, halo, FFT force, NGP/CIC kick) + PP;
-    C = coarse level (CIC deposit, global FFT force, kick) + dt limiters.
+    Stages: A1 = shake+drift+exchange; A2 = cell sort + packed reorder
+    (split from A1 because the tunnel's compile helper is host-RAM bound
+    PER MODULE — exchange and the 32M-row sort each compile alone but
+    SIGKILL it together); B = fine level (deposit, halo, FFT force,
+    NGP/CIC kick) + PP; C = coarse level (CIC deposit, global FFT force,
+    kick) + dt limiters.
 
     Returns staged_sweep(state, kern_f_im, kern_c_im, a_mid, dt, a_new,
     tau_new, t_new) -> state, like make_sweep.
@@ -411,7 +414,9 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
 
-    def a_local(state: SimState, a_mid, dt):
+    n_slots_cap = cfg.max_np
+
+    def a1_local(state: SimState, a_mid, dt):
         dt = jnp.asarray(dt, jnp.float32)
         n_slots = state.x.shape[0]
         valid = jnp.arange(n_slots) < state.np_local[0]
@@ -433,19 +438,22 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         clamp_count = jax.lax.psum(
             jnp.sum(out_of_range.astype(jnp.int32)), AXES)
         x = jnp.clip(x, 0.0, nf - 1e-4)
+        return (x, v, pid, valid, rng, shake_offset, clamp_count,
+                jax.lax.psum(ex.overflow, AXES))
+
+    def a2_local(x, v, pid, valid):
         n_valid_ex = jnp.sum(valid.astype(jnp.int32))
-        capacity_drop = jnp.maximum(n_valid_ex - n_slots, 0)
-        np_local = jnp.minimum(n_valid_ex, n_slots)
+        capacity_drop = jax.lax.psum(
+            jnp.maximum(n_valid_ex - n_slots_cap, 0), AXES)
+        np_local = jnp.minimum(n_valid_ex, n_slots_cap)
         sp_full = binning.sort_by_cell(x, valid, nf)
         packed = jnp.concatenate(
             [x.T, v.T, pid.view(jnp.float32)[None, :]],
-            axis=0)[:, sp_full.order[:n_slots]]
-        exchange_overflow = jax.lax.psum(ex.overflow + capacity_drop, AXES)
+            axis=0)[:, sp_full.order[:n_slots_cap]]
         return (packed[0:3].T, packed[3:6].T,
                 packed[6].view(jnp.int32),
-                sp_full.cell[:n_slots], sp_full.rank[:n_slots],
-                np_local[None], rng, shake_offset, clamp_count,
-                exchange_overflow)
+                sp_full.cell[:n_slots_cap], sp_full.rank[:n_slots_cap],
+                np_local[None], capacity_drop)
 
     def b_local(x, v, cell, rank, kern_f_im, a_mid, dt):
         a_mid = jnp.asarray(a_mid, jnp.float32)
@@ -566,9 +574,12 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     r = P()
     grid_spec = P(*AXES)
     specs = state_specs(mhd=False)
-    a_jit = jax.jit(shard_map(
-        a_local, mesh=mesh, in_specs=(specs, r, r),
-        out_specs=(pa, pa, pa, pa, pa, pa, r, r, r, r), check_vma=False))
+    a1_jit = jax.jit(shard_map(
+        a1_local, mesh=mesh, in_specs=(specs, r, r),
+        out_specs=(pa, pa, pa, pa, r, r, r, r), check_vma=False))
+    a2_jit = jax.jit(shard_map(
+        a2_local, mesh=mesh, in_specs=(pa, pa, pa, pa),
+        out_specs=(pa, pa, pa, pa, pa, pa, r), check_vma=False))
     b_jit = jax.jit(shard_map(
         b_local, mesh=mesh, in_specs=(pa, pa, pa, pa, r, r, r),
         out_specs=(pa, grid_spec, r, r, r, r, r), check_vma=False))
@@ -578,8 +589,11 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
 
     def staged_sweep(state: SimState, kern_f_im, kern_c_im, a_mid, dt,
                      a_new, tau_new, t_new) -> SimState:
-        (x, v, pid, cell, rank, np_local, rng, shake_offset, clamp_count,
-         exchange_overflow) = a_jit(state, a_mid, dt)
+        (xe, ve, pide, valide, rng, shake_offset, clamp_count,
+         ex_overflow) = a1_jit(state, a_mid, dt)
+        (x, v, pid, cell, rank, np_local,
+         capacity_drop) = a2_jit(xe, ve, pide, valide)
+        exchange_overflow = ex_overflow + capacity_drop
         (v, rho, dt_f_acc, dt_pp_acc, dt_pp_ext_acc, pp_overflow,
          bucket_overflow) = b_jit(x, v, cell, rank, kern_f_im, a_mid, dt)
         v, dt_c_acc = c_jit(x, v, cell, rho, kern_c_im, a_mid, dt)
@@ -597,7 +611,7 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             bucket_overflow=bucket_overflow, clamp_count=clamp_count,
             rng=rng, gas_u=state.gas_u, gas_b=state.gas_b)
 
-    staged_sweep._stages = (a_jit, b_jit, c_jit)  # for probes/diagnostics
+    staged_sweep._stages = (a1_jit, a2_jit, b_jit, c_jit)  # for probes
     return staged_sweep
 
 
