@@ -574,18 +574,37 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     r = P()
     grid_spec = P(*AXES)
     specs = state_specs(mhd=False)
-    a1_jit = jax.jit(shard_map(
-        a1_local, mesh=mesh, in_specs=(specs, r, r),
-        out_specs=(pa, pa, pa, pa, r, r, r, r), check_vma=False))
-    a2_jit = jax.jit(shard_map(
-        a2_local, mesh=mesh, in_specs=(pa, pa, pa, pa),
-        out_specs=(pa, pa, pa, pa, pa, pa, r), check_vma=False))
-    b_jit = jax.jit(shard_map(
-        b_local, mesh=mesh, in_specs=(pa, pa, pa, pa, r, r, r),
-        out_specs=(pa, grid_spec, r, r, r, r, r), check_vma=False))
-    c_jit = jax.jit(shard_map(
-        c_local, mesh=mesh, in_specs=(pa, pa, pa, grid_spec, r, r, r),
-        out_specs=(pa, r), check_vma=False))
+    # (M, 3) outputs are forced COLUMN-major: XLA otherwise materializes
+    # them as {1,0:T(8,128)} lane-padded copies (42x memory — a single
+    # (32M, 3) temp is 15.4 GB and OOMs HBM at 256^3); column-major tiles
+    # to (8, 128) over (3, M) with no padding, and the transposes from the
+    # packed (7, M) form become free relayouts.
+    from jax.experimental.layout import Format, Layout
+    sh_pa = NamedSharding(mesh, pa)
+    sh_r = NamedSharding(mesh, r)
+    f3 = Format(Layout((1, 0)), sh_pa)    # (M, 3) column-major
+    f1 = Format(Layout((0,)), sh_pa)      # (M,) 1-D
+    fr = Format(None, sh_r)
+    a1_jit = jax.jit(
+        shard_map(a1_local, mesh=mesh, in_specs=(specs, r, r),
+                  out_specs=(pa, pa, pa, pa, r, r, r, r),
+                  check_vma=False),
+        out_shardings=(f3, f3, f1, f1, fr, fr, fr, fr))
+    a2_jit = jax.jit(
+        shard_map(a2_local, mesh=mesh, in_specs=(pa, pa, pa, pa),
+                  out_specs=(pa, pa, pa, pa, pa, pa, r), check_vma=False),
+        out_shardings=(f3, f3, f1, f1, f1, f1, fr))
+    b_jit = jax.jit(
+        shard_map(b_local, mesh=mesh, in_specs=(pa, pa, pa, pa, r, r, r),
+                  out_specs=(pa, grid_spec, r, r, r, r, r),
+                  check_vma=False),
+        out_shardings=(f3, Format(None, NamedSharding(mesh, grid_spec)),
+                       fr, fr, fr, fr, fr))
+    c_jit = jax.jit(
+        shard_map(c_local, mesh=mesh,
+                  in_specs=(pa, pa, pa, grid_spec, r, r, r),
+                  out_specs=(pa, r), check_vma=False),
+        out_shardings=(f3, fr))
 
     def staged_sweep(state: SimState, kern_f_im, kern_c_im, a_mid, dt,
                      a_new, tau_new, t_new) -> SimState:
