@@ -590,20 +590,23 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                   out_specs=(pa, pa, pa, pa, r, r, r, r),
                   check_vma=False),
         out_shardings=(f3, f3, f1, f1, fr, fr, fr, fr))
+    fg = Format(None, NamedSharding(mesh, grid_spec))
     a2_jit = jax.jit(
         shard_map(a2_local, mesh=mesh, in_specs=(pa, pa, pa, pa),
                   out_specs=(pa, pa, pa, pa, pa, pa, r), check_vma=False),
+        in_shardings=(f3, f3, f1, f1),
         out_shardings=(f3, f3, f1, f1, f1, f1, fr))
     b_jit = jax.jit(
         shard_map(b_local, mesh=mesh, in_specs=(pa, pa, pa, pa, r, r, r),
                   out_specs=(pa, grid_spec, r, r, r, r, r),
                   check_vma=False),
-        out_shardings=(f3, Format(None, NamedSharding(mesh, grid_spec)),
-                       fr, fr, fr, fr, fr))
+        in_shardings=(f3, f3, f1, f1, fr, fr, fr),
+        out_shardings=(f3, fg, fr, fr, fr, fr, fr))
     c_jit = jax.jit(
         shard_map(c_local, mesh=mesh,
                   in_specs=(pa, pa, pa, grid_spec, r, r, r),
                   out_specs=(pa, r), check_vma=False),
+        in_shardings=(f3, f3, f1, fg, fr, fr, fr),
         out_shardings=(f3, fr))
 
     def staged_sweep(state: SimState, kern_f_im, kern_c_im, a_mid, dt,
