@@ -174,8 +174,8 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         packed = jnp.concatenate(
             [x.T, v.T, pid.view(jnp.float32)[None, :]],
             axis=0)[:, sp_full.order[:n_slots]]
-        x = packed[0:3].T
-        v = packed[3:6].T
+        x = exchange_mod.colmajor(packed[0:3].T)
+        v = exchange_mod.colmajor(packed[3:6].T)
         pid = packed[6].view(jnp.int32)
         sp = binning.SortedParticles(order=None,
                                      cell=sp_full.cell[:n_slots],
@@ -437,7 +437,7 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         out_of_range = valid & jnp.any((x < 0.0) | (x >= nf), axis=-1)
         clamp_count = jax.lax.psum(
             jnp.sum(out_of_range.astype(jnp.int32)), AXES)
-        x = jnp.clip(x, 0.0, nf - 1e-4)
+        x = exchange_mod.colmajor(jnp.clip(x, 0.0, nf - 1e-4))
         return (x, v, pid, valid, rng, shake_offset, clamp_count,
                 jax.lax.psum(ex.overflow, AXES))
 
@@ -450,7 +450,8 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         packed = jnp.concatenate(
             [x.T, v.T, pid.view(jnp.float32)[None, :]],
             axis=0)[:, sp_full.order[:n_slots_cap]]
-        return (packed[0:3].T, packed[3:6].T,
+        return (exchange_mod.colmajor(packed[0:3].T),
+                exchange_mod.colmajor(packed[3:6].T),
                 packed[6].view(jnp.int32),
                 sp_full.cell[:n_slots_cap], sp_full.rank[:n_slots_cap],
                 np_local[None], capacity_drop)

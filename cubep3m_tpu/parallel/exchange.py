@@ -34,6 +34,23 @@ import numpy as np
 from .mesh import AXES
 
 
+def colmajor(arr: jnp.ndarray) -> jnp.ndarray:
+    """Constrain an (M, k) intermediate to column-major layout.
+
+    XLA materializes (M, small-k) transposes as {1,0:T(8,128)} lane-padded
+    copies (42x memory for k=3 — a single 32M-row temp is 15.4 GB);
+    column-major tiles (k, M) with no padding.  No-op where the layout API
+    is unsupported (CPU tests).
+    """
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.experimental.layout import with_layout_constraint
+        return with_layout_constraint(
+            arr, Format(Layout(tuple(range(arr.ndim - 1, -1, -1)))))
+    except Exception:
+        return arr
+
+
 class ExchangeResult(NamedTuple):
     x: jnp.ndarray
     v: jnp.ndarray
@@ -142,7 +159,7 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
 
     if not compact:
         return ExchangeResult(
-            x=allp[0:3].T, v=allp[3:6].T,
+            x=colmajor(allp[0:3].T), v=colmajor(allp[3:6].T),
             pid=allp[6].view(jnp.int32),
             valid=all_ok, overflow=overflow)
 
@@ -153,7 +170,7 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     kept = allp[:, keep]
     ok_o = kept[7] > 0.0
     return ExchangeResult(
-        x=jnp.where(ok_o[:, None], kept[0:3].T, 0.0),
-        v=jnp.where(ok_o[:, None], kept[3:6].T, 0.0),
+        x=colmajor(jnp.where(ok_o[:, None], kept[0:3].T, 0.0)),
+        v=colmajor(jnp.where(ok_o[:, None], kept[3:6].T, 0.0)),
         pid=kept[6].view(jnp.int32),
         valid=ok_o, overflow=overflow)
