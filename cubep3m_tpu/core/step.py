@@ -416,6 +416,11 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
 
     n_slots_cap = cfg.max_np
 
+    # ALL particle arrays in the staged stages are SoA (3, N)/(7, N):
+    # every (M, small-k) materialization on TPU lane-pads 42x (a single
+    # (32M, 3) temp is 15.4 GB), and XLA inserts such copies around
+    # transposes/minor-axis concats no matter what layout constraints ask.
+
     def a1_local(state: SimState, a_mid, dt):
         dt = jnp.asarray(dt, jnp.float32)
         n_slots = state.x.shape[0]
@@ -429,44 +434,46 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         else:
             offset = jnp.zeros(3, jnp.float32)
             shake_offset = state.shake_offset
-        x = state.x + state.v * (0.5 * (dt + state.dt_old)) + offset
-        x = jnp.where(valid[:, None], x, 0.0)
-        ex = exchange_mod.exchange_particles(x, state.v, state.pid, valid,
-                                             nf, max_buf, compact=False)
-        x, v, pid, valid = ex.x, ex.v, ex.pid, ex.valid
-        out_of_range = valid & jnp.any((x < 0.0) | (x >= nf), axis=-1)
+        # (N,3) -> (3,N) transposes are the CHEAP direction (compact out)
+        xT = (state.x.T + state.v.T * (0.5 * (dt + state.dt_old))
+              + offset[:, None])
+        xT = jnp.where(valid[None, :], xT, 0.0)
+        ex = exchange_mod.exchange_particles(
+            xT, state.v.T, state.pid, valid, nf, max_buf,
+            compact=False, soa=True)
+        xT, vT, pid, valid = ex.x, ex.v, ex.pid, ex.valid
+        out_of_range = valid & jnp.any((xT < 0.0) | (xT >= nf), axis=0)
         clamp_count = jax.lax.psum(
             jnp.sum(out_of_range.astype(jnp.int32)), AXES)
-        x = exchange_mod.colmajor(jnp.clip(x, 0.0, nf - 1e-4))
-        return (x, v, pid, valid, rng, shake_offset, clamp_count,
+        xT = jnp.clip(xT, 0.0, nf - 1e-4)
+        return (xT, vT, pid, valid, rng, shake_offset, clamp_count,
                 jax.lax.psum(ex.overflow, AXES))
 
-    def a2_local(x, v, pid, valid):
+    def a2_local(xT, vT, pid, valid):
         n_valid_ex = jnp.sum(valid.astype(jnp.int32))
         capacity_drop = jax.lax.psum(
             jnp.maximum(n_valid_ex - n_slots_cap, 0), AXES)
         np_local = jnp.minimum(n_valid_ex, n_slots_cap)
-        sp_full = binning.sort_by_cell(x, valid, nf)
+        sp_full = binning.sort_by_cell_t(xT, valid, nf)
         packed = jnp.concatenate(
-            [x.T, v.T, pid.view(jnp.float32)[None, :]],
+            [xT, vT, pid.view(jnp.float32)[None, :]],
             axis=0)[:, sp_full.order[:n_slots_cap]]
-        return (exchange_mod.colmajor(packed[0:3].T),
-                exchange_mod.colmajor(packed[3:6].T),
-                packed[6].view(jnp.int32),
-                sp_full.cell[:n_slots_cap], sp_full.rank[:n_slots_cap],
-                np_local[None], capacity_drop)
+        return (packed, sp_full.cell[:n_slots_cap],
+                sp_full.rank[:n_slots_cap], np_local[None], capacity_drop)
 
-    def b_local(x, v, cell, rank, kern_f_im, a_mid, dt):
+    def b_local(packed, cell, rank, kern_f_im, a_mid, dt):
         a_mid = jnp.asarray(a_mid, jnp.float32)
         kick = a_mid * G * jnp.asarray(dt, jnp.float32)
+        xT = packed[0:3]
+        vT = packed[3:6]
         valid = cell < ncells_fine
         w = jnp.where(valid, jnp.float32(mass_p), 0.0)
         if cfg.ngp:
-            rho = deposit.ngp_deposit(x, w, (nf, nf, nf),
-                                      sorted_cells=True)
+            rho = deposit.ngp_deposit_t(xT, w, (nf, nf, nf),
+                                        sorted_cells=True)
         else:
-            rho = halo_mod.halo_fold(deposit.cic_deposit(
-                x, w, (nf + 2, nf + 2, nf + 2), scale=1.0, offset=-0.5,
+            rho = halo_mod.halo_fold(deposit.cic_deposit_t(
+                xT, w, (nf + 2, nf + 2, nf + 2), scale=1.0, offset=-0.5,
                 pad=1), 1)
         rho_halo = halo_mod.halo_pad(rho, nf_buf)
         if cfg.fine_fft_tiles > 1:
@@ -482,13 +489,13 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         else:
             f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf)
         fmax2_f = jnp.max(jnp.sum(f_fine * f_fine, axis=0))
+        flat_cells = jnp.clip(cell, 0, ncells_fine - 1)
         if cfg.ngp:
-            fp = deposit.ngp_gather(
-                f_fine, x, flat_cells=jnp.clip(cell, 0, ncells_fine - 1))
+            fpT = deposit.ngp_gather_t(f_fine, flat_cells)
         else:
-            fp = deposit.cic_gather(halo_mod.halo_pad(f_fine, 1), x,
-                                    scale=1.0, offset=-0.5, pad=1)
-        v = v + jnp.where(valid[:, None], fp * kick, 0.0)
+            fpT = deposit.cic_gather_t(halo_mod.halo_pad(f_fine, 1), xT,
+                                       scale=1.0, offset=-0.5, pad=1)
+        vT = vT + jnp.where(valid[None, :], fpT * kick, 0.0)
         fmax_f = jnp.sqrt(jax.lax.pmax(fmax2_f, AXES))
         dt_f_acc = 1.0 / jnp.sqrt(jnp.maximum(1e-4, fmax_f) * a_mid * G)
 
@@ -498,36 +505,28 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         bucket_overflow = jnp.asarray(0, jnp.int32)
         if cfg.pp:
             dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
-            res = pp.ppint_force(x, cell, rank, ncells_fine, pp_band,
-                                 cfg.pp_dense_band, dense_cap, mass_p,
-                                 cfg.rsoft, cfg.pp_bias,
-                                 use_pallas=use_pp_pallas)
-            v = v + jnp.where(valid[:, None], res.force * kick, 0.0)
+            res = pp.ppint_force_t(xT, cell, rank, ncells_fine, pp_band,
+                                   cfg.pp_dense_band, dense_cap, mass_p,
+                                   cfg.rsoft, cfg.pp_bias,
+                                   use_pallas=use_pp_pallas)
+            vT = vT + jnp.where(valid[None, :], res.force * kick, 0.0)
             fmax_pp = jax.lax.pmax(res.fmax, AXES)
             dt_pp_acc = (jnp.sqrt(cfg.dt_pp_scale * cfg.rsoft)
                          / jnp.maximum(jnp.sqrt(fmax_pp * a_mid * G),
                                        1e-3))
             pp_overflow = jax.lax.psum(res.overflow, AXES)
         if cfg.pp_ext:
-            buckets = pp.bucket_by_coarse_cell(x, valid, nc, ms,
-                                               cfg.pp_coarse_capacity)
-            res = pp.pp_ext_force(x, buckets, nc, ms, cfg.pp_range,
-                                  cfg.nf_cutoff, mass_p, cfg.rsoft,
-                                  cfg.pp_bias)
-            v = v + jnp.where(valid[:, None], res.force * kick, 0.0)
-            fmax_ppe = jax.lax.pmax(res.fmax, AXES)
-            dt_pp_ext_acc = (jnp.sqrt(cfg.dt_pp_ext_scale * cfg.rsoft)
-                             / jnp.maximum(jnp.sqrt(fmax_ppe * a_mid * G),
-                                           1e-3))
-            bucket_overflow = jax.lax.psum(res.overflow, AXES)
-        return (v, rho, dt_f_acc.astype(jnp.float32),
+            raise NotImplementedError(
+                "staged sweep: pp_ext not yet SoA; use the fused sweep")
+        return (vT, rho, dt_f_acc.astype(jnp.float32),
                 dt_pp_acc.astype(jnp.float32),
                 dt_pp_ext_acc.astype(jnp.float32), pp_overflow,
                 bucket_overflow)
 
-    def c_local(x, v, cell, rho, kern_c_im, a_mid, dt):
+    def c_local(packed, vT, cell, rho, kern_c_im, a_mid, dt):
         a_mid = jnp.asarray(a_mid, jnp.float32)
         kick = a_mid * G * jnp.asarray(dt, jnp.float32)
+        xT = packed[0:3]
         valid = cell < ncells_fine
         w = jnp.where(valid, jnp.float32(mass_p), 0.0)
         ncp = nc + 2
@@ -535,12 +534,9 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             from ..ops import coarse_stencil as cst
             rho_c_pad = cst.coarse_deposit_from_fine(rho, ms)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
-        elif cfg.coarse_corner_deposit:
-            rho_c = halo_mod.halo_fold(deposit.cic_deposit_corner(
-                x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
         else:
-            rho_c = halo_mod.halo_fold(deposit.cic_deposit(
-                x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,
+            rho_c = halo_mod.halo_fold(deposit.cic_deposit_t(
+                xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,
                 sorted_cells=True), 1)
         if cfg.coarse_pencil_fft:
             from ..parallel import pfft as pfft_mod
@@ -562,64 +558,52 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         if cfg.coarse_from_fine:
             from ..ops import coarse_stencil as cst
             f_c_fine = cst.coarse_gather_to_fine(f_c_pad, ms)
-            fcp = deposit.ngp_gather(
-                f_c_fine, x, flat_cells=jnp.clip(cell, 0,
-                                                 ncells_fine - 1))
+            fcpT = deposit.ngp_gather_t(
+                f_c_fine, jnp.clip(cell, 0, ncells_fine - 1))
         else:
-            fcp = deposit.cic_gather_corner(f_c_pad, x, scale=ms,
-                                            offset=-0.5, pad=1)
-        v = v + jnp.where(valid[:, None], fcp * kick, 0.0)
-        return v, dt_c_acc.astype(jnp.float32)
+            fcpT = deposit.cic_gather_corner_t(f_c_pad, xT, scale=ms,
+                                               offset=-0.5, pad=1)
+        vT = vT + jnp.where(valid[None, :], fcpT * kick, 0.0)
+        return vT, dt_c_acc.astype(jnp.float32)
 
     pa = P(AXES)
     r = P()
     grid_spec = P(*AXES)
+    prow = P(None, AXES)       # SoA (k, N) arrays: particles on dim 1
     specs = state_specs(mhd=False)
-    # (M, 3) outputs are forced COLUMN-major: XLA otherwise materializes
-    # them as {1,0:T(8,128)} lane-padded copies (42x memory — a single
-    # (32M, 3) temp is 15.4 GB and OOMs HBM at 256^3); column-major tiles
-    # to (8, 128) over (3, M) with no padding, and the transposes from the
-    # packed (7, M) form become free relayouts.
+    a1_jit = jax.jit(shard_map(
+        a1_local, mesh=mesh, in_specs=(specs, r, r),
+        out_specs=(prow, prow, pa, pa, r, r, r, r), check_vma=False))
+    a2_jit = jax.jit(shard_map(
+        a2_local, mesh=mesh, in_specs=(prow, prow, pa, pa),
+        out_specs=(prow, pa, pa, pa, r), check_vma=False))
+    b_jit = jax.jit(shard_map(
+        b_local, mesh=mesh, in_specs=(prow, pa, pa, r, r, r),
+        out_specs=(prow, grid_spec, r, r, r, r, r), check_vma=False))
+    c_jit = jax.jit(shard_map(
+        c_local, mesh=mesh,
+        in_specs=(prow, prow, pa, grid_spec, r, r, r),
+        out_specs=(prow, r), check_vma=False))
+    # the ONLY (N, 3) materializations: the final state arrays, produced
+    # by a transpose-only module whose output layout is pinned column-major
+    # (same bytes as the SoA input -> a relayout, never a padded copy)
     from jax.experimental.layout import Format, Layout
-    sh_pa = NamedSharding(mesh, pa)
-    sh_r = NamedSharding(mesh, r)
-    f3 = Format(Layout((1, 0)), sh_pa)    # (M, 3) column-major
-    f1 = Format(Layout((0,)), sh_pa)      # (M,) 1-D
-    fr = Format(None, sh_r)
-    a1_jit = jax.jit(
-        shard_map(a1_local, mesh=mesh, in_specs=(specs, r, r),
-                  out_specs=(pa, pa, pa, pa, r, r, r, r),
-                  check_vma=False),
-        out_shardings=(f3, f3, f1, f1, fr, fr, fr, fr))
-    fg = Format(None, NamedSharding(mesh, grid_spec))
-    a2_jit = jax.jit(
-        shard_map(a2_local, mesh=mesh, in_specs=(pa, pa, pa, pa),
-                  out_specs=(pa, pa, pa, pa, pa, pa, r), check_vma=False),
-        in_shardings=(f3, f3, f1, f1),
-        out_shardings=(f3, f3, f1, f1, f1, f1, fr))
-    b_jit = jax.jit(
-        shard_map(b_local, mesh=mesh, in_specs=(pa, pa, pa, pa, r, r, r),
-                  out_specs=(pa, grid_spec, r, r, r, r, r),
-                  check_vma=False),
-        in_shardings=(f3, f3, f1, f1, fr, fr, fr),
-        out_shardings=(f3, fg, fr, fr, fr, fr, fr))
-    c_jit = jax.jit(
-        shard_map(c_local, mesh=mesh,
-                  in_specs=(pa, pa, pa, grid_spec, r, r, r),
-                  out_specs=(pa, r), check_vma=False),
-        in_shardings=(f3, f3, f1, fg, fr, fr, fr),
-        out_shardings=(f3, fr))
+    f3 = Format(Layout((1, 0)), NamedSharding(mesh, pa))
+    to_rows = jax.jit(lambda t: t.T, out_shardings=f3)
 
     def staged_sweep(state: SimState, kern_f_im, kern_c_im, a_mid, dt,
                      a_new, tau_new, t_new) -> SimState:
-        (xe, ve, pide, valide, rng, shake_offset, clamp_count,
+        (xT, vT, pide, valide, rng, shake_offset, clamp_count,
          ex_overflow) = a1_jit(state, a_mid, dt)
-        (x, v, pid, cell, rank, np_local,
-         capacity_drop) = a2_jit(xe, ve, pide, valide)
+        (packed, cell, rank, np_local,
+         capacity_drop) = a2_jit(xT, vT, pide, valide)
         exchange_overflow = ex_overflow + capacity_drop
-        (v, rho, dt_f_acc, dt_pp_acc, dt_pp_ext_acc, pp_overflow,
-         bucket_overflow) = b_jit(x, v, cell, rank, kern_f_im, a_mid, dt)
-        v, dt_c_acc = c_jit(x, v, cell, rho, kern_c_im, a_mid, dt)
+        (vT2, rho, dt_f_acc, dt_pp_acc, dt_pp_ext_acc, pp_overflow,
+         bucket_overflow) = b_jit(packed, cell, rank, kern_f_im, a_mid, dt)
+        vT3, dt_c_acc = c_jit(packed, vT2, cell, rho, kern_c_im, a_mid, dt)
+        x = to_rows(packed[0:3])
+        v = to_rows(vT3)
+        pid = packed[6].view(jnp.int32)
         return SimState(
             x=x, v=v, pid=pid, np_local=np_local,
             a=jnp.asarray(a_new, jnp.float32),

@@ -66,3 +66,29 @@ def compact_valid(valid: jnp.ndarray, *arrays) -> Tuple[jnp.ndarray, tuple]:
     order = jnp.argsort(~valid)
     count = jnp.sum(valid).astype(jnp.int32)
     return count, tuple(a[order] for a in arrays)
+
+
+def fine_cell_key_t(pos_t: jnp.ndarray, valid: jnp.ndarray, nf_node: int
+                    ) -> jnp.ndarray:
+    """`fine_cell_key` for SoA (3, N) positions (the staged path keeps
+    particles transposed: (M, 3) intermediates materialize lane-padded
+    42x on TPU — see parallel/exchange.colmajor)."""
+    c = jnp.floor(pos_t).astype(jnp.int32)
+    c = jnp.clip(c, 0, nf_node - 1)
+    key = (c[0] * nf_node + c[1]) * nf_node + c[2]
+    return jnp.where(valid, key, nf_node ** 3)
+
+
+def sort_by_cell_t(pos_t: jnp.ndarray, valid: jnp.ndarray, nf_node: int
+                   ) -> SortedParticles:
+    """`sort_by_cell` for SoA (3, N) positions."""
+    key = fine_cell_key_t(pos_t, valid, nf_node)
+    order = jnp.argsort(key)
+    skey = key[order]
+    idx = jnp.arange(skey.shape[0], dtype=jnp.int32)
+    boundary = jnp.concatenate([jnp.ones((1,), bool),
+                                skey[1:] != skey[:-1]])
+    start = jax.lax.associative_scan(jnp.maximum,
+                                     jnp.where(boundary, idx, 0))
+    rank = idx - start
+    return SortedParticles(order=order, cell=skey, rank=rank)

@@ -214,3 +214,112 @@ def cic_gather(field: jnp.ndarray, pos: jnp.ndarray, scale: float = 1.0,
         return jnp.einsum("nk,nkc->nc", wgt, vals)
     flat = field.reshape(-1)
     return jnp.sum(flat[idx] * wgt, axis=1)
+
+
+# ----------------------------------------------------------------------
+# SoA (C, N) variants — the staged 256^3+ path keeps particles transposed
+# because (M, small) intermediates materialize lane-padded 42x on TPU.
+# ----------------------------------------------------------------------
+def ngp_deposit_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
+                  shape: Tuple[int, int, int],
+                  sorted_cells: bool = False) -> jnp.ndarray:
+    """`ngp_deposit` for SoA (3, N) positions."""
+    cells = jnp.floor(pos_t).astype(jnp.int32)
+    shp = jnp.array(shape)[:, None]
+    in_range = jnp.all((cells >= 0) & (cells < shp), axis=0)
+    cells = jnp.clip(cells, 0, shp - 1)
+    w = jnp.where(in_range, weight, 0.0)
+    flat = (cells[0] * shape[1] + cells[1]) * shape[2] + cells[2]
+    grid = jnp.zeros(shape[0] * shape[1] * shape[2], dtype=jnp.float32)
+    grid = grid.at[flat].add(w, indices_are_sorted=sorted_cells)
+    return grid.reshape(shape)
+
+
+def ngp_gather_t(field: jnp.ndarray, flat_cells: jnp.ndarray) -> jnp.ndarray:
+    """NGP force gather returning SoA (C, N): one column gather from the
+    (C, XYZ)-flattened field."""
+    return field.reshape(field.shape[0], -1)[:, flat_cells]
+
+
+def _cic_weights_t(pos_t: jnp.ndarray, scale: float, offset: float):
+    """(c0, w0, w1) per-axis for SoA (3, N) positions; each (3, N)."""
+    xs = pos_t / scale + offset
+    c0 = jnp.floor(xs)
+    frac = xs - c0
+    return c0.astype(jnp.int32), 1.0 - frac, frac
+
+
+def cic_deposit_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
+                  shape: Tuple[int, int, int], scale: float = 1.0,
+                  offset: float = 0.0, pad: int = 0,
+                  sorted_cells: bool = False) -> jnp.ndarray:
+    """`cic_deposit` for SoA (3, N) positions."""
+    c0, w0, w1 = _cic_weights_t(pos_t, scale, offset)
+    c0 = c0 + pad
+    nflat = shape[0] * shape[1] * shape[2]
+    grid = jnp.zeros(nflat, dtype=jnp.float32)
+    shp = jnp.array(shape)[:, None]
+    for dx in (0, 1):
+        wx = (w1 if dx else w0)[0]
+        for dy in (0, 1):
+            wy = (w1 if dy else w0)[1]
+            for dz in (0, 1):
+                wz = (w1 if dz else w0)[2]
+                cells = c0 + jnp.array([dx, dy, dz],
+                                       dtype=jnp.int32)[:, None]
+                ok = jnp.all((cells >= 0) & (cells < shp), axis=0)
+                w = jnp.where(ok, weight * wx * wy * wz, 0.0)
+                cells = jnp.clip(cells, 0, shp - 1)
+                flat = ((cells[0] * shape[1] + cells[1]) * shape[2]
+                        + cells[2])
+                grid = grid.at[flat].add(w,
+                                         indices_are_sorted=sorted_cells)
+    return grid.reshape(shape)
+
+
+def cic_gather_corner_t(field: jnp.ndarray, pos_t: jnp.ndarray,
+                        scale: float = 1.0, offset: float = 0.0,
+                        pad: int = 0) -> jnp.ndarray:
+    """`cic_gather_corner` for SoA positions, returning SoA (C, N)."""
+    C = field.shape[0]
+    nx, ny, nz = field.shape[-3:]
+    c0, w0, w1 = _cic_weights_t(pos_t, scale, offset)
+    c0 = jnp.clip(c0 + pad, 0, jnp.array(field.shape[-3:])[:, None] - 2)
+    base = (c0[0] * ny + c0[1]) * nz + c0[2]
+    corners = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corners.append(jnp.pad(
+                    field[:, dx:, dy:, dz:],
+                    ((0, 0), (0, dx), (0, dy), (0, dz))))
+    packed = jnp.stack(corners).reshape(8 * C, -1)   # (8C, XYZ)
+    vals = packed[:, base].reshape(2, 2, 2, C, -1)   # one gather
+    wx = jnp.stack([w0[0], w1[0]])                   # (2, N)
+    wy = jnp.stack([w0[1], w1[1]])
+    wz = jnp.stack([w0[2], w1[2]])
+    return jnp.einsum("xyzcn,xn,yn,zn->cn", vals, wx, wy, wz)
+
+
+def cic_gather_t(field: jnp.ndarray, pos_t: jnp.ndarray,
+                 scale: float = 1.0, offset: float = 0.0,
+                 pad: int = 0) -> jnp.ndarray:
+    """`cic_gather` for SoA positions, returning SoA (C, N): 8 corner
+    column gathers from the (C, XYZ)-flattened field (used by the staged
+    CIC fine build, where the corner-packed table would be nf^3-sized)."""
+    C = field.shape[0]
+    nx, ny, nz = field.shape[-3:]
+    c0, w0, w1 = _cic_weights_t(pos_t, scale, offset)
+    c0 = jnp.clip(c0 + pad, 0, jnp.array(field.shape[-3:])[:, None] - 2)
+    base = (c0[0] * ny + c0[1]) * nz + c0[2]
+    flat = field.reshape(C, -1)
+    out = jnp.zeros((C, pos_t.shape[1]), jnp.float32)
+    for dx in (0, 1):
+        wx = (w1 if dx else w0)[0]
+        for dy in (0, 1):
+            wy = (w1 if dy else w0)[1]
+            for dz in (0, 1):
+                wz = (w1 if dz else w0)[2]
+                idx = base + (dx * ny * nz + dy * nz + dz)
+                out = out + (wx * wy * wz)[None, :] * flat[:, idx]
+    return out

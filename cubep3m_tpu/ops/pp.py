@@ -66,11 +66,19 @@ def _band_pass(pos: jnp.ndarray, cell: jnp.ndarray, lo: int, hi: int,
     live memory (an unrolled roll-based version kept O(band) (N,3) slices
     alive and OOMed at production sizes).
     """
-    n = pos.shape[0]
+    return _band_pass_cols(pos[:, 0], pos[:, 1], pos[:, 2], cell, lo, hi,
+                           mass_p, rsoft, pp_bias, soa_out=False)
+
+
+def _band_pass_cols(cx, cy, cz, cell: jnp.ndarray, lo: int, hi: int,
+                    mass_p: float, rsoft: float, pp_bias: float,
+                    soa_out: bool) -> jnp.ndarray:
+    """Column-lane core of `_band_pass`; soa_out returns (3, N)."""
+    n = cx.shape[0]
     # SoA lanes, padded by `hi` with an unmatchable sentinel cell
-    px = jnp.concatenate([pos[:, 0], jnp.zeros(hi, pos.dtype)])
-    py = jnp.concatenate([pos[:, 1], jnp.zeros(hi, pos.dtype)])
-    pz = jnp.concatenate([pos[:, 2], jnp.zeros(hi, pos.dtype)])
+    px = jnp.concatenate([cx, jnp.zeros(hi, cx.dtype)])
+    py = jnp.concatenate([cy, jnp.zeros(hi, cy.dtype)])
+    pz = jnp.concatenate([cz, jnp.zeros(hi, cz.dtype)])
     cl = jnp.concatenate([cell, jnp.full((hi,), -1, cell.dtype)])
     rsoft2 = rsoft * rsoft
     bias3 = pp_bias ** 3
@@ -103,11 +111,12 @@ def _band_pass(pos: jnp.ndarray, cell: jnp.ndarray, lo: int, hi: int,
             fzp, jax.lax.dynamic_slice(fzp, (d,), (n,)) + gz, (d,))
         return fxm, fym, fzm, fxp, fyp, fzp
 
-    zero_n = jnp.zeros((n,), pos.dtype)
-    zero_p = jnp.zeros((n + hi,), pos.dtype)
+    zero_n = jnp.zeros((n,), cx.dtype)
+    zero_p = jnp.zeros((n + hi,), cx.dtype)
     fxm, fym, fzm, fxp, fyp, fzp = jax.lax.fori_loop(
         lo, hi + 1, body, (zero_n, zero_n, zero_n, zero_p, zero_p, zero_p))
-    return jnp.stack([fxp[:n] - fxm, fyp[:n] - fym, fzp[:n] - fzm], axis=-1)
+    return jnp.stack([fxp[:n] - fxm, fyp[:n] - fym, fzp[:n] - fzm],
+                     axis=0 if soa_out else -1)
 
 
 def cell_occupancy(cell: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
@@ -208,6 +217,54 @@ def ppint_force(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
     force = res.force + tail.force
     fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=-1)))
     return PPResult(force=force, fmax=fmax, overflow=tail.overflow)
+
+
+def ppint_force_t(pos_t: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
+                  ncells: int, band: int, dense_band: int, dense_cap: int,
+                  mass_p: float, rsoft: float, pp_bias: float,
+                  use_pallas: bool = False,
+                  pallas_interpret: bool = False) -> PPResult:
+    """`ppint_force` for SoA (3, N) positions, returning SoA (3, N) force
+    (the staged 256^3+ path: (M, 3) intermediates lane-pad 42x on TPU)."""
+    real = cell < ncells
+    if use_pallas:
+        from . import pp_pallas
+        force = pp_pallas.ppint_band_force_pallas_cols(
+            pos_t[0], pos_t[1], pos_t[2], cell, band, mass_p, rsoft,
+            pp_bias, interpret=pallas_interpret, soa_out=True)
+    else:
+        force = _band_pass_cols(pos_t[0], pos_t[1], pos_t[2], cell, 1,
+                                band, mass_p, rsoft, pp_bias, soa_out=True)
+    overflow = jnp.sum(((rank > band) & real).astype(jnp.int32))
+    if dense_band > band:
+        n = pos_t.shape[1]
+        occ = cell_occupancy(cell, rank)
+        dense = real & (occ > band + 1)
+        n_dense = jnp.sum(dense.astype(jnp.int32))
+
+        def run(_):
+            idx = jnp.nonzero(dense, size=dense_cap, fill_value=n)[0]
+            pos_pad = jnp.concatenate(
+                [pos_t, jnp.zeros((3, 1), pos_t.dtype)], axis=1)
+            cell_pad = jnp.concatenate(
+                [cell, jnp.full((1,), ncells + 1, cell.dtype)])
+            cpos = pos_pad[:, idx]
+            ccell = cell_pad[idx]
+            fc = _band_pass_cols(cpos[0], cpos[1], cpos[2], ccell,
+                                 band + 1, dense_band, mass_p, rsoft,
+                                 pp_bias, soa_out=True)
+            fc = jnp.where((idx < n)[None, :], fc, 0.0)
+            return jnp.zeros((3, n), pos_t.dtype).at[
+                :, jnp.clip(idx, 0, n - 1)].add(fc)
+
+        tail = jax.lax.cond(n_dense > 0, run,
+                            lambda _: jnp.zeros((3, n), pos_t.dtype), None)
+        force = force + tail
+        overflow = (jnp.maximum(n_dense - dense_cap, 0)
+                    + jnp.sum(((rank > dense_band) & real)
+                              .astype(jnp.int32)))
+    fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=0)))
+    return PPResult(force=force, fmax=fmax, overflow=overflow)
 
 
 # ----------------------------------------------------------------------

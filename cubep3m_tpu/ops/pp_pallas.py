@@ -93,16 +93,26 @@ def ppint_band_force_pallas(pos: jnp.ndarray, cell: jnp.ndarray, band: int,
 
     `interpret=True` runs the kernel in the Pallas interpreter (CPU tests).
     """
+    return ppint_band_force_pallas_cols(
+        pos[:, 0], pos[:, 1], pos[:, 2], cell, band, mass_p, rsoft,
+        pp_bias, interpret=interpret, soa_out=False)
+
+
+def ppint_band_force_pallas_cols(cx, cy, cz, cell: jnp.ndarray, band: int,
+                                 mass_p: float, rsoft: float,
+                                 pp_bias: float, interpret: bool = False,
+                                 soa_out: bool = True) -> jnp.ndarray:
+    """Column-lane entry point; soa_out returns (3, N) (staged SoA path)."""
     assert band <= _MARGIN, f"band {band} exceeds kernel margin {_MARGIN}"
-    n = pos.shape[0]
+    n = cx.shape[0]
     nblk = _ROWS * (-(-n // (_T * _ROWS)))   # window rows, multiple of 8
     pad = nblk * _T - n
     # padding slots: unique-ish sentinel cell would still equal each other,
     # but their positions coincide (0) so r2 <= rsoft2 masks them out —
     # same invariant the XLA band pass relies on.
-    px = jnp.pad(pos[:, 0], (0, pad))
-    py = jnp.pad(pos[:, 1], (0, pad))
-    pz = jnp.pad(pos[:, 2], (0, pad))
+    px = jnp.pad(cx, (0, pad))
+    py = jnp.pad(cy, (0, pad))
+    pz = jnp.pad(cz, (0, pad))
     cl = jnp.pad(cell, (0, pad), constant_values=-2)
 
     wx = _windows(px, nblk, 0.0)
@@ -128,5 +138,5 @@ def ppint_band_force_pallas(pos: jnp.ndarray, cell: jnp.ndarray, band: int,
         interpret=interpret,
     )(wx, wy, wz, wc)
     force = jnp.stack([fx.reshape(-1)[:n], fy.reshape(-1)[:n],
-                       fz.reshape(-1)[:n]], axis=-1)
+                       fz.reshape(-1)[:n]], axis=0 if soa_out else -1)
     return force

@@ -78,29 +78,39 @@ def _mesh_perm(nd: int, d) -> list:
 
 def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
                        valid: jnp.ndarray, nf_node: int, max_buf: int,
-                       axis_names=AXES,
-                       compact: bool = True) -> ExchangeResult:
+                       axis_names=AXES, compact: bool = True,
+                       soa: bool = False) -> ExchangeResult:
     """Move particles whose coordinates left [0, nf_node) to their owning
     neighbor (single hop; drift+shake < one node width per step).
 
     With `compact=False` the result arrays have max_np + total-buffer rows
     and are NOT compacted (use `valid`); callers that re-sort anyway (the
     sweep's cell sort) skip a full argsort+gather that way.
+
+    With `soa=True` (requires compact=False) positions/velocities are
+    (3, N) in AND (3, M) out — the staged 256^3+ path, where any (M, 3)
+    materialization lane-pads 42x on TPU.
     """
-    max_np = x.shape[0]
+    if soa:
+        assert not compact, "soa exchange is compact=False only"
+        xT, vT = x, v
+        max_np = x.shape[1]
+    else:
+        xT, vT = x.T, v.T          # cheap direction: (3, N) stays compact
+        max_np = x.shape[0]
     nd = 1
     try:
         nd = jax.lax.axis_size(axis_names[0])
     except NameError:
         pass
 
-    # --- classify by outgoing direction -------------------------------
-    d = jnp.where(x < 0.0, -1, jnp.where(x >= nf_node, 1, 0)).astype(
-        jnp.int32)                                       # (N, 3)
-    cls = (d[:, 0] + 1) * 9 + (d[:, 1] + 1) * 3 + (d[:, 2] + 1)
+    # --- classify by outgoing direction (SoA throughout) ---------------
+    d = jnp.where(xT < 0.0, -1, jnp.where(xT >= nf_node, 1, 0)).astype(
+        jnp.int32)                                       # (3, N)
+    cls = (d[0] + 1) * 9 + (d[1] + 1) * 3 + (d[2] + 1)
     cls = jnp.where(valid, cls, 27)                      # invalid last
     # shift leaving coordinates into the destination frame
-    xs = x - d.astype(x.dtype) * float(nf_node)
+    xs = xT - d.astype(xT.dtype) * float(nf_node)
 
     # --- one stable sort groups the classes; ONE packed payload gather -
     # payload is (7, N) SUBLANE-major: concatenating (N, k) arrays along
@@ -110,7 +120,7 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     order = jnp.argsort(cls)
     cls_s = cls[order]
     payload = jnp.concatenate(
-        [xs.T, v.T, pid.view(jnp.float32)[None, :]], axis=0)[:, order]
+        [xs, vT, pid.view(jnp.float32)[None, :]], axis=0)[:, order]
     # pad by max_np so dynamic slices below NEVER clamp: the stay-segment
     # slice starts at stay_start (can approach N when many particles
     # leave through low-class faces) and spans max_np rows — a clamped
@@ -158,6 +168,11 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     all_ok = allp[7] > 0.0
 
     if not compact:
+        if soa:
+            return ExchangeResult(
+                x=allp[0:3], v=allp[3:6],
+                pid=allp[6].view(jnp.int32),
+                valid=all_ok, overflow=overflow)
         return ExchangeResult(
             x=colmajor(allp[0:3].T), v=colmajor(allp[3:6].T),
             pid=allp[6].view(jnp.int32),
