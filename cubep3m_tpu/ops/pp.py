@@ -36,6 +36,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -316,47 +317,65 @@ def pp_ext_force(pos: jnp.ndarray, buckets: Buckets, nc_node: int,
     cap = buckets.index.shape[-1]
     ncells = nc_node ** 3
     nf_node = nc_node * mesh_scale
+    ncp = nc_node + 2
     idx_flat = buckets.index.reshape(ncells, cap)
     bval = idx_flat >= 0
-    bpos = pos[jnp.clip(idx_flat, 0, pos.shape[0] - 1)]
-    # park invalid slots far away so any pair involving them fails `near`
-    bpos = jnp.where(bval[..., None], bpos, 4.0 * nf_node + 1e4)
+    idxc = jnp.clip(idx_flat, 0, pos.shape[0] - 1)
+    far = 4.0 * nf_node + 1e4
+    # COMPONENT-WISE throughout: any (..., cap, 3)-shaped tensor tiles its
+    # last two dims on TPU and lane-pads 3 -> 128 (42x memory — the old
+    # (B, cap, cap, 3) pair tensors were 8+ GB per chunk at 128^3)
+    bx = jnp.where(bval, pos[:, 0][idxc], far)   # (ncells, cap)
+    by = jnp.where(bval, pos[:, 1][idxc], far)
+    bz = jnp.where(bval, pos[:, 2][idxc], far)
 
-    # (cap*3, nc, nc, nc) layout so halo_pad works on the spatial dims
-    grid_pos = jnp.moveaxis(
-        bpos.reshape(nc_node, nc_node, nc_node, cap * 3), 3, 0)
-    gp = halo_mod.halo_pad(grid_pos, 1)          # (cap*3, nc+2, nc+2, nc+2)
-    gp = jnp.moveaxis(gp, 0, 3).reshape(
-        nc_node + 2, nc_node + 2, nc_node + 2, cap, 3)
+    def to_grid(c):
+        return jnp.moveaxis(
+            c.reshape(nc_node, nc_node, nc_node, cap), 3, 0)
+
+    # one halo exchange for all 3 components (3*cap, nc, nc, nc)
+    gp = halo_mod.halo_pad(
+        jnp.concatenate([to_grid(bx), to_grid(by), to_grid(bz)]), 1)
+    gpx, gpy, gpz = gp[:cap], gp[cap:2 * cap], gp[2 * cap:]
     # shift received layers into the local coordinate frame
-    edge = jnp.zeros(nc_node + 2, jnp.float32)
+    edge = jnp.zeros(ncp, jnp.float32)
     edge = edge.at[0].set(-float(nf_node)).at[-1].set(float(nf_node))
-    gp = gp.at[..., 0].add(edge[:, None, None, None])
-    gp = gp.at[..., 1].add(edge[None, :, None, None])
-    gp = gp.at[..., 2].add(edge[None, None, :, None])
+    gpx = gpx + edge[None, :, None, None]
+    gpy = gpy + edge[None, None, :, None]
+    gpz = gpz + edge[None, None, None, :]
 
-    taper_cut = nf_cutoff + jnp.sqrt(3.0)
+    taper_cut = nf_cutoff + float(np.sqrt(3.0))
+    bias3 = pp_bias ** 3
 
-    def interact(p_i, p_j):
-        """Force on bucket-i particles from bucket-j particles.
-
-        p_i, p_j: (B, cap, 3) absolute local-frame positions.
-        """
-        sep = p_i[:, :, None, :] - p_j[:, None, :, :]
-        rmag = jnp.sqrt(jnp.sum(sep * sep, axis=-1))
-        c_i = jnp.floor(p_i).astype(jnp.int32)
-        c_j = jnp.floor(p_j).astype(jnp.int32)
-        dcell = jnp.abs(c_i[:, :, None, :] - c_j[:, None, :, :])
-        near = (jnp.max(dcell, axis=-1) <= pp_range) & jnp.any(
-            dcell != 0, axis=-1)
+    def interact(pix, piy, piz, pjx, pjy, pjz):
+        """Per-component force on bucket-i particles from bucket-j ones;
+        all inputs (B, cap)."""
+        dx = pix[:, :, None] - pjx[:, None, :]
+        dy = piy[:, :, None] - pjy[:, None, :]
+        dz = piz[:, :, None] - pjz[:, None, :]
+        r2 = dx * dx + dy * dy + dz * dz
+        rmag = jnp.sqrt(r2)
+        dcx = jnp.abs(jnp.floor(pix).astype(jnp.int32)[:, :, None]
+                      - jnp.floor(pjx).astype(jnp.int32)[:, None, :])
+        dcy = jnp.abs(jnp.floor(piy).astype(jnp.int32)[:, :, None]
+                      - jnp.floor(pjy).astype(jnp.int32)[:, None, :])
+        dcz = jnp.abs(jnp.floor(piz).astype(jnp.int32)[:, :, None]
+                      - jnp.floor(pjz).astype(jnp.int32)[:, None, :])
+        near = ((jnp.maximum(jnp.maximum(dcx, dcy), dcz) <= pp_range)
+                & ((dcx | dcy | dcz) != 0))
         ok = near & (rmag > rsoft)
         s = rmag * pp_bias / nf_cutoff
         taper = jnp.where(rmag <= taper_cut,
                           1.0 - 1.75 * s ** 3 + 0.75 * s ** 5, 1.0)
-        f = _pair_force(sep, rmag, ok, mass_p, pp_bias) * taper[..., None]
-        return -jnp.sum(f, axis=2)  # attract
+        inv = jnp.where(
+            ok, mass_p / (bias3 * jnp.where(ok, r2, 1.0) ** 1.5),
+            0.0) * taper
+        return (-jnp.sum(dx * inv, 2), -jnp.sum(dy * inv, 2),
+                -jnp.sum(dz * inv, 2))                    # attract
 
-    force_b = jnp.zeros((ncells, cap, 3), dtype=jnp.float32)
+    fbx = jnp.zeros((ncells, cap), dtype=jnp.float32)
+    fby = jnp.zeros((ncells, cap), dtype=jnp.float32)
+    fbz = jnp.zeros((ncells, cap), dtype=jnp.float32)
     nchunk = max(1, -(-ncells // chunk))
     pad_cells = nchunk * chunk - ncells
 
@@ -364,27 +383,36 @@ def pp_ext_force(pos: jnp.ndarray, buckets: Buckets, nc_node: int,
         a = jnp.pad(a, [(0, pad_cells)] + [(0, 0)] * (a.ndim - 1))
         return a.reshape(nchunk, chunk, *a.shape[1:])
 
-    p_i_chunks = chunked(bpos)
+    pix_c, piy_c, piz_c = chunked(bx), chunked(by), chunked(bz)
     n = nc_node
     for ox in (0, 1, 2):
         for oy in (0, 1, 2):
             for oz in (0, 1, 2):
-                p_j = gp[ox:ox + n, oy:oy + n, oz:oz + n]
-                p_j_chunks = chunked(p_j.reshape(ncells, cap, 3))
+                def nb(g):
+                    blk = g[:, ox:ox + n, oy:oy + n, oz:oz + n]
+                    return chunked(
+                        jnp.moveaxis(blk, 0, 3).reshape(ncells, cap))
 
                 def scan_body(carry, xs):
-                    p_i, p_jx = xs
-                    return carry, interact(p_i, p_jx)
+                    return carry, interact(*xs)
 
-                _, f_chunks = jax.lax.scan(scan_body, None,
-                                           (p_i_chunks, p_j_chunks))
-                force_b = force_b + f_chunks.reshape(-1, cap, 3)[:ncells]
+                _, (fx, fy, fz) = jax.lax.scan(
+                    scan_body, None,
+                    (pix_c, piy_c, piz_c, nb(gpx), nb(gpy), nb(gpz)))
+                fbx = fbx + fx.reshape(-1, cap)[:ncells]
+                fby = fby + fy.reshape(-1, cap)[:ncells]
+                fbz = fbz + fz.reshape(-1, cap)[:ncells]
 
-    # scatter bucket forces back to particle slots
+    # scatter bucket forces back to particle slots (per component —
+    # (M, 3) update rows would lane-pad; (N,) scatters stay compact)
     flat_idx = idx_flat.reshape(-1)
-    flat_f = force_b.reshape(-1, 3)
     ok = flat_idx >= 0
-    force = jnp.zeros_like(pos).at[jnp.where(ok, flat_idx, 0)].add(
-        jnp.where(ok[:, None], flat_f, 0.0))
-    fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=-1)))
+    tgt = jnp.where(ok, flat_idx, 0)
+    comps = []
+    for fb in (fbx, fby, fbz):
+        comps.append(jnp.zeros(pos.shape[0], jnp.float32).at[tgt].add(
+            jnp.where(ok, fb.reshape(-1), 0.0)))
+    force = jnp.stack(comps, axis=-1)
+    fmax = jnp.sqrt(jnp.max(comps[0] ** 2 + comps[1] ** 2
+                            + comps[2] ** 2))
     return PPResult(force=force, fmax=fmax, overflow=buckets.overflow)
