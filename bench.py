@@ -33,14 +33,16 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="stencil coarse kick + potential fine solve "
                          "(quantized variants; see DESIGN.md)")
-    ap.add_argument("--buffer", type=float, default=1.3,
+    ap.add_argument("--buffer", type=float, default=1.05,
                     help="density_buffer (single-chip runs conserve "
-                         "np_local exactly, so 1.05 cuts ~20%% of every "
-                         "index op's padding-slot traversals)")
-    ap.add_argument("--corner-deposit", action="store_true",
-                    help="corner-split coarse CIC deposit: 1.5x faster "
-                         "steady state, ~330s extra first-time compile "
-                         "(cached afterwards)")
+                         "np_local exactly, so the default 1.05 cuts "
+                         "~20%% of every index op's padding-slot "
+                         "traversals; multi-chip runs need headroom)")
+    ap.add_argument("--corner-deposit", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="corner-split coarse CIC deposit (identical "
+                         "physics, 1.5x faster steady state, longer "
+                         "first-time compile)")
     ap.add_argument("--staged", action="store_true",
                     help="three-jit staged sweep (the fused 512^3-mesh "
                          "program OOM-kills the tunnel's compile helper)")

@@ -96,7 +96,13 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     ms = cfg.mesh_scale
     mass_p = cfg.mass_p
     ncells_fine = nf ** 3
-    max_buf = max(256, cfg.max_np // 16)  # face buffers; shake moves <= 2*mesh_scale/step
+    # face buffers sized by PHYSICS, not capacity: the shake moves every
+    # particle by <= 2*mesh_scale per axis per step, so at most a
+    # ~(2*ms + drift margin)/nf face layer leaves per face; a
+    # capacity-derived size (max_np//16) under-provisions when
+    # density_buffer is tight and silently drops particles
+    max_buf = max(256, int(cfg.np_node_avg
+                           * min(1.0, (2.0 * ms + 4.0) / nf)))
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
 
@@ -410,7 +416,13 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     ms = cfg.mesh_scale
     mass_p = cfg.mass_p
     ncells_fine = nf ** 3
-    max_buf = max(256, cfg.max_np // 16)
+    # face buffers sized by PHYSICS, not capacity: the shake moves every
+    # particle by <= 2*mesh_scale per axis per step, so at most a
+    # ~(2*ms + drift margin)/nf face layer leaves per face; a
+    # capacity-derived size (max_np//16) under-provisions when
+    # density_buffer is tight and silently drops particles
+    max_buf = max(256, int(cfg.np_node_avg
+                           * min(1.0, (2.0 * ms + 4.0) / nf)))
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
 

@@ -54,8 +54,9 @@ def test_staged_matches_fused(nodes_dim):
                  "shake_offset", "a", "nts"):
         np.testing.assert_allclose(
             np.asarray(getattr(st_f, name)),
-            np.asarray(getattr(st_s, name)), rtol=1e-5, atol=2e-5,
+            np.asarray(getattr(st_s, name)), rtol=1e-4, atol=1e-4,
             err_msg=name)  # SoA stages reassociate fp32 arithmetic
+            # (near-cancelling pp sums give ~5e-5 outliers)
 
 
 def test_staged_pp_ext_not_supported():
