@@ -84,11 +84,17 @@ def save_native(path: str, cfg: SimConfig, state: SimState,
                 parts.append(np.asarray(arr[d * cap + s:d * cap + e]))
         flat[name] = (np.concatenate(parts) if parts
                       else np.asarray(arr[:0]))
-    np.savez(
-        path, __fmt=np.int32(2), __cap=np.int32(cap), __config=repr(cfg),
-        __cursors=np.array([cursors.checkpoint, cursors.projection,
-                            cursors.halofind], np.int32),
-        **flat)
+    # write-then-rename: a process dying mid-write (e.g. an AsyncWriter
+    # daemon thread at interpreter exit) can never leave a truncated file
+    # that would be mistaken for a valid checkpoint
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(
+            f, __fmt=np.int32(2), __cap=np.int32(cap), __config=repr(cfg),
+            __cursors=np.array([cursors.checkpoint, cursors.projection,
+                                cursors.halofind], np.int32),
+            **flat)
+    os.replace(tmp, path)
 
 
 class AsyncWriter:
@@ -107,6 +113,7 @@ class AsyncWriter:
     def __init__(self):
         self._thread = None
         self._err = None
+        self._atexit = False
 
     def _run(self, fn, args, kwargs):
         try:
@@ -114,9 +121,21 @@ class AsyncWriter:
         except BaseException as e:   # surfaced on next wait()
             self._err = e
 
+    def _drain(self) -> None:
+        """atexit hook: join any in-flight write without raising."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
     def submit(self, fn, *args, **kwargs) -> None:
         import threading
         self.wait()
+        if not self._atexit:
+            # processes that exit without finish() (manual stepping, an
+            # exception before the drain) must not kill a write mid-file
+            import atexit
+            atexit.register(self._drain)
+            self._atexit = True
         self._thread = threading.Thread(
             target=self._run, args=(fn, args, kwargs), daemon=True)
         self._thread.start()
@@ -231,6 +250,30 @@ def write_reference_gas(outdir: str, cfg: SimConfig, state: SimState,
     return files
 
 
+def read_reference_gas(outdir: str, cfg: SimConfig, z: float
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Read the MHD gas state written by `write_reference_gas` — the
+    `mpi_tvd_mhd_restart` role (mpi_tvd_mhd.f90:139-184): gas runs restart
+    from `{z}gas_u.dat`/`{z}gas_b.dat` like particles do from xv files.
+
+    Returns (gas_u (5, nf, nf, nf), gas_b (3, nf, nf, nf)) as f32 arrays;
+    raises FileNotFoundError/ValueError on missing or mis-sized files.
+    """
+    nf = cfg.nf_physical_dim
+    prefix = f"{z:.3f}"
+    out = []
+    for tag, nfield in (("gas_u", 5), ("gas_b", 3)):
+        fn = os.path.join(outdir, f"{prefix}{tag}.dat")
+        arr = np.fromfile(fn, dtype="<f4")
+        want = nfield * nf ** 3
+        if arr.size != want:
+            raise ValueError(
+                f"{fn}: expected {want} f32 values "
+                f"({nfield} fields x {nf}^3), got {arr.size}")
+        out.append(jnp.asarray(arr.reshape(nfield, nf, nf, nf)))
+    return out[0], out[1]
+
+
 def read_reference_checkpoint(outdir: str, cfg: SimConfig, z: float,
                               kill: bool = False
                               ) -> Tuple[SimState, Cursors]:
@@ -274,6 +317,11 @@ def read_reference_checkpoint(outdir: str, cfg: SimConfig, z: float,
             pids[rank * cap:rank * cap + n] = np.arange(1, n + 1)
     from ..state import _default_gas
     _dg = _default_gas(cfg)
+    if cfg.mhd and os.path.exists(
+            os.path.join(outdir, f"{prefix}gas_u.dat")):
+        # gas restart rides along when the files exist
+        # (mpi_tvd_mhd_restart role)
+        _dg = read_reference_gas(outdir, cfg, z)
     f32 = lambda v_: jnp.asarray(float(v_), jnp.float32)
     state = SS(
         x=jnp.asarray(xs), v=jnp.asarray(vs), pid=jnp.asarray(pids),

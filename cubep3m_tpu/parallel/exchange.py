@@ -34,6 +34,26 @@ import numpy as np
 from .mesh import AXES
 
 
+# pid <-> float32 payload packing.  A raw int32 bit-cast puts pids < 2^23
+# in the float32 DENORMAL range, where a single canonicalizing/flushing
+# copy anywhere in the where/ppermute/relayout chain would silently zero
+# particle identities.  Adding 2^27 before the cast keeps every encoded
+# value a NORMAL float (exponent 16..143) and far from NaN/Inf patterns
+# for any pid in [-2^27, 2^30 - 2^27) — comfortably past 512^3 = 2^27
+# total particles.
+PID_BIAS = jnp.int32(0x08000000)
+
+
+def pid_to_f32(pid: jnp.ndarray) -> jnp.ndarray:
+    """Encode int32 pids as flush-safe float32 payload lanes."""
+    return (pid + PID_BIAS).view(jnp.float32)
+
+
+def pid_from_f32(f: jnp.ndarray) -> jnp.ndarray:
+    """Decode `pid_to_f32` payload lanes back to int32 pids."""
+    return f.view(jnp.int32) - PID_BIAS
+
+
 def colmajor(arr: jnp.ndarray) -> jnp.ndarray:
     """Constrain an (M, k) intermediate to column-major layout.
 
@@ -65,14 +85,20 @@ DIRS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
 STAY = 13
 
 
-def _mesh_perm(nd: int, d) -> list:
-    """Static ppermute pairs over the full (nd,nd,nd) mesh sending each
-    device's segment to the neighbor at +d."""
+def _mesh_perm(dims, d) -> list:
+    """Static ppermute pairs over the full (n0,n1,n2) mesh sending each
+    device's segment to the neighbor at +d (row-major flattening in the
+    axis_names order, matching lax.ppermute over multiple axes; the mesh
+    need not be cubic)."""
+    n0, n1, n2 = dims
     pairs = []
-    for j in range(nd ** 3):
-        jx, jy, jz = j // (nd * nd), (j // nd) % nd, j % nd
-        tx = ((jx + d[0]) % nd, (jy + d[1]) % nd, (jz + d[2]) % nd)
-        pairs.append((j, (tx[0] * nd + tx[1]) * nd + tx[2]))
+    for jx in range(n0):
+        for jy in range(n1):
+            for jz in range(n2):
+                j = (jx * n1 + jy) * n2 + jz
+                t = ((((jx + d[0]) % n0) * n1 + (jy + d[1]) % n1) * n2
+                     + (jz + d[2]) % n2)
+                pairs.append((j, t))
     return pairs
 
 
@@ -98,11 +124,11 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     else:
         xT, vT = x.T, v.T          # cheap direction: (3, N) stays compact
         max_np = x.shape[0]
-    nd = 1
     try:
-        nd = jax.lax.axis_size(axis_names[0])
+        dims = tuple(jax.lax.axis_size(n) for n in axis_names)
     except NameError:
-        pass
+        dims = (1, 1, 1)
+    multi = any(s > 1 for s in dims)
 
     # --- classify by outgoing direction (SoA throughout) ---------------
     d = jnp.where(xT < 0.0, -1, jnp.where(xT >= nf_node, 1, 0)).astype(
@@ -120,7 +146,7 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     order = jnp.argsort(cls)
     cls_s = cls[order]
     payload = jnp.concatenate(
-        [xs, vT, pid.view(jnp.float32)[None, :]], axis=0)[:, order]
+        [xs, vT, pid_to_f32(pid)[None, :]], axis=0)[:, order]
     # pad by max_np so dynamic slices below NEVER clamp: the stay-segment
     # slice starts at stay_start (can approach N when many particles
     # leave through low-class faces) and spans max_np rows — a clamped
@@ -135,9 +161,11 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     starts = bounds[:-1]
 
     overflow = jnp.asarray(0, jnp.int32)
-    face_buf = max_buf
-    edge_buf = max(64, max_buf // 8)
-    corner_buf = max(64, max_buf // 32)
+    # floors clamp to max_np so segment slices never exceed the padded
+    # payload (tiny test configs; production sizes are unaffected)
+    face_buf = min(max_buf, max_np)
+    edge_buf = min(max(64, max_buf // 8), max_np)
+    corner_buf = min(max(64, max_buf // 32), max_np)
 
     # --- ship each class to its neighbor -------------------------------
     recv = []
@@ -152,8 +180,8 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
         seg = jnp.concatenate([jnp.where(ok[None, :], seg, 0.0),
                                ok[None, :].astype(jnp.float32)], axis=0)
         overflow = overflow + jnp.maximum(counts[ci] - buf, 0)
-        if nd > 1:
-            seg = jax.lax.ppermute(seg, axis_names, _mesh_perm(nd, dd))
+        if multi:
+            seg = jax.lax.ppermute(seg, axis_names, _mesh_perm(dims, dd))
         recv.append(seg)
 
     # --- merge: stay segment + received --------------------------------
@@ -171,11 +199,11 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
         if soa:
             return ExchangeResult(
                 x=allp[0:3], v=allp[3:6],
-                pid=allp[6].view(jnp.int32),
+                pid=pid_from_f32(allp[6]),
                 valid=all_ok, overflow=overflow)
         return ExchangeResult(
             x=colmajor(allp[0:3].T), v=colmajor(allp[3:6].T),
-            pid=allp[6].view(jnp.int32),
+            pid=pid_from_f32(allp[6]),
             valid=all_ok, overflow=overflow)
 
     morder = jnp.argsort(~all_ok)          # compaction via (cheap) sort
@@ -187,5 +215,5 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
     return ExchangeResult(
         x=colmajor(jnp.where(ok_o[:, None], kept[0:3].T, 0.0)),
         v=colmajor(jnp.where(ok_o[:, None], kept[3:6].T, 0.0)),
-        pid=kept[6].view(jnp.int32),
+        pid=pid_from_f32(kept[6]),
         valid=ok_o, overflow=overflow)
