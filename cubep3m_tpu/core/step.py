@@ -38,6 +38,23 @@ from ..parallel import exchange as exchange_mod
 from ..parallel.mesh import AXES, make_sim_mesh
 
 
+def face_buffer_size(cfg: SimConfig) -> int:
+    """Exchange face-buffer capacity, sized by PHYSICS, not array capacity.
+
+    The per-step shake delta is new_offset - old_offset with each offset in
+    [-2*mesh_scale, 2*mesh_scale] (update_position.f90:57), so a particle can
+    move up to 4*mesh_scale per axis per step, plus a drift margin; at most a
+    ~(4*ms + margin)/nf-thick face layer leaves per face.  Scaled by
+    density_buffer as a clustering floor (face slabs are not average-density
+    at z~0).  A capacity-derived size (max_np//16) under-provisions when
+    density_buffer is tight and silently drops particles.
+    """
+    nf = cfg.nf_physical_node_dim
+    ms = cfg.mesh_scale
+    frac = min(1.0, (4.0 * ms + 4.0) / nf) * max(1.0, cfg.density_buffer)
+    return max(256, int(cfg.np_node_avg * min(1.0, frac)))
+
+
 def fold_pads(grid: jnp.ndarray, pad: int) -> jnp.ndarray:
     """Fold `pad` ghost layers back into the periodic interior (deposit);
     single-device counterpart of parallel.halo.halo_fold."""
@@ -96,13 +113,7 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     ms = cfg.mesh_scale
     mass_p = cfg.mass_p
     ncells_fine = nf ** 3
-    # face buffers sized by PHYSICS, not capacity: the shake moves every
-    # particle by <= 2*mesh_scale per axis per step, so at most a
-    # ~(2*ms + drift margin)/nf face layer leaves per face; a
-    # capacity-derived size (max_np//16) under-provisions when
-    # density_buffer is tight and silently drops particles
-    max_buf = max(256, int(cfg.np_node_avg
-                           * min(1.0, (2.0 * ms + 4.0) / nf)))
+    max_buf = face_buffer_size(cfg)
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
 
@@ -178,11 +189,11 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         # free; the (7, N) sublane-major pack avoids the lane-padded
         # relayout a (N, 7) minor-axis concat triggers — scatter_bench)
         packed = jnp.concatenate(
-            [x.T, v.T, pid.view(jnp.float32)[None, :]],
+            [x.T, v.T, exchange_mod.pid_to_f32(pid)[None, :]],
             axis=0)[:, sp_full.order[:n_slots]]
         x = exchange_mod.colmajor(packed[0:3].T)
         v = exchange_mod.colmajor(packed[3:6].T)
-        pid = packed[6].view(jnp.int32)
+        pid = exchange_mod.pid_from_f32(packed[6])
         sp = binning.SortedParticles(order=None,
                                      cell=sp_full.cell[:n_slots],
                                      rank=sp_full.rank[:n_slots])
@@ -288,11 +299,12 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                 rho_c_pad = deposit.cic_deposit_corner(
                     x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1)
             else:
-                # particles are fine-cell sorted, so the per-corner coarse
-                # scatter indices are monotone -> segment-sum fast path
+                # NOTE: no sorted-indices hint here — fine-cell sort order
+                # is NOT monotone in the coarse corner keys (the -0.5
+                # offset straddles coarse cells within a fine cell), and an
+                # unsorted hint is undefined behavior in XLA scatter
                 rho_c_pad = deposit.cic_deposit(
-                    x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,
-                    sorted_cells=True)
+                    x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
             if cfg.mhd:
                 # gas mass: sum-pool mesh_scale^3 gas cells
@@ -387,21 +399,30 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
 
 
 def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
-    """The sweep as THREE separately-compiled shard_map programs.
+    """The sweep as MANY small separately-compiled shard_map programs.
 
     Numerically identical to `make_sweep` for non-MHD configs (pinned by
-    tests/test_staged.py).  Exists because AOT/remote compilers can OOM on
-    the monolithic program — the fused 512^3-mesh sweep SIGKILLs the TPU
-    tunnel's compile helper — while each stage compiles comfortably.
-    Stage boundaries materialize the particle arrays in HBM (~100s of MB
-    at 256^3, ~ms of bandwidth) that XLA would otherwise fuse through.
+    tests/test_staged.py).  Exists because AOT/remote compilers are
+    host-RAM bound PER MODULE — the fused 512^3-mesh sweep (and even the
+    round-2 3-stage split) SIGKILLs the TPU tunnel's compile helper —
+    while each of these stages is dominated by ONE large op.  Stage
+    boundaries materialize particle arrays in HBM (~100s of MB at 256^3,
+    ~ms of bandwidth) that XLA would otherwise fuse through.
 
-    Stages: A1 = shake+drift+exchange; A2 = cell sort + packed reorder
-    (split from A1 because the tunnel's compile helper is host-RAM bound
-    PER MODULE — exchange and the 32M-row sort each compile alone but
-    SIGKILL it together); B = fine level (deposit, halo, FFT force,
-    NGP/CIC kick) + PP; C = coarse level (CIC deposit, global FFT force,
-    kick) + dt limiters.
+    Stages (each its own jit; every one dominated by a single big op):
+      A1  shake + drift + 26-class exchange
+      A2a fine-cell key + argsort (+ rank scan)
+      A2b the ONE packed (7, N) payload reorder gather
+      B1  fine NGP/CIC deposit + density halo (also allocates f_fine)
+      B2  ONE compiled tile-FFT program, executed tiles^3 times from the
+          host at dynamic offsets (the reference's own per-tile strategy,
+          particle_mesh_threaded.f90:72-628: one small program, t^3
+          executions — here one COMPILE, t^3 dispatches)
+      B3  fine force gather + kick + dt_f
+      B4  PPINT band + dense tail + kick + dt_pp        (if cfg.pp)
+      B5  PP_EXT bucket build + neighborhood scan + kick (if cfg.pp_ext)
+      C1  coarse CIC deposit + fold + global FFT force + dt_c
+      C2  coarse CIC gather + kick
 
     Returns staged_sweep(state, kern_f_im, kern_c_im, a_mid, dt, a_new,
     tau_new, t_new) -> state, like make_sweep.
@@ -416,13 +437,7 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     ms = cfg.mesh_scale
     mass_p = cfg.mass_p
     ncells_fine = nf ** 3
-    # face buffers sized by PHYSICS, not capacity: the shake moves every
-    # particle by <= 2*mesh_scale per axis per step, so at most a
-    # ~(2*ms + drift margin)/nf face layer leaves per face; a
-    # capacity-derived size (max_np//16) under-provisions when
-    # density_buffer is tight and silently drops particles
-    max_buf = max(256, int(cfg.np_node_avg
-                           * min(1.0, (2.0 * ms + 4.0) / nf)))
+    max_buf = face_buffer_size(cfg)
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
 
@@ -461,23 +476,30 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         return (xT, vT, pid, valid, rng, shake_offset, clamp_count,
                 jax.lax.psum(ex.overflow, AXES))
 
-    def a2_local(xT, vT, pid, valid):
+    def a2a_local(xT, valid):
+        """Fine-cell key + argsort + in-cell rank (ops/binning core)."""
+        sp_full = binning.sort_by_cell_t(xT, valid, nf)
         n_valid_ex = jnp.sum(valid.astype(jnp.int32))
         capacity_drop = jax.lax.psum(
             jnp.maximum(n_valid_ex - n_slots_cap, 0), AXES)
         np_local = jnp.minimum(n_valid_ex, n_slots_cap)
-        sp_full = binning.sort_by_cell_t(xT, valid, nf)
-        packed = jnp.concatenate(
-            [xT, vT, pid.view(jnp.float32)[None, :]],
-            axis=0)[:, sp_full.order[:n_slots_cap]]
-        return (packed, sp_full.cell[:n_slots_cap],
+        return (sp_full.order[:n_slots_cap], sp_full.cell[:n_slots_cap],
                 sp_full.rank[:n_slots_cap], np_local[None], capacity_drop)
 
-    def b_local(packed, cell, rank, kern_f_im, a_mid, dt):
-        a_mid = jnp.asarray(a_mid, jnp.float32)
-        kick = a_mid * G * jnp.asarray(dt, jnp.float32)
+    def a2b_local(xT, vT, pid, order):
+        """The one big payload gather: (7, N+R) -> sorted (7, max_np)."""
+        packed = jnp.concatenate(
+            [xT, vT, exchange_mod.pid_to_f32(pid)[None, :]],
+            axis=0)[:, order]
+        return packed
+
+    tp = nf // cfg.fine_fft_tiles       # physical tile size
+    tpad = tp + 2 * nf_buf              # FFT size per tile
+
+    def b1_local(packed, cell):
+        """Fine deposit + density halo; allocates the f_fine buffer that
+        the B2 tile program fills in place."""
         xT = packed[0:3]
-        vT = packed[3:6]
         valid = cell < ncells_fine
         w = jnp.where(valid, jnp.float32(mass_p), 0.0)
         if cfg.ngp:
@@ -488,18 +510,31 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                 xT, w, (nf + 2, nf + 2, nf + 2), scale=1.0, offset=-0.5,
                 pad=1), 1)
         rho_halo = halo_mod.halo_pad(rho, nf_buf)
-        if cfg.fine_fft_tiles > 1:
-            if cfg.fine_potential:
-                f_fine = fftconv.fine_force_potential_tiled(
-                    rho_halo, kern_f_im, nf_buf, nf, cfg.fine_fft_tiles)
-            else:
-                f_fine = fftconv.fine_force_tiled(
-                    rho_halo, kern_f_im, nf_buf, nf, cfg.fine_fft_tiles)
-        elif cfg.fine_potential:
-            f_fine = fftconv.fine_force_potential(rho_halo, kern_f_im,
-                                                  nf_buf, nf)
+        f_fine = jnp.zeros((3, nf, nf, nf), jnp.float32)
+        # rho itself is only consumed by the coarse_from_fine stencil path;
+        # don't materialize an extra nf^3 stage output otherwise
+        rho_out = rho if cfg.coarse_from_fine else jnp.zeros(
+            (1, 1, 1), jnp.float32)
+        return rho_out, rho_halo, f_fine
+
+    def b2_local(f_fine, rho_halo, kern_f_im, sx, sy, sz):
+        """ONE tile's FFT force solve at a dynamic offset, written into the
+        donated f_fine buffer.  Compiled once; dispatched tiles^3 times."""
+        tile = jax.lax.dynamic_slice(rho_halo, (sx, sy, sz),
+                                     (tpad, tpad, tpad))
+        if cfg.fine_potential:
+            ft = fftconv.fine_force_potential(tile, kern_f_im, nf_buf, tp)
         else:
-            f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf)
+            ft = fftconv.fine_force(tile, kern_f_im, nf_buf, tp)
+        return jax.lax.dynamic_update_slice(f_fine, ft, (0, sx, sy, sz))
+
+    def b3_local(packed, cell, f_fine, a_mid, dt):
+        """Fine force gather + kick + dt_f limiter."""
+        a_mid = jnp.asarray(a_mid, jnp.float32)
+        kick = a_mid * G * jnp.asarray(dt, jnp.float32)
+        xT = packed[0:3]
+        vT = packed[3:6]
+        valid = cell < ncells_fine
         fmax2_f = jnp.max(jnp.sum(f_fine * f_fine, axis=0))
         flat_cells = jnp.clip(cell, 0, ncells_fine - 1)
         if cfg.ngp:
@@ -510,34 +545,50 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         vT = vT + jnp.where(valid[None, :], fpT * kick, 0.0)
         fmax_f = jnp.sqrt(jax.lax.pmax(fmax2_f, AXES))
         dt_f_acc = 1.0 / jnp.sqrt(jnp.maximum(1e-4, fmax_f) * a_mid * G)
+        return vT, dt_f_acc.astype(jnp.float32)
 
-        pp_overflow = jnp.asarray(0, jnp.int32)
-        dt_pp_acc = jnp.asarray(1000.0, jnp.float32)
-        dt_pp_ext_acc = jnp.asarray(1000.0, jnp.float32)
-        bucket_overflow = jnp.asarray(0, jnp.int32)
-        if cfg.pp:
-            dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
-            res = pp.ppint_force_t(xT, cell, rank, ncells_fine, pp_band,
-                                   cfg.pp_dense_band, dense_cap, mass_p,
-                                   cfg.rsoft, cfg.pp_bias,
-                                   use_pallas=use_pp_pallas)
-            vT = vT + jnp.where(valid[None, :], res.force * kick, 0.0)
-            fmax_pp = jax.lax.pmax(res.fmax, AXES)
-            dt_pp_acc = (jnp.sqrt(cfg.dt_pp_scale * cfg.rsoft)
-                         / jnp.maximum(jnp.sqrt(fmax_pp * a_mid * G),
-                                       1e-3))
-            pp_overflow = jax.lax.psum(res.overflow, AXES)
-        if cfg.pp_ext:
-            raise NotImplementedError(
-                "staged sweep: pp_ext not yet SoA; use the fused sweep")
-        return (vT, rho, dt_f_acc.astype(jnp.float32),
-                dt_pp_acc.astype(jnp.float32),
-                dt_pp_ext_acc.astype(jnp.float32), pp_overflow,
-                bucket_overflow)
-
-    def c_local(packed, vT, cell, rho, kern_c_im, a_mid, dt):
+    def b4_local(packed, cell, rank, vT, a_mid, dt):
+        """PPINT band + dense tail + kick + dt_pp limiter."""
         a_mid = jnp.asarray(a_mid, jnp.float32)
         kick = a_mid * G * jnp.asarray(dt, jnp.float32)
+        xT = packed[0:3]
+        valid = cell < ncells_fine
+        dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
+        res = pp.ppint_force_t(xT, cell, rank, ncells_fine, pp_band,
+                               cfg.pp_dense_band, dense_cap, mass_p,
+                               cfg.rsoft, cfg.pp_bias,
+                               use_pallas=use_pp_pallas)
+        vT = vT + jnp.where(valid[None, :], res.force * kick, 0.0)
+        fmax_pp = jax.lax.pmax(res.fmax, AXES)
+        dt_pp_acc = (jnp.sqrt(cfg.dt_pp_scale * cfg.rsoft)
+                     / jnp.maximum(jnp.sqrt(fmax_pp * a_mid * G), 1e-3))
+        return (vT, dt_pp_acc.astype(jnp.float32),
+                jax.lax.psum(res.overflow, AXES))
+
+    def b5_local(packed, cell, vT, a_mid, dt):
+        """PP_EXT bucket build + 3^3-neighborhood scan + kick (SoA; the
+        reference's extended-range pair loop,
+        particle_mesh_threaded.f90:488-615)."""
+        a_mid = jnp.asarray(a_mid, jnp.float32)
+        kick = a_mid * G * jnp.asarray(dt, jnp.float32)
+        xT = packed[0:3]
+        valid = cell < ncells_fine
+        buckets = pp.bucket_by_coarse_cell_t(xT, valid, nc, ms,
+                                             cfg.pp_coarse_capacity)
+        res = pp.pp_ext_force_t(xT, buckets, nc, ms, cfg.pp_range,
+                                cfg.nf_cutoff, mass_p, cfg.rsoft,
+                                cfg.pp_bias)
+        vT = vT + jnp.where(valid[None, :], res.force * kick, 0.0)
+        fmax_ppe = jax.lax.pmax(res.fmax, AXES)
+        dt_pp_ext_acc = (jnp.sqrt(cfg.dt_pp_ext_scale * cfg.rsoft)
+                         / jnp.maximum(jnp.sqrt(fmax_ppe * a_mid * G),
+                                       1e-3))
+        return (vT, dt_pp_ext_acc.astype(jnp.float32),
+                jax.lax.psum(res.overflow, AXES))
+
+    def c1_local(packed, cell, rho, kern_c_im, a_mid):
+        """Coarse deposit + fold + global FFT force + dt_c limiter."""
+        a_mid = jnp.asarray(a_mid, jnp.float32)
         xT = packed[0:3]
         valid = cell < ncells_fine
         w = jnp.where(valid, jnp.float32(mass_p), 0.0)
@@ -546,10 +597,14 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             from ..ops import coarse_stencil as cst
             rho_c_pad = cst.coarse_deposit_from_fine(rho, ms)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
+        elif cfg.coarse_corner_deposit:
+            rho_c = halo_mod.halo_fold(deposit.cic_deposit_corner_t(
+                xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
         else:
+            # no sorted-indices hint: coarse corner keys are not monotone
+            # in fine-cell sort order (see the fused-path note)
             rho_c = halo_mod.halo_fold(deposit.cic_deposit_t(
-                xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,
-                sorted_cells=True), 1)
+                xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
         if cfg.coarse_pencil_fft:
             from ..parallel import pfft as pfft_mod
             f_c_local = pfft_mod.coarse_force_pencil(rho_c, kern_c_im, nc)
@@ -567,6 +622,14 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             f_c_pad[:, 1:-1, 1:-1, 1:-1] ** 2, axis=0))
         fmax_c = jnp.sqrt(jax.lax.pmax(fmax_c_local, AXES))
         dt_c_acc = jnp.sqrt(ms / (fmax_c * a_mid * G))
+        return f_c_pad, dt_c_acc.astype(jnp.float32)
+
+    def c2_local(packed, cell, vT, f_c_pad, a_mid, dt):
+        """Coarse force gather + kick."""
+        a_mid = jnp.asarray(a_mid, jnp.float32)
+        kick = a_mid * G * jnp.asarray(dt, jnp.float32)
+        xT = packed[0:3]
+        valid = cell < ncells_fine
         if cfg.coarse_from_fine:
             from ..ops import coarse_stencil as cst
             f_c_fine = cst.coarse_gather_to_fine(f_c_pad, ms)
@@ -575,27 +638,46 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         else:
             fcpT = deposit.cic_gather_corner_t(f_c_pad, xT, scale=ms,
                                                offset=-0.5, pad=1)
-        vT = vT + jnp.where(valid[None, :], fcpT * kick, 0.0)
-        return vT, dt_c_acc.astype(jnp.float32)
+        return vT + jnp.where(valid[None, :], fcpT * kick, 0.0)
 
     pa = P(AXES)
     r = P()
     grid_spec = P(*AXES)
+    grid4_spec = P(None, *AXES)
     prow = P(None, AXES)       # SoA (k, N) arrays: particles on dim 1
     specs = state_specs(mhd=False)
     a1_jit = jax.jit(shard_map(
         a1_local, mesh=mesh, in_specs=(specs, r, r),
         out_specs=(prow, prow, pa, pa, r, r, r, r), check_vma=False))
-    a2_jit = jax.jit(shard_map(
-        a2_local, mesh=mesh, in_specs=(prow, prow, pa, pa),
-        out_specs=(prow, pa, pa, pa, r), check_vma=False))
-    b_jit = jax.jit(shard_map(
-        b_local, mesh=mesh, in_specs=(prow, pa, pa, r, r, r),
-        out_specs=(prow, grid_spec, r, r, r, r, r), check_vma=False))
-    c_jit = jax.jit(shard_map(
-        c_local, mesh=mesh,
-        in_specs=(prow, prow, pa, grid_spec, r, r, r),
+    a2a_jit = jax.jit(shard_map(
+        a2a_local, mesh=mesh, in_specs=(prow, pa),
+        out_specs=(pa, pa, pa, pa, r), check_vma=False))
+    a2b_jit = jax.jit(shard_map(
+        a2b_local, mesh=mesh, in_specs=(prow, prow, pa, pa),
+        out_specs=prow, check_vma=False))
+    b1_jit = jax.jit(shard_map(
+        b1_local, mesh=mesh, in_specs=(prow, pa),
+        out_specs=(grid_spec, grid_spec, grid4_spec), check_vma=False))
+    b2_jit = jax.jit(shard_map(
+        b2_local, mesh=mesh,
+        in_specs=(grid4_spec, grid_spec, r, r, r, r),
+        out_specs=grid4_spec, check_vma=False), donate_argnums=(0,))
+    b3_jit = jax.jit(shard_map(
+        b3_local, mesh=mesh, in_specs=(prow, pa, grid4_spec, r, r),
         out_specs=(prow, r), check_vma=False))
+    b4_jit = jax.jit(shard_map(
+        b4_local, mesh=mesh, in_specs=(prow, pa, pa, prow, r, r),
+        out_specs=(prow, r, r), check_vma=False))
+    b5_jit = jax.jit(shard_map(
+        b5_local, mesh=mesh, in_specs=(prow, pa, prow, r, r),
+        out_specs=(prow, r, r), check_vma=False))
+    c1_jit = jax.jit(shard_map(
+        c1_local, mesh=mesh, in_specs=(prow, pa, grid_spec, r, r),
+        out_specs=(grid4_spec, r), check_vma=False))
+    c2_jit = jax.jit(shard_map(
+        c2_local, mesh=mesh,
+        in_specs=(prow, pa, prow, grid4_spec, r, r),
+        out_specs=prow, check_vma=False))
     # the ONLY (N, 3) materializations: the final state arrays, produced
     # by a transpose-only module whose output layout is pinned column-major
     # (same bytes as the SoA input -> a relayout, never a padded copy)
@@ -603,19 +685,40 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     f3 = Format(Layout((1, 0)), NamedSharding(mesh, pa))
     to_rows = jax.jit(lambda t: t.T, out_shardings=f3)
 
+    # static tile-start schedule: the SAME b2 program runs at every offset
+    tile_starts = [(jnp.int32(ix * tp), jnp.int32(iy * tp),
+                    jnp.int32(iz * tp))
+                   for ix in range(cfg.fine_fft_tiles)
+                   for iy in range(cfg.fine_fft_tiles)
+                   for iz in range(cfg.fine_fft_tiles)]
+
     def staged_sweep(state: SimState, kern_f_im, kern_c_im, a_mid, dt,
                      a_new, tau_new, t_new) -> SimState:
         (xT, vT, pide, valide, rng, shake_offset, clamp_count,
          ex_overflow) = a1_jit(state, a_mid, dt)
-        (packed, cell, rank, np_local,
-         capacity_drop) = a2_jit(xT, vT, pide, valide)
+        (order, cell, rank, np_local,
+         capacity_drop) = a2a_jit(xT, valide)
+        packed = a2b_jit(xT, vT, pide, order)
         exchange_overflow = ex_overflow + capacity_drop
-        (vT2, rho, dt_f_acc, dt_pp_acc, dt_pp_ext_acc, pp_overflow,
-         bucket_overflow) = b_jit(packed, cell, rank, kern_f_im, a_mid, dt)
-        vT3, dt_c_acc = c_jit(packed, vT2, cell, rho, kern_c_im, a_mid, dt)
+        rho, rho_halo, f_fine = b1_jit(packed, cell)
+        for sx, sy, sz in tile_starts:
+            f_fine = b2_jit(f_fine, rho_halo, kern_f_im, sx, sy, sz)
+        vT2, dt_f_acc = b3_jit(packed, cell, f_fine, a_mid, dt)
+        dt_pp_acc = jnp.asarray(1000.0, jnp.float32)
+        dt_pp_ext_acc = jnp.asarray(1000.0, jnp.float32)
+        pp_overflow = jnp.asarray(0, jnp.int32)
+        bucket_overflow = jnp.asarray(0, jnp.int32)
+        if cfg.pp:
+            vT2, dt_pp_acc, pp_overflow = b4_jit(packed, cell, rank, vT2,
+                                                 a_mid, dt)
+        if cfg.pp_ext:
+            vT2, dt_pp_ext_acc, bucket_overflow = b5_jit(packed, cell,
+                                                         vT2, a_mid, dt)
+        f_c_pad, dt_c_acc = c1_jit(packed, cell, rho, kern_c_im, a_mid)
+        vT3 = c2_jit(packed, cell, vT2, f_c_pad, a_mid, dt)
         x = to_rows(packed[0:3])
         v = to_rows(vT3)
-        pid = packed[6].view(jnp.int32)
+        pid = exchange_mod.pid_from_f32(packed[6])
         return SimState(
             x=x, v=v, pid=pid, np_local=np_local,
             a=jnp.asarray(a_new, jnp.float32),
@@ -630,7 +733,10 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             bucket_overflow=bucket_overflow, clamp_count=clamp_count,
             rng=rng, gas_u=state.gas_u, gas_b=state.gas_b)
 
-    staged_sweep._stages = (a1_jit, a2_jit, b_jit, c_jit)  # for probes
+    staged_sweep._stages = {
+        "a1": a1_jit, "a2a": a2a_jit, "a2b": a2b_jit, "b1": b1_jit,
+        "b2": b2_jit, "b3": b3_jit, "b4": b4_jit, "b5": b5_jit,
+        "c1": c1_jit, "c2": c2_jit}   # for probes / precompile campaigns
     return staged_sweep
 
 

@@ -277,6 +277,33 @@ def cic_deposit_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
     return grid.reshape(shape)
 
 
+def cic_deposit_corner_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
+                         shape: Tuple[int, int, int], scale: float = 1.0,
+                         offset: float = 0.0, pad: int = 0) -> jnp.ndarray:
+    """`cic_deposit_corner` for SoA (3, N) positions: ONE scatter of all 8
+    corner weights at the base cell into an (8, ncells) accumulator, then
+    8 static shifted adds (per-index scatter economics, scatter_bench)."""
+    nx, ny, nz = shape
+    c0, w0, w1 = _cic_weights_t(pos_t, scale, offset)
+    c0 = jnp.clip(c0 + pad, 0, jnp.array(shape)[:, None] - 2)
+    base = (c0[0] * ny + c0[1]) * nz + c0[2]
+    wx = jnp.stack([w0[0], w1[0]])                   # (2, N)
+    wy = jnp.stack([w0[1], w1[1]])
+    wz = jnp.stack([w0[2], w1[2]])
+    w8 = (weight[None] * wx[:, None, None] * wy[None, :, None]
+          * wz[None, None, :]).reshape(8, -1)       # (8, N) corner-major
+    acc = jnp.zeros((8, nx * ny * nz), jnp.float32)
+    acc = acc.at[:, base].add(w8)
+    acc = acc.reshape(2, 2, 2, nx, ny, nz)
+    grid = jnp.zeros((nx, ny, nz), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                grid = grid.at[dx:, dy:, dz:].add(
+                    acc[dx, dy, dz, :nx - dx, :ny - dy, :nz - dz])
+    return grid
+
+
 def cic_gather_corner_t(field: jnp.ndarray, pos_t: jnp.ndarray,
                         scale: float = 1.0, offset: float = 0.0,
                         pad: int = 0) -> jnp.ndarray:

@@ -279,10 +279,21 @@ class Buckets(NamedTuple):
 def bucket_by_coarse_cell(pos: jnp.ndarray, valid: jnp.ndarray,
                           nc_node: int, mesh_scale: int,
                           capacity: int) -> Buckets:
-    """Assign particles to fixed-capacity coarse-cell buckets via sort."""
-    n = pos.shape[0]
-    c = jnp.clip(jnp.floor(pos / mesh_scale).astype(jnp.int32), 0, nc_node - 1)
-    key = (c[:, 0] * nc_node + c[:, 1]) * nc_node + c[:, 2]
+    """Assign particles to fixed-capacity coarse-cell buckets via sort
+    ((N, 3) wrapper over the SoA core)."""
+    return bucket_by_coarse_cell_t(pos.T, valid, nc_node, mesh_scale,
+                                   capacity)
+
+
+def bucket_by_coarse_cell_t(pos_t: jnp.ndarray, valid: jnp.ndarray,
+                            nc_node: int, mesh_scale: int,
+                            capacity: int) -> Buckets:
+    """`bucket_by_coarse_cell` for SoA (3, N) positions (the staged path —
+    (M, 3) intermediates lane-pad 42x on TPU)."""
+    n = pos_t.shape[1]
+    c = jnp.clip(jnp.floor(pos_t / mesh_scale).astype(jnp.int32),
+                 0, nc_node - 1)
+    key = (c[0] * nc_node + c[1]) * nc_node + c[2]
     ncells = nc_node ** 3
     key = jnp.where(valid, key, ncells)
     order = jnp.argsort(key)
@@ -303,7 +314,19 @@ def pp_ext_force(pos: jnp.ndarray, buckets: Buckets, nc_node: int,
                  mesh_scale: int, pp_range: int, nf_cutoff: int,
                  mass_p: float, rsoft: float, pp_bias: float,
                  chunk: int = 256) -> PPResult:
-    """Extended pp force over the pp_range fine-cell neighborhood.
+    """Extended pp force, (N, 3) wrapper over the SoA core below."""
+    res = pp_ext_force_t(pos.T, buckets, nc_node, mesh_scale, pp_range,
+                         nf_cutoff, mass_p, rsoft, pp_bias, chunk=chunk)
+    return PPResult(force=res.force.T, fmax=res.fmax,
+                    overflow=res.overflow)
+
+
+def pp_ext_force_t(pos_t: jnp.ndarray, buckets: Buckets, nc_node: int,
+                   mesh_scale: int, pp_range: int, nf_cutoff: int,
+                   mass_p: float, rsoft: float, pp_bias: float,
+                   chunk: int = 256) -> PPResult:
+    """Extended pp force over the pp_range fine-cell neighborhood, on SoA
+    (3, N) positions, returning SoA (3, N) force.
 
     The bucket grid is halo-padded by one coarse layer from neighbor
     devices (parallel/halo.py ppermute; periodic wrap on a single device),
@@ -320,14 +343,14 @@ def pp_ext_force(pos: jnp.ndarray, buckets: Buckets, nc_node: int,
     ncp = nc_node + 2
     idx_flat = buckets.index.reshape(ncells, cap)
     bval = idx_flat >= 0
-    idxc = jnp.clip(idx_flat, 0, pos.shape[0] - 1)
+    idxc = jnp.clip(idx_flat, 0, pos_t.shape[1] - 1)
     far = 4.0 * nf_node + 1e4
     # COMPONENT-WISE throughout: any (..., cap, 3)-shaped tensor tiles its
     # last two dims on TPU and lane-pads 3 -> 128 (42x memory — the old
     # (B, cap, cap, 3) pair tensors were 8+ GB per chunk at 128^3)
-    bx = jnp.where(bval, pos[:, 0][idxc], far)   # (ncells, cap)
-    by = jnp.where(bval, pos[:, 1][idxc], far)
-    bz = jnp.where(bval, pos[:, 2][idxc], far)
+    bx = jnp.where(bval, pos_t[0][idxc], far)    # (ncells, cap)
+    by = jnp.where(bval, pos_t[1][idxc], far)
+    bz = jnp.where(bval, pos_t[2][idxc], far)
 
     def to_grid(c):
         return jnp.moveaxis(
@@ -410,9 +433,9 @@ def pp_ext_force(pos: jnp.ndarray, buckets: Buckets, nc_node: int,
     tgt = jnp.where(ok, flat_idx, 0)
     comps = []
     for fb in (fbx, fby, fbz):
-        comps.append(jnp.zeros(pos.shape[0], jnp.float32).at[tgt].add(
+        comps.append(jnp.zeros(pos_t.shape[1], jnp.float32).at[tgt].add(
             jnp.where(ok, fb.reshape(-1), 0.0)))
-    force = jnp.stack(comps, axis=-1)
+    force = jnp.stack(comps, axis=0)
     fmax = jnp.sqrt(jnp.max(comps[0] ** 2 + comps[1] ** 2
                             + comps[2] ** 2))
     return PPResult(force=force, fmax=fmax, overflow=buckets.overflow)

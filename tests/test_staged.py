@@ -59,15 +59,40 @@ def test_staged_matches_fused(nodes_dim):
             # (near-cancelling pp sums give ~5e-5 outliers)
 
 
-def test_staged_pp_ext_not_supported():
-    """pp_ext in the staged path is documented as unsupported (its bucket
-    arrays need their own SoA overhaul; use the fused sweep)."""
-    cfg = small_config(shake=False, pp_ext=True, pp_range=4,
-                       pp_coarse_capacity=64)
+def test_staged_pp_ext_matches_fused():
+    """pp_ext in the staged path (SoA bucket build + neighborhood scan,
+    stage B5) matches the fused sweep's extended-range forces."""
+    cfg = small_config(shake=False, cosmo_expansion=False, pp_ext=True,
+                       pp_range=4, pp_coarse_capacity=64)
     mesh = make_sim_mesh(1)
+    fused = step_mod.make_sweep(cfg, mesh)
     staged = step_mod.make_staged_sweep(cfg, mesh)
-    with pytest.raises(NotImplementedError):
-        _run(cfg, staged, steps=1)
+    st_f = _run(cfg, fused, steps=2)
+    st_s = _run(cfg, staged, steps=2)
+    assert int(st_s.bucket_overflow) == 0
+    for name in ("x", "v", "dt_pp_ext_acc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_f, name)),
+            np.asarray(getattr(st_s, name)), rtol=1e-4, atol=1e-4,
+            err_msg=name)
+
+
+def test_staged_tiled_fine_solve_matches_fused():
+    """fine_fft_tiles > 1 in the staged path runs ONE compiled tile
+    program at tiles^3 dynamic offsets (stage B2); must equal the fused
+    sweep's unrolled tile solve."""
+    cfg = small_config(shake=True, cosmo_expansion=False,
+                       fine_fft_tiles=2)
+    mesh = make_sim_mesh(1)
+    fused = step_mod.make_sweep(cfg, mesh)
+    staged = step_mod.make_staged_sweep(cfg, mesh)
+    st_f = _run(cfg, fused, steps=2)
+    st_s = _run(cfg, staged, steps=2)
+    for name in ("x", "v", "dt_f_acc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_f, name)),
+            np.asarray(getattr(st_s, name)), rtol=1e-4, atol=1e-4,
+            err_msg=name)
 
 
 def test_staged_cic_fine_build():
