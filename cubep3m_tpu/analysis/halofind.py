@@ -31,8 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SimConfig
-from ..state import SimState, gather_global
-from ..ops.deposit import ngp_deposit
+from ..state import SimState
 
 
 _CATALOG_FIELDS = [
@@ -169,11 +168,12 @@ def _shell_offsets(rmax: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def find_peaks(rho: jnp.ndarray, cutoff: float):
-    """26-neighborhood local maxima above cutoff (device).
+    """26-neighborhood local maxima above cutoff on a HOST/global grid
+    (single-device harness; production path is
+    device_fields.peaks_device, which never pulls the peak mask).
 
-    Returns (indices (K,3) int32, values (K,)) on host, density-sorted desc.
+    Returns (indices (K,3) int64, values (K,)) density-sorted desc.
     """
-    n = rho.shape[0]
     m = rho
     neigh_max = None
     for dx in (-1, 0, 1):
@@ -213,27 +213,70 @@ def _para_interp(rho: np.ndarray, ijk: np.ndarray) -> np.ndarray:
     return pos
 
 
+def _sorted_candidates(cfg: SimConfig, state: SimState,
+                       centers: np.ndarray, radii: np.ndarray, mesh=None):
+    """Pull only particles in coarse cells near any (center, radius) and
+    return them fine-cell sorted: (x_s, v_s, pid_s, cell_s).  The margin
+    covers the stats queries' cube-intersects-sphere reach (radius + 1 +
+    sqrt(3) fine cells < radius + mesh_scale)."""
+    from . import device_fields as dv
+
+    nf = cfg.nf_physical_dim
+    mask = dv.mark_cells_near(centers, radii, nf, cfg.mesh_scale,
+                              margin=float(cfg.mesh_scale))
+    x, v, pid = dv.pull_candidates(cfg, state, mask, mesh=mesh)
+    cell = ((np.floor(x[:, 0]).astype(np.int64) * nf
+             + np.floor(x[:, 1]).astype(np.int64)) * nf
+            + np.floor(x[:, 2]).astype(np.int64))
+    order = np.argsort(cell)
+    return x[order], v[order], pid[order], cell[order]
+
+
+def _halo_range_query(cell_s: np.ndarray, x_s: np.ndarray, cpos: np.ndarray,
+                      radius: float, nf: int):
+    """Indices (into the sorted candidate arrays) and periodic offsets of
+    particles within `radius` of `cpos`, via searchsorted range queries."""
+    c0 = np.floor(cpos).astype(np.int64)
+    off = _sphere_cell_offsets(int(np.ceil(radius)))
+    cc = (c0[None, :] + off) % nf
+    cids = (cc[:, 0] * nf + cc[:, 1]) * nf + cc[:, 2]
+    starts = np.searchsorted(cell_s, cids, side="left")
+    ends = np.searchsorted(cell_s, cids, side="right")
+    idx = _multi_range_gather(starts, ends)
+    dx = x_s[idx] - cpos[None, :]
+    dx -= nf * np.round(dx / nf)
+    sel = (dx ** 2).sum(1) < radius ** 2
+    return idx[sel], dx[sel]
+
+
 def find_halos(cfg: SimConfig, state: SimState,
-               params: Optional[HalofindParams] = None) -> np.ndarray:
+               params: Optional[HalofindParams] = None,
+               mesh=None) -> np.ndarray:
     """Run the halofinder; returns a CATALOG_DTYPE structured array.
+
+    Scalable data path (round-3; the reference is likewise per-rank,
+    halofind.f90:564-777): density deposited per device under shard_map,
+    peaks found on device, and ONLY per-halo candidate particles pulled
+    for the catalog statistics — no global particle gather.  The density
+    grid itself is pulled once for the exclusive sphere growth (grid
+    bytes, ~7x less than the particle arrays, and the growth is
+    inherently sequential).
 
     params.refine > 1 searches on a refined density mesh
     (halofind_finer_grid.f90 variant, `finer_halo_grid`): better peak
     localization and tighter exclusive spheres for small halos.  All
     catalog quantities stay in fine-cell/grid-mass units.
     """
+    from . import device_fields as dv
+
     p = params or HalofindParams()
     nf = cfg.nf_physical_dim
     r = max(1, int(p.refine))
     nf_r = nf * r
-    x, v, pid = gather_global(cfg, state)
-    shake = np.asarray(state.shake_offset)
-    x = np.mod(x - shake[None, :], nf)
 
-    # mean density 1 on the (possibly refined) search mesh
-    w = jnp.full((x.shape[0],), jnp.float32(cfg.mass_p * r ** 3))
-    rho_dev = ngp_deposit(jnp.asarray(x) * r, w, (nf_r, nf_r, nf_r))
-    peaks, peak_vals = find_peaks(rho_dev, p.den_peak_cutoff)
+    rho_dev = dv.density_device(cfg, state, mesh=mesh, refine=r)
+    peaks, peak_vals = dv.peaks_device(cfg, rho_dev, mesh=mesh,
+                                       cutoff=p.den_peak_cutoff)
     rho = np.array(rho_dev)  # writable: growth zeroes consumed mass
 
     if peaks.shape[0] == 0:
@@ -302,17 +345,17 @@ def find_halos(cfg: SimConfig, state: SimState,
 
     # --- per-halo particle statistics (cell-sorted range queries) --------
     # The reference walks its linked list over the cells around each peak
-    # (halofind.f90:423-520); we sort particles by fine cell once and
+    # (halofind.f90:423-520); we pull only the particles in coarse cells
+    # near any halo (device-side filter), sort them by fine cell once, and
     # gather each halo's candidates with searchsorted range queries —
-    # O(N log N + sum over halos of candidate counts), never O(N) per halo.
+    # O(K log K + sum over halos of candidate counts), never O(N) per halo
+    # and never a global particle gather.
     from ..config import G
     cat = np.zeros(len(halos), dtype=CATALOG_DTYPE)
-    cell = ((np.floor(x[:, 0]).astype(np.int64) * nf
-             + np.floor(x[:, 1]).astype(np.int64)) * nf
-            + np.floor(x[:, 2]).astype(np.int64))
-    order = np.argsort(cell)
-    cell_s = cell[order]
-    x_s, v_s, pid_s = x[order], v[order], pid[order]
+    centers = np.array([peak_pos[h] for (h, _, _, _) in halos])
+    radii = np.array([rad for (_, _, rad, _) in halos])
+    x_s, v_s, pid_s, cell_s = _sorted_candidates(cfg, state, centers,
+                                                 radii, mesh)
 
     for i, (h, _, radius, _) in enumerate(halos):
         cpos = peak_pos[h]
@@ -324,23 +367,12 @@ def find_halos(cfg: SimConfig, state: SimState,
         entry["halo_mass1"] = mass_raw[i]
         entry["halo_mass_pk"] = peak_vals[h]
 
-        c0 = np.floor(cpos).astype(np.int64)
-        off = _sphere_cell_offsets(int(np.ceil(radius)))
-        cc = (c0[None, :] + off) % nf
-        cids = (cc[:, 0] * nf + cc[:, 1]) * nf + cc[:, 2]
-        starts = np.searchsorted(cell_s, cids, side="left")
-        ends = np.searchsorted(cell_s, cids, side="right")
-        idx = _multi_range_gather(starts, ends)
-        dx = x_s[idx] - cpos[None, :]
-        dx -= nf * np.round(dx / nf)
-        r2 = (dx ** 2).sum(1)
-        sel = r2 < radius ** 2
-        n_in = int(sel.sum())
+        hidx, dxs = _halo_range_query(cell_s, x_s, cpos, radius, nf)
+        n_in = hidx.size
         entry["imass"] = n_in * cfg.mass_p
         if n_in == 0:
             continue
-        dxs = dx[sel]
-        vs = v_s[idx[sel]]
+        vs = v_s[hidx]
         xm = cpos + dxs.mean(0)
         vm = vs.mean(0)
         entry["x_mean"] = np.mod(xm, nf)
@@ -363,64 +395,71 @@ def find_halos(cfg: SimConfig, state: SimState,
         nb = min(p.n_bound, n_in, entry["pid_bound"].size)
         part = np.argpartition(e_bind, nb - 1)[:nb]
         part = part[np.argsort(e_bind[part])]
-        entry["pid_bound"][:nb] = pid_s[idx[sel]][part]
+        entry["pid_bound"][:nb] = pid_s[hidx][part]
     # apply the reference write cut
     cat = cat[cat["halo_mass"] > 0]
     return cat
 
 
 def c2ray_fields(cfg: SimConfig, state: SimState,
-                 scale: Optional[int] = None) -> dict:
+                 scale: Optional[int] = None, mesh=None) -> dict:
     """Coarsened density, velocity and fine-clumping fields for radiative-
     transfer coupling (the C2Ray interface, halofind.f90:122-336:
     coarsened_velocity_scale/fine_clumping_scale = mesh_scale).
 
-    Returns {'density': (m,m,m), 'velocity': (3,m,m,m),
-             'clumping': (m,m,m)} with m = nf/scale.
+    Device path: per-device sharded deposits (density + 3 momentum
+    components) and on-device pooling; only the pooled m^3 fields cross
+    the host link.  Returns {'density': (m,m,m), 'velocity': (3,m,m,m),
+    'clumping': (m,m,m)} with m = nf/scale.
     """
-    import jax.numpy as jnp
-    from ..ops.deposit import ngp_deposit
+    from . import device_fields as dv
 
     scale = scale or cfg.mesh_scale
     nf = cfg.nf_physical_dim
     m = nf // scale
-    x, v, _ = gather_global(cfg, state)
-    x = np.mod(x - np.asarray(state.shake_offset)[None, :], nf)
-    w = jnp.full((x.shape[0],), jnp.float32(cfg.mass_p))
-    rho = np.asarray(ngp_deposit(jnp.asarray(x), w, (nf, nf, nf)))
 
     def pool(f):
-        return f.reshape(m, scale, m, scale, m, scale).mean(axis=(1, 3, 5))
+        return np.asarray(
+            f.reshape(m, scale, m, scale, m, scale).mean(axis=(1, 3, 5)))
 
+    rho = dv.density_device(cfg, state, mesh=mesh,
+                            weights=jnp.full((state.x.shape[0],),
+                                             jnp.float32(cfg.mass_p)))
     dens = pool(rho)
     clump = np.where(dens > 0,
                      pool(rho ** 2) / np.maximum(dens, 1e-20) ** 2, 1.0)
     vel = []
     for c in range(3):
-        mom = np.asarray(ngp_deposit(jnp.asarray(x),
-                                     jnp.asarray(v[:, c] * cfg.mass_p),
-                                     (nf, nf, nf)))
+        mom = dv.density_device(cfg, state, mesh=mesh,
+                                weights=state.v[:, c] * cfg.mass_p)
         mom_c = pool(mom)
         vel.append(np.where(dens > 0, mom_c / np.maximum(dens, 1e-20), 0.0))
     return {"density": dens, "velocity": np.stack(vel), "clumping": clump}
 
 
 def halo_members(cfg: SimConfig, state: SimState, cat: np.ndarray,
-                 max_members: Optional[int] = None) -> list:
+                 max_members: Optional[int] = None, mesh=None) -> list:
     """Member particle lists per halo (halofind_particles.f90 variant):
-    returns [(pids, positions, velocities), ...] aligned with `cat`."""
+    returns [(pids, positions, velocities), ...] aligned with `cat`.
+
+    Same scalable path as the catalog stats: one device-side candidate
+    pull + cell-sorted range queries — O(candidates) total, not O(N) per
+    halo, and no global particle gather."""
     nf = cfg.nf_physical_dim
-    x, v, pid = gather_global(cfg, state)
-    x = np.mod(x - np.asarray(state.shake_offset)[None, :], nf)
+    if cat.size == 0:
+        return []
+    x_s, v_s, pid_s, cell_s = _sorted_candidates(
+        cfg, state, np.asarray(cat["peak_pos"]),
+        np.asarray(cat["radius_calc"]), mesh)
     out = []
     for h in cat:
-        dx = x - h["peak_pos"][None, :]
-        dx -= nf * np.round(dx / nf)
-        sel = np.where((dx ** 2).sum(1) < float(h["radius_calc"]) ** 2)[0]
-        if max_members is not None and sel.size > max_members:
-            order = np.argsort((dx[sel] ** 2).sum(1))
-            sel = sel[order[:max_members]]
-        out.append((pid[sel], x[sel], v[sel]))
+        cpos = np.asarray(h["peak_pos"], np.float64)
+        hidx, dxs = _halo_range_query(cell_s, x_s, cpos,
+                                      float(h["radius_calc"]), nf)
+        if max_members is not None and hidx.size > max_members:
+            order = np.argsort((dxs ** 2).sum(1))
+            hidx = hidx[order[:max_members]]
+        out.append((pid_s[hidx], x_s[hidx], v_s[hidx]))
     return out
 
 

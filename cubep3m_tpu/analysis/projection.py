@@ -32,21 +32,29 @@ def project_density(cfg: SimConfig, state: SimState,
     """
     nf = cfg.nf_physical_dim
     ff = max(1, int(finer_factor))
+    if ff == 1:
+        # device path: sharded deposit, on-device axis sums; only the
+        # (nf, nf) planes cross the host link (no particle gather)
+        from . import device_fields as dv
+        rho = dv.density_device(cfg, state, remove_shake=remove_shake,
+                                weights=jnp.full((state.x.shape[0],),
+                                                 jnp.float32(cfg.mass_p)))
+        if half:
+            rho = rho[:, :, :nf // 2]
+        return {
+            "xy": np.asarray(jnp.sum(rho, axis=2)),
+            "xz": np.asarray(jnp.sum(rho, axis=1)),
+            "yz": np.asarray(jnp.sum(rho, axis=0)),
+        }
+    # refined planes (imaging variant): deposit each projection on a
+    # (nf*ff, nf*ff, 1) grid directly from gathered positions (a refined
+    # 3-D grid would be ff^3 the memory for no gain)
     x, _, _ = gather_global(cfg, state)
     if remove_shake:
         x = np.mod(x - np.asarray(state.shake_offset)[None, :], nf)
     if half:
         x = x[x[:, 2] < nf / 2]
     w = jnp.full((x.shape[0],), jnp.float32(cfg.mass_p))
-    if ff == 1:
-        rho = np.asarray(ngp_deposit(jnp.asarray(x), w, (nf, nf, nf)))
-        return {
-            "xy": rho.sum(axis=2),
-            "xz": rho.sum(axis=1),
-            "yz": rho.sum(axis=0),
-        }
-    # refined planes: deposit each projection on a (nf*ff, nf*ff, 1) grid
-    # directly (a refined 3-D grid would be ff^3 the memory for no gain)
     nr = nf * ff
     planes = {}
     for name, (i, j) in (("xy", (0, 1)), ("xz", (0, 2)), ("yz", (1, 2))):
@@ -78,19 +86,14 @@ def density_slice(cfg: SimConfig, state: SimState, axis: int = 2,
                   remove_shake: bool = True) -> np.ndarray:
     """2-D density slab of `thickness` cells at `index` along `axis`
     (utils/dm_slice_sample & gas_slice_sample role)."""
-    import jax.numpy as jnp
-    nf = cfg.nf_physical_dim
-    x, _, _ = gather_global(cfg, state)
-    if remove_shake:
-        x = np.mod(x - np.asarray(state.shake_offset)[None, :], nf)
-    c = x[:, axis]
-    sel = (c >= index) & (c < index + thickness)
-    x = x[sel]
-    w = jnp.full((x.shape[0],), jnp.float32(cfg.mass_p))
-    rho = np.asarray(ngp_deposit(jnp.asarray(x), w, (nf, nf, nf)))
+    from . import device_fields as dv
+    rho = dv.density_device(cfg, state, remove_shake=remove_shake,
+                            weights=jnp.full((state.x.shape[0],),
+                                             jnp.float32(cfg.mass_p)))
     sl = [slice(None)] * 3
     sl[axis] = slice(index, index + thickness)
-    return rho[tuple(sl)].sum(axis=axis)
+    # only the slab crosses the host link
+    return np.asarray(jnp.sum(rho[tuple(sl)], axis=axis))
 
 
 def gas_slice(cfg: SimConfig, state: SimState, field: int = 0,

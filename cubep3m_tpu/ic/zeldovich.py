@@ -43,6 +43,20 @@ def vfactor(a: float, c) -> float:
     return a ** 2 * h
 
 
+def _discrete_phi(nf: int, inv_kd2: np.ndarray):
+    """phi(r) = IFFT(-4 pi / k_d^2) of the discrete Poisson kernel, plus
+    the r=8 shell matching offset phi8 (dist_init.f90 correct_kernel's
+    phi8 average, :1368-1466).  One host-side global IFFT (setup time)."""
+    phi_k = -4.0 * math.pi * inv_kd2.astype(np.float64)
+    phi = np.fft.ifftn(phi_k).real
+    d = np.fft.fftfreq(nf) * nf
+    dx, dy, dz = np.meshgrid(d, d, d, indexing="ij")
+    r = np.sqrt(dx * dx + dy * dy + dz * dz)
+    shell = (np.abs(r - 8.0) < 0.5)
+    phi8 = phi[shell].mean() + 1.0 / 8.0
+    return phi, r, phi8
+
+
 def _corrected_inv_kd2(nf: int, inv_kd2: np.ndarray) -> np.ndarray:
     """Ewald-match the near field of the discrete Poisson kernel.
 
@@ -50,20 +64,46 @@ def _corrected_inv_kd2(nf: int, inv_kd2: np.ndarray) -> np.ndarray:
     -1/r (offset-matched at the r=8 shell like dist_init's phi8 average),
     and returns the equivalent corrected 1/k_d^2 multiplier.
     """
-    phi_k = -4.0 * math.pi * inv_kd2.astype(np.float64)
-    phi = np.fft.ifftn(phi_k).real
-    d = np.fft.fftfreq(nf) * nf
-    dx, dy, dz = np.meshgrid(d, d, d, indexing="ij")
-    r = np.sqrt(dx * dx + dy * dy + dz * dz)
-    # shell average of the discrete kernel at r = 8
-    shell = (np.abs(r - 8.0) < 0.5)
-    phi8 = phi[shell].mean() + 1.0 / 8.0
+    phi, r, phi8 = _discrete_phi(nf, inv_kd2)
     near = r < 8.0
     phi_corr = np.where(near, -1.0 / np.maximum(r, 1.0) + phi8, phi)
     phi_corr[0, 0, 0] = phi[0, 0, 0] + phi8  # self term offset-consistent
     phi_k_corr = np.fft.fftn(phi_corr).real
     out = (-phi_k_corr / (4.0 * math.pi)).astype(np.float32)
     out.flat[0] = 0.0
+    return out
+
+
+EWALD_REACH = 8  # correction support radius in fine cells (dist_init.f90)
+
+
+def ewald_patch(nf: int, _cache={}) -> np.ndarray:
+    """Compact real-space Ewald correction kernel for the DISTRIBUTED IC
+    path: g(d) = -(phi_corr - phi)(d) / (4 pi) on offsets |d| <= 8, zero
+    outside.  Convolving the local delta field with g and taking the
+    spectral central difference (i sin(2 pi k/N) == centered difference)
+    adds exactly the displacement correction the replicated path applies
+    through `_corrected_inv_kd2` — no device ever holds a global kernel.
+    The one global IFFT happens on the HOST at setup time.
+    """
+    if nf in _cache:
+        return _cache[nf]
+    k = np.fft.fftfreq(nf) * nf
+    kd2 = (2 * np.sin(math.pi * k / nf)) ** 2
+    kd2_tot = (kd2[:, None, None] + kd2[None, :, None]
+               + kd2[None, None, :])
+    inv_kd2 = np.where(kd2_tot > 0, 1.0 / np.maximum(kd2_tot, 1e-20), 0.0)
+    phi, _, phi8 = _discrete_phi(nf, inv_kd2)
+    R = EWALD_REACH
+    g = np.arange(-R, R + 1)
+    dx, dy, dz = np.meshgrid(g, g, g, indexing="ij")
+    r = np.sqrt(dx ** 2 + dy ** 2 + dz ** 2)
+    phi_near = phi[dx % nf, dy % nf, dz % nf]
+    dphi = np.where(r < R, (-1.0 / np.maximum(r, 1.0) + phi8) - phi_near,
+                    0.0)
+    dphi[R, R, R] = phi8  # origin: phi_corr[0] = phi[0] + phi8
+    out = (-dphi / (4.0 * math.pi)).astype(np.float32)
+    _cache[nf] = out
     return out
 
 
@@ -205,9 +245,11 @@ def zeldovich_ic_distributed(cfg: SimConfig, mesh, seed: int = 0,
       through the all_to_all pencil FFT (parallel/pfft.pfft3d).
     * Particles are displaced locally and routed to their owning device
       with the standard ownership exchange.
-
-    The Ewald `correct_kernel` option needs a global-kernel IFFT and is
-    only available through `zeldovich_ic` (replicated path).
+    * `cfg.ic_correct_kernel` applies the Ewald near-field correction as a
+      LOCAL convolution with the compact `ewald_patch` kernel (support
+      r <= 8 cells) + spectral central difference — equal to the
+      replicated path's corrected global kernel, without any device
+      holding a global field (dist_init.f90:1367-1466 role).
     """
     import dataclasses as _dc
     from jax import shard_map
@@ -218,10 +260,6 @@ def zeldovich_ic_distributed(cfg: SimConfig, mesh, seed: int = 0,
     from ..parallel import pfft as pfft_mod
     from ..ops.deposit import cic_gather
 
-    if cfg.ic_correct_kernel:
-        raise ValueError(
-            "ic_correct_kernel requires the replicated zeldovich_ic path "
-            "(global-kernel IFFT); disable it for distributed ICs")
     c = cfg.cosmo
     nf = cfg.nf_physical_dim
     nfn = cfg.nf_physical_node_dim
@@ -247,8 +285,16 @@ def zeldovich_ic_distributed(cfg: SimConfig, mesh, seed: int = 0,
     NB = nf // nb             # global noise blocks per axis
     npd_loc = nfn // 2        # particles per axis per device
     cap = cfg.max_np
-    max_buf = max(256, cap // 16)
+    # face buffers sized by PHYSICS like the sweep's (core/step.py
+    # face_buffer_size): Zel'dovich displacements at z_i are O(cells),
+    # far under the sweep's 4*mesh_scale shake reach, so the same bound
+    # holds; overflow is surfaced below (the reference aborts,
+    # particle_pass.f90:96-99)
+    from ..core.step import face_buffer_size
+    max_buf = face_buffer_size(cfg)
     mhd_gas = cfg.mhd and cfg.gas_from_delta
+    g_patch = (jnp.asarray(ewald_patch(nf)) if cfg.ic_correct_kernel
+               else None)
 
     def _local_k(coord):
         """Global integer wavenumbers of this device's k block along one
@@ -295,6 +341,29 @@ def zeldovich_ic_distributed(cfg: SimConfig, mesh, seed: int = 0,
                        .astype(jnp.float32))
         psi = jnp.stack(psi)
 
+        delta = None
+        if cfg.ic_correct_kernel or return_delta or mhd_gas:
+            delta = pfft_mod.pfft3d(delta_k, inverse=True).real.astype(
+                jnp.float32)
+        if cfg.ic_correct_kernel:
+            # Ewald near-field correction as a LOCAL convolution with the
+            # compact patch + spectral central difference (i sin(2 pi k/N)
+            # == centered difference), equal to the replicated corrected
+            # kernel (pinned by tests/test_ic_power.py)
+            R = EWALD_REACH
+            dpad = halo_mod.halo_pad(delta, R + 1)
+            phi_c = jax.lax.conv_general_dilated(
+                dpad[None, None], g_patch[None, None],
+                (1, 1, 1), "VALID")[0, 0]             # (nfn+2)^3
+            dpsi = []
+            for axis in range(3):
+                lo = jax.lax.slice_in_dim(phi_c, 0, nfn, axis=axis)
+                hi = jax.lax.slice_in_dim(phi_c, 2, nfn + 2, axis=axis)
+                sl = [slice(1, nfn + 1)] * 3
+                sl[axis] = slice(None)
+                dpsi.append((0.5 * (hi - lo))[tuple(sl)])
+            psi = psi + jnp.stack(dpsi)
+
         # --- particles on the local every-2nd-cell lattice ---------------
         disp = psi[:, ::2, ::2, ::2]
         q = jnp.arange(npd_loc, dtype=jnp.float32) * 2.0 + 0.5
@@ -320,11 +389,11 @@ def zeldovich_ic_distributed(cfg: SimConfig, mesh, seed: int = 0,
         ex = exchange_mod.exchange_particles(xp, vp, pp, valid, nfn,
                                              max_buf)
         np_local = jnp.sum(ex.valid.astype(jnp.int32))[None]
-        outs = (ex.x, ex.v, ex.pid, np_local)
-        delta = None
-        if return_delta or mhd_gas:
-            delta = pfft_mod.pfft3d(delta_k, inverse=True).real.astype(
-                jnp.float32)
+        # overflow is COUNTED and surfaced — silently dropped particles
+        # at IC time would corrupt a run undetectably (the reference
+        # aborts, particle_pass.f90:96-99)
+        overflow = jax.lax.psum(ex.overflow, AXES)
+        outs = (ex.x, ex.v, ex.pid, np_local, overflow)
         if mhd_gas:
             outs = outs + (gas_ic_from_delta(cfg, delta, psi, vf),)
         if return_delta:
@@ -332,7 +401,7 @@ def zeldovich_ic_distributed(cfg: SimConfig, mesh, seed: int = 0,
         return outs
 
     pa = P(AXES)
-    out_specs = [pa, pa, pa, pa]
+    out_specs = [pa, pa, pa, pa, P()]
     if mhd_gas:
         out_specs.append(P(None, *AXES))
     if return_delta:
@@ -340,13 +409,18 @@ def zeldovich_ic_distributed(cfg: SimConfig, mesh, seed: int = 0,
     made = jax.jit(shard_map(local_make, mesh=mesh, in_specs=(P(),),
                              out_specs=tuple(out_specs), check_vma=False))
     outs = made(jax.random.PRNGKey(seed))
-    x, v, pid, np_local = outs[:4]
+    x, v, pid, np_local, overflow = outs[:5]
+    if int(overflow) > 0:
+        raise RuntimeError(
+            f"zeldovich_ic_distributed: {int(overflow)} particles dropped "
+            "in the IC ownership exchange (displacements exceeded the "
+            "face-buffer bound); the run would be silently corrupted")
 
     skel = particles_ic(cfg, np.zeros((0, 3), np.float32),
                         np.zeros((0, 3), np.float32), seed=seed)
     st = _dc.replace(skel, x=x, v=v, pid=pid,
                      np_local=np_local.astype(jnp.int32))
-    i = 4
+    i = 5
     if mhd_gas:
         st = _dc.replace(st, gas_u=outs[i])
         i += 1

@@ -112,6 +112,61 @@ def test_distributed_ic_power_matches_linear():
     assert abs(np.average(ratio, weights=ps.nmodes[sel]) - 1.0) < 0.2
 
 
+def test_distributed_ewald_matches_replicated_kernel():
+    """cfg.ic_correct_kernel in the DISTRIBUTED path (local compact-patch
+    convolution) equals the replicated corrected global kernel applied to
+    the same realization (dist_init.f90:1367-1466 role)."""
+    import dataclasses
+    from cubep3m_tpu import state as state_mod
+    from cubep3m_tpu.parallel.mesh import make_sim_mesh
+
+    cfg0 = _dist_cfg(2)
+    cfg1 = dataclasses.replace(cfg0, ic_correct_kernel=True)
+    mesh = make_sim_mesh(2)
+    st0, delta = zl.zeldovich_ic_distributed(cfg0, mesh, seed=7,
+                                             return_delta=True)
+    st1 = zl.zeldovich_ic_distributed(cfg1, mesh, seed=7)
+    nf = cfg0.nf_physical_dim
+
+    def sorted_x(cfg, st):
+        x, _, pid = state_mod.gather_global(cfg, st)
+        return x[np.argsort(pid)]
+
+    dx = sorted_x(cfg1, st1) - sorted_x(cfg0, st0)
+    dx -= nf * np.round(dx / nf)
+
+    # expected correction from the replicated machinery on the same delta
+    k = np.fft.fftfreq(nf) * nf
+    kd2 = (2 * np.sin(math.pi * k / nf)) ** 2
+    kd2_tot = (kd2[:, None, None] + kd2[None, :, None]
+               + kd2[None, None, :])
+    inv = np.where(kd2_tot > 0, 1.0 / np.maximum(kd2_tot, 1e-20), 0.0)
+    dinv = zl._corrected_inv_kd2(nf, inv.astype(np.float32)) - inv
+    dinv.flat[0] = 0.0
+    delta_k = np.fft.fftn(delta.astype(np.float64))
+    sin_g = np.sin(2 * math.pi * k / nf)
+    shapes = [(nf, 1, 1), (1, nf, 1), (1, 1, nf)]
+    exp = np.stack([
+        np.fft.ifftn(1j * sin_g.reshape(shapes[ax]) * delta_k * dinv).real
+        for ax in range(3)])
+    exp_sites = exp[:, ::2, ::2, ::2].reshape(3, -1).T
+    assert np.abs(exp_sites).max() > 1e-4  # the correction is nontrivial
+    np.testing.assert_allclose(dx, exp_sites, atol=5e-3)
+
+
+def test_distributed_ic_overflow_raises(monkeypatch):
+    """Over-displaced ICs must trip an error, never silently drop
+    particles (the reference aborts, particle_pass.f90:96-99)."""
+    from cubep3m_tpu.core import step as step_mod
+    from cubep3m_tpu.parallel.mesh import make_sim_mesh
+
+    monkeypatch.setattr(step_mod, "face_buffer_size", lambda cfg: 1)
+    # z_i=0 displacements are several cells: many lattice sites cross faces
+    cfg = small_config(nodes_dim=2, tiles_node_dim=2, box=20.0, z_i=0.0)
+    with pytest.raises(RuntimeError, match="dropped"):
+        zl.zeldovich_ic_distributed(cfg, make_sim_mesh(2), seed=3)
+
+
 def test_distributed_ic_invariant_across_device_counts():
     """The block-keyed noise makes the realization identical on a 1^3 and
     a 2^3 mesh (same seed, same noise_block) up to fp32 FFT reordering."""

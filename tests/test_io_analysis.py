@@ -50,6 +50,36 @@ def test_reference_checkpoint_roundtrip(tmp_path, cfg):
     assert cur2.checkpoint == 0
 
 
+def test_reference_gas_restart_roundtrip(tmp_path):
+    """Gas state write -> read round-trip + pickup by the checkpoint
+    reader (`mpi_tvd_mhd_restart` role, mpi_tvd_mhd.f90:139-184)."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    cfg = small_config(mhd=True, z_i=50.0)
+    st = state_mod.random_ic(cfg, seed=2)
+    rng = np.random.default_rng(0)
+    gu = st.gas_u + jnp.asarray(
+        0.01 * rng.standard_normal(st.gas_u.shape), jnp.float32)
+    st = dataclasses.replace(st, gas_u=gu)
+    zval = 1.0 / float(st.a) - 1.0
+    files = ckpt.write_reference_gas(str(tmp_path), cfg, st, z=zval)
+    assert len(files) == 2
+    gu2, gb2 = ckpt.read_reference_gas(str(tmp_path), cfg, zval)
+    np.testing.assert_array_equal(np.asarray(gu2), np.asarray(gu))
+    np.testing.assert_array_equal(np.asarray(gb2), np.asarray(st.gas_b))
+    # the reference-format particle reader picks the gas up when present
+    ckpt.write_reference_checkpoint(str(tmp_path), cfg, st, Cursors(),
+                                    z=zval)
+    st2, _ = ckpt.read_reference_checkpoint(str(tmp_path), cfg, zval)
+    np.testing.assert_array_equal(np.asarray(st2.gas_u), np.asarray(gu))
+    # a truncated file is rejected, not silently zero-padded
+    with open(tmp_path / f"{zval:.3f}gas_u.dat", "r+b") as f:
+        f.truncate(100)
+    with pytest.raises(ValueError, match="expected"):
+        ckpt.read_reference_gas(str(tmp_path), cfg, zval)
+
+
 def test_reference_checkpoint_header_layout(tmp_path, cfg):
     """Byte-level header contract (checkpoint.f90:73-78 PPINT layout)."""
     st = state_mod.random_ic(cfg, seed=11)
