@@ -685,6 +685,34 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     f3 = Format(Layout((1, 0)), NamedSharding(mesh, pa))
     to_rows = jax.jit(lambda t: t.T, out_shardings=f3)
 
+    import os as _os
+    if _os.environ.get("CUBEP3M_LOG_STAGES"):
+        # per-stage dispatch timing (first call ~= compile time; jit
+        # compiles synchronously at dispatch) for tunnel campaign logs
+        import sys as _sys
+        import time as _time
+
+        def _logged(name, fn):
+            def wrap(*a, **kw):
+                t0 = _time.time()
+                out = fn(*a, **kw)
+                jax.block_until_ready(out)
+                print(f"# stage {name}: {_time.time() - t0:.1f}s",
+                      file=_sys.stderr, flush=True)
+                return out
+            return wrap
+
+        a1_jit = _logged("a1", a1_jit)
+        a2a_jit = _logged("a2a", a2a_jit)
+        a2b_jit = _logged("a2b", a2b_jit)
+        b1_jit = _logged("b1", b1_jit)
+        b2_jit = _logged("b2", b2_jit)
+        b3_jit = _logged("b3", b3_jit)
+        b4_jit = _logged("b4", b4_jit)
+        b5_jit = _logged("b5", b5_jit)
+        c1_jit = _logged("c1", c1_jit)
+        c2_jit = _logged("c2", c2_jit)
+
     # static tile-start schedule: the SAME b2 program runs at every offset
     tile_starts = [(jnp.int32(ix * tp), jnp.int32(iy * tp),
                     jnp.int32(iz * tp))

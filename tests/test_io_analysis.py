@@ -50,6 +50,35 @@ def test_reference_checkpoint_roundtrip(tmp_path, cfg):
     assert cur2.checkpoint == 0
 
 
+def test_reference_checkpoint_golden_file(tmp_path, cfg):
+    """Frozen byte-level fixture: the reader must parse the committed
+    golden xv/PID files (generated once from the documented -DBINARY
+    layout, checkpoint.f90:73-95) to these exact values — guards against
+    silent format drift."""
+    import shutil
+
+    src = os.path.join(os.path.dirname(__file__), "data")
+    shutil.copy(os.path.join(src, "golden_3.000xv0.dat"),
+                tmp_path / "3.000xv0.dat")
+    shutil.copy(os.path.join(src, "golden_3.000PID0.dat"),
+                tmp_path / "3.000PID0.dat")
+    st, cur = ckpt.read_reference_checkpoint(str(tmp_path), cfg, 3.0)
+    assert int(st.np_local[0]) == 3
+    assert float(st.a) == 0.25 and float(st.t) == 1.5
+    assert float(st.tau) == -6.0 and int(st.nts) == 42
+    assert float(st.dt_f_acc) == 0.125 and float(st.dt_pp_acc) == 0.5
+    assert float(st.dt_c_acc) == 2.0
+    assert (cur.checkpoint, cur.projection, cur.halofind) == (1, 2, 3)
+    np.testing.assert_array_equal(
+        np.asarray(st.x)[:3],
+        [[1.5, 2.5, 3.5], [10.0, 11.0, 12.0], [0.25, 0.5, 0.75]])
+    np.testing.assert_array_equal(
+        np.asarray(st.v)[:3],
+        np.float32([[-0.1, 0.2, -0.3], [0.4, -0.5, 0.6], [0, 0, 0]]))
+    np.testing.assert_array_equal(np.asarray(st.pid)[:3],
+                                  [7, 9000000, 134217727])
+
+
 def test_reference_gas_restart_roundtrip(tmp_path):
     """Gas state write -> read round-trip + pickup by the checkpoint
     reader (`mpi_tvd_mhd_restart` role, mpi_tvd_mhd.f90:139-184)."""
