@@ -87,7 +87,7 @@ def density_device(cfg: SimConfig, state: SimState,
 
 def peaks_device(cfg: SimConfig, rho: jax.Array,
                  mesh: Optional[Mesh] = None, cutoff: float = 100.0,
-                 cap_per_device: int = 1 << 15
+                 cap_per_device: int = 1 << 17
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """26-neighborhood local maxima above `cutoff`, found on device.
 

@@ -275,8 +275,18 @@ def find_halos(cfg: SimConfig, state: SimState,
     nf_r = nf * r
 
     rho_dev = dv.density_device(cfg, state, mesh=mesh, refine=r)
-    peaks, peak_vals = dv.peaks_device(cfg, rho_dev, mesh=mesh,
-                                       cutoff=p.den_peak_cutoff)
+    cap = 1 << 17
+    while True:
+        try:
+            peaks, peak_vals = dv.peaks_device(cfg, rho_dev, mesh=mesh,
+                                               cutoff=p.den_peak_cutoff,
+                                               cap_per_device=cap)
+            break
+        except RuntimeError:
+            # unusually peak-rich box: retry with a larger device buffer
+            cap *= 4
+            if cap > nf_r ** 3:
+                raise
     rho = np.array(rho_dev)  # writable: growth zeroes consumed mass
 
     if peaks.shape[0] == 0:
