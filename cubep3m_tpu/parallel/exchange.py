@@ -41,17 +41,19 @@ from .mesh import AXES
 # value a NORMAL float (exponent 16..143) and far from NaN/Inf patterns
 # for any pid in [-2^27, 2^30 - 2^27) — comfortably past 512^3 = 2^27
 # total particles.
-PID_BIAS = jnp.int32(0x08000000)
+PID_BIAS = 0x08000000  # plain int: exchange may first be imported inside
+                       # a jit trace, where module-level jnp constants
+                       # would capture the trace context
 
 
 def pid_to_f32(pid: jnp.ndarray) -> jnp.ndarray:
     """Encode int32 pids as flush-safe float32 payload lanes."""
-    return (pid + PID_BIAS).view(jnp.float32)
+    return (pid + jnp.int32(PID_BIAS)).view(jnp.float32)
 
 
 def pid_from_f32(f: jnp.ndarray) -> jnp.ndarray:
     """Decode `pid_to_f32` payload lanes back to int32 pids."""
-    return f.view(jnp.int32) - PID_BIAS
+    return f.view(jnp.int32) - jnp.int32(PID_BIAS)
 
 
 def colmajor(arr: jnp.ndarray) -> jnp.ndarray:
