@@ -143,6 +143,13 @@ class SimConfig:
                                 # compilers OOM on the fused program.
                                 # Chunked stepping dispatches staged steps
                                 # with on-device dt (make_staged_stepper).
+    merged_exchange_sort: bool = False  # fuse the exchange's class sort
+                                        # into the cell sort: ONE big
+                                        # argsort/step (combined keys +
+                                        # counting merge of arrivals,
+                                        # parallel/exchange.
+                                        # exchange_cell_sorted); identical
+                                        # physics, fewer index ops
     coarse_corner_deposit: bool = False  # corner-split single-scatter coarse
                                          # CIC deposit: ~1.5x faster steady
                                          # state (153 vs 228 ms at 128^3) but

@@ -161,42 +161,57 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         x = jnp.where(valid[:, None], x, 0.0)
 
         # ---- ownership exchange (particle_pass/delete_particles role) ----
-        # compact=False: the cell sort below orders invalid slots last
-        # anyway, so the exchange skips its compaction argsort+gather
-        ex = exchange_mod.exchange_particles(x, state.v, state.pid, valid,
-                                             nf, max_buf, compact=False)
-        x, v, pid, valid = ex.x, ex.v, ex.pid, ex.valid
-        # guard residual out-of-range coords (shake can exceed one node
-        # width only if nf is tiny; clamp defensively but COUNT it — a
-        # nonzero clamp_count means a particle crossed more than one node
-        # width in a step, which the single-hop exchange cannot route)
-        out_of_range = valid & jnp.any((x < 0.0) | (x >= nf), axis=-1)
-        clamp_count = jax.lax.psum(
-            jnp.sum(out_of_range.astype(jnp.int32)), AXES)
-        x = jnp.clip(x, 0.0, nf - 1e-4)
-        n_valid_ex = jnp.sum(valid.astype(jnp.int32))
-        # capacity: valid slots beyond max_np fall off the sorted tail
-        capacity_drop = jnp.maximum(n_valid_ex - n_slots, 0)
-        np_local = jnp.minimum(n_valid_ex, n_slots)
+        if cfg.merged_exchange_sort:
+            # ONE big argsort: combined keys sort residents by cell AND
+            # group leaver classes; arrivals merge by per-cell counting
+            exs = exchange_mod.exchange_cell_sorted(
+                x, state.v, state.pid, valid, nf, max_buf)
+            clamp_count = jax.lax.psum(exs.clamp_count, AXES)
+            np_local = jnp.minimum(exs.n_valid, n_slots)
+            ex_overflow_local = exs.overflow   # includes capacity drop
+            packed = exs.packed
+            sp = binning.SortedParticles(
+                order=None, cell=exs.cell,
+                rank=binning.rank_from_sorted(exs.cell))
+        else:
+            # compact=False: the cell sort below orders invalid slots last
+            # anyway, so the exchange skips its compaction argsort+gather
+            ex = exchange_mod.exchange_particles(
+                x, state.v, state.pid, valid, nf, max_buf, compact=False)
+            x, v, pid, valid = ex.x, ex.v, ex.pid, ex.valid
+            # guard residual out-of-range coords (shake can exceed one
+            # node width only if nf is tiny; clamp defensively but COUNT
+            # it — a nonzero clamp_count means a particle crossed more
+            # than one node width in a step, which the single-hop
+            # exchange cannot route)
+            out_of_range = valid & jnp.any((x < 0.0) | (x >= nf), axis=-1)
+            clamp_count = jax.lax.psum(
+                jnp.sum(out_of_range.astype(jnp.int32)), AXES)
+            x = jnp.clip(x, 0.0, nf - 1e-4)
+            n_valid_ex = jnp.sum(valid.astype(jnp.int32))
+            # capacity: valid slots beyond max_np fall off the sorted tail
+            capacity_drop = jnp.maximum(n_valid_ex - n_slots, 0)
+            np_local = jnp.minimum(n_valid_ex, n_slots)
+            ex_overflow_local = ex.overflow + capacity_drop
 
-        # ---- sort by fine cell (replaces link_list.f90) ----
-        # sorts the UNCOMPACTED exchange output (invalid slots carry the
-        # sentinel key and sort last); truncating the permutation to
-        # n_slots both compacts and restores the state capacity
-        sp_full = binning.sort_by_cell(x, valid, nf)
-        # one packed column gather instead of three row gathers (index
-        # traversal dominates TPU gather cost, payload width is nearly
-        # free; the (7, N) sublane-major pack avoids the lane-padded
-        # relayout a (N, 7) minor-axis concat triggers — scatter_bench)
-        packed = jnp.concatenate(
-            [x.T, v.T, exchange_mod.pid_to_f32(pid)[None, :]],
-            axis=0)[:, sp_full.order[:n_slots]]
+            # ---- sort by fine cell (replaces link_list.f90) ----
+            # sorts the UNCOMPACTED exchange output (invalid slots carry
+            # the sentinel key and sort last); truncating the permutation
+            # to n_slots both compacts and restores the state capacity
+            sp_full = binning.sort_by_cell(x, valid, nf)
+            # one packed column gather instead of three row gathers (index
+            # traversal dominates TPU gather cost, payload width is nearly
+            # free; the (7, N) sublane-major pack avoids the lane-padded
+            # relayout a (N, 7) minor-axis concat triggers — scatter_bench)
+            packed = jnp.concatenate(
+                [x.T, v.T, exchange_mod.pid_to_f32(pid)[None, :]],
+                axis=0)[:, sp_full.order[:n_slots]]
+            sp = binning.SortedParticles(order=None,
+                                         cell=sp_full.cell[:n_slots],
+                                         rank=sp_full.rank[:n_slots])
         x = exchange_mod.colmajor(packed[0:3].T)
         v = exchange_mod.colmajor(packed[3:6].T)
         pid = exchange_mod.pid_from_f32(packed[6])
-        sp = binning.SortedParticles(order=None,
-                                     cell=sp_full.cell[:n_slots],
-                                     rank=sp_full.rank[:n_slots])
         valid = sp.cell < ncells_fine
 
         # dark matter carries (1 - omega_b/omega_m) of the mass in MHD runs
@@ -364,7 +379,7 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             dt_gas_acc = 4.0 * jax.lax.pmin(
                 tvd_mod.calcfl(gas_u, gas_b, gamma=cfg.gas_gamma), AXES)
 
-        exchange_overflow = jax.lax.psum(ex.overflow + capacity_drop, AXES)
+        exchange_overflow = jax.lax.psum(ex_overflow_local, AXES)
 
         return SimState(
             x=x, v=v, pid=pid,

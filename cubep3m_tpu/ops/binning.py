@@ -45,13 +45,19 @@ def sort_by_cell(pos: jnp.ndarray, valid: jnp.ndarray, nf_node: int
     # rank within cell = index - start index of the cell's run; the run
     # starts are propagated with a cummax scan (searchsorted over the full
     # array was ~15x the argsort cost on TPU)
+    return SortedParticles(order=order, cell=skey,
+                           rank=rank_from_sorted(skey))
+
+
+def rank_from_sorted(skey: jnp.ndarray) -> jnp.ndarray:
+    """In-cell rank for an already-sorted key array (cummax run-start scan,
+    the same core as sort_by_cell)."""
     idx = jnp.arange(skey.shape[0], dtype=jnp.int32)
     boundary = jnp.concatenate([jnp.ones((1,), bool),
                                 skey[1:] != skey[:-1]])
     start = jax.lax.associative_scan(jnp.maximum,
                                      jnp.where(boundary, idx, 0))
-    rank = idx - start
-    return SortedParticles(order=order, cell=skey, rank=rank)
+    return idx - start
 
 
 def apply_order(order: jnp.ndarray, *arrays):
@@ -85,10 +91,5 @@ def sort_by_cell_t(pos_t: jnp.ndarray, valid: jnp.ndarray, nf_node: int
     key = fine_cell_key_t(pos_t, valid, nf_node)
     order = jnp.argsort(key)
     skey = key[order]
-    idx = jnp.arange(skey.shape[0], dtype=jnp.int32)
-    boundary = jnp.concatenate([jnp.ones((1,), bool),
-                                skey[1:] != skey[:-1]])
-    start = jax.lax.associative_scan(jnp.maximum,
-                                     jnp.where(boundary, idx, 0))
-    rank = idx - start
-    return SortedParticles(order=order, cell=skey, rank=rank)
+    return SortedParticles(order=order, cell=skey,
+                           rank=rank_from_sorted(skey))

@@ -141,6 +141,10 @@ def ppint_band_force(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
     whose pairs the band alone would miss)."""
     real = cell < ncells
     force = _band_pass(pos, cell, 1, band, mass_p, rsoft, pp_bias)
+    # padding slots share one sentinel key and can carry garbage copies of
+    # real coordinates (uncompacted exchange buffers) — their fake mutual
+    # forces must not pollute fmax/dt_pp
+    force = jnp.where(real[:, None], force, 0.0)
     fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=-1)))
     overflow = jnp.sum(((rank > band) & real).astype(jnp.int32))
     return PPResult(force=force, fmax=fmax, overflow=overflow)
@@ -203,6 +207,7 @@ def ppint_force(pos: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
             pos, cell, band, mass_p, rsoft, pp_bias,
             interpret=pallas_interpret)
         real = cell < ncells
+        force = jnp.where(real[:, None], force, 0.0)  # see band-force note
         res = PPResult(
             force=force,
             fmax=jnp.sqrt(jnp.max(jnp.sum(force * force, axis=-1))),
@@ -236,6 +241,7 @@ def ppint_force_t(pos_t: jnp.ndarray, cell: jnp.ndarray, rank: jnp.ndarray,
     else:
         force = _band_pass_cols(pos_t[0], pos_t[1], pos_t[2], cell, 1,
                                 band, mass_p, rsoft, pp_bias, soa_out=True)
+    force = jnp.where(real[None, :], force, 0.0)  # see band-force note
     overflow = jnp.sum(((rank > band) & real).astype(jnp.int32))
     if dense_band > band:
         n = pos_t.shape[1]

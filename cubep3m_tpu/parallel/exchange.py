@@ -219,3 +219,141 @@ def exchange_particles(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
         v=colmajor(jnp.where(ok_o[:, None], kept[3:6].T, 0.0)),
         pid=pid_from_f32(kept[6]),
         valid=ok_o, overflow=overflow)
+
+
+class SortedExchangeResult(NamedTuple):
+    packed: jnp.ndarray     # (7, max_np) payload [x(3), v(3), pid_f32(1)],
+                            # fine-cell sorted, invalid slots zero
+    cell: jnp.ndarray       # (max_np,) int32 sorted cell keys; ncells = pad
+    n_valid: jnp.ndarray    # () int32 surviving particle count (pre-cap)
+    overflow: jnp.ndarray   # () int32 dropped (buffer + capacity)
+    clamp_count: jnp.ndarray  # () int32 multi-hop coordinates clamped
+
+
+def exchange_cell_sorted(x: jnp.ndarray, v: jnp.ndarray, pid: jnp.ndarray,
+                         valid: jnp.ndarray, nf_node: int, max_buf: int,
+                         axis_names=AXES) -> SortedExchangeResult:
+    """Ownership exchange AND fine-cell sort with ONE large argsort.
+
+    The classic flow pays two big argsorts + two packed gathers per step
+    (class-sort in the exchange, then the cell sort over the merged
+    arrays).  Here a COMBINED key — fine cell for residents, ncells+class
+    for leavers, ncells+28 for padding — yields, after one argsort, the
+    residents already cell-sorted followed by contiguous per-class
+    segments to ship.  Received particles (a small fraction of N) are
+    sorted alone and merged by per-cell COUNTING: dense count tables +
+    exclusive prefix sums give every element's final slot, written with
+    one scatter per side — no second N-sized argsort.  Equality with the
+    classic path is pinned by tests (same stable within-cell order:
+    residents before arrivals).
+    """
+    xT, vT = x.T, v.T
+    max_np = x.shape[0]
+    ncells = nf_node ** 3
+    try:
+        dims = tuple(jax.lax.axis_size(n) for n in axis_names)
+    except NameError:
+        dims = (1, 1, 1)
+    multi = any(s > 1 for s in dims)
+
+    # --- combined key ---------------------------------------------------
+    d = jnp.where(xT < 0.0, -1, jnp.where(xT >= nf_node, 1, 0)).astype(
+        jnp.int32)
+    cls = (d[0] + 1) * 9 + (d[1] + 1) * 3 + (d[2] + 1)
+    xs = xT - d.astype(xT.dtype) * float(nf_node)
+    # residual out-of-range after the single-hop shift (multi-hop movers):
+    # clamp and COUNT, like the classic path's post-exchange clamp
+    oor = valid & jnp.any((xs < 0.0) | (xs >= nf_node), axis=0)
+    clamp_count = jnp.sum(oor.astype(jnp.int32))
+    xs = jnp.clip(xs, 0.0, nf_node - 1e-4)
+    c = jnp.floor(xs).astype(jnp.int32)
+    ckey = (c[0] * nf_node + c[1]) * nf_node + c[2]
+    key = jnp.where(~valid, ncells + 28,
+                    jnp.where(cls != STAY, ncells + cls, ckey))
+
+    # --- THE one big sort + payload gather ------------------------------
+    order = jnp.argsort(key)
+    skey = key[order]
+    payload = jnp.concatenate(
+        [xs, vT, pid_to_f32(pid)[None, :]], axis=0)[:, order]
+    bounds = jnp.searchsorted(
+        skey, ncells + jnp.arange(29, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    counts = bounds[1:] - bounds[:-1]
+    starts = bounds[:-1]
+    n_stay = bounds[0]
+
+    overflow = jnp.asarray(0, jnp.int32)
+    face_buf = min(max_buf, max_np)
+    edge_buf = min(max(64, max_buf // 8), max_np)
+    corner_buf = min(max(64, max_buf // 32), max_np)
+    payload_p = jnp.concatenate(
+        [payload, jnp.zeros((7, max_np), payload.dtype)], axis=1)
+
+    recv = []
+    for ci, dd in enumerate(DIRS):
+        if ci == STAY:
+            continue
+        order1 = sum(abs(cc) for cc in dd)
+        buf = (face_buf if order1 == 1 else
+               edge_buf if order1 == 2 else corner_buf)
+        seg = jax.lax.dynamic_slice_in_dim(payload_p, starts[ci], buf,
+                                           axis=1)
+        ok = jnp.arange(buf, dtype=jnp.int32) < counts[ci]
+        seg = jnp.concatenate([jnp.where(ok[None, :], seg, 0.0),
+                               ok[None, :].astype(jnp.float32)], axis=0)
+        overflow = overflow + jnp.maximum(counts[ci] - buf, 0)
+        if multi:
+            seg = jax.lax.ppermute(seg, axis_names, _mesh_perm(dims, dd))
+        recv.append(seg)
+
+    rpay = jnp.concatenate(recv, axis=1)                 # (8, R)
+    rok = rpay[7] > 0.0
+    rx = rpay[0:3]
+    roor = rok & jnp.any((rx < 0.0) | (rx >= nf_node), axis=0)
+    clamp_count = clamp_count + jnp.sum(roor.astype(jnp.int32))
+    rx = jnp.clip(rx, 0.0, nf_node - 1e-4)
+    rc = jnp.floor(rx).astype(jnp.int32)
+    rkey = jnp.where(rok,
+                     (rc[0] * nf_node + rc[1]) * nf_node + rc[2], ncells)
+    rorder = jnp.argsort(rkey)                           # R << N: cheap
+    rkey_s = rkey[rorder]
+    rpay_s = jnp.concatenate([rx, rpay[3:7]], axis=0)[:, rorder]
+    rok_s = rkey_s < ncells
+
+    # --- counting merge (dense tables; no second big argsort) -----------
+    stay_mask = skey < ncells
+    sk = jnp.where(stay_mask, skey, ncells)
+    rkc = jnp.where(rok_s, rkey_s, ncells)
+    recv_counts = jnp.zeros(ncells + 1, jnp.int32).at[rkc].add(
+        rok_s.astype(jnp.int32))
+    # exclusive prefix: number of arrivals in cells < k
+    P_r = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(recv_counts)[:-1]])
+    stay_counts = jnp.zeros(ncells + 1, jnp.int32).at[sk].add(
+        stay_mask.astype(jnp.int32))
+    S_le = jnp.cumsum(stay_counts)       # residents in cells <= k
+    pos_stay = jnp.arange(skey.shape[0], dtype=jnp.int32) + P_r[sk]
+    from ..ops.binning import rank_from_sorted
+    pos_recv = S_le[rkc] + P_r[rkc] + rank_from_sorted(rkey_s)
+
+    n_valid = n_stay + jnp.sum(rok_s.astype(jnp.int32))
+    overflow = overflow + jnp.maximum(n_valid - max_np, 0)
+
+    # one scatter per side into (8, max_np + 1): rows 0..6 payload, row 7
+    # the biased cell key (same flush-safe encoding as pids); clamped /
+    # invalid sources land in the dumped extra column
+    tgt_s = jnp.where(stay_mask & (pos_stay < max_np), pos_stay, max_np)
+    tgt_r = jnp.where(rok_s & (pos_recv < max_np), pos_recv, max_np)
+    keyf_s = pid_to_f32(sk)[None, :]
+    keyf_r = pid_to_f32(rkc)[None, :]
+    out = jnp.full((8, max_np + 1), jnp.float32(0.0))
+    out = out.at[7, :].set(pid_to_f32(jnp.full((max_np + 1,), ncells,
+                                               jnp.int32)))
+    out = out.at[:, tgt_s].set(jnp.concatenate([payload, keyf_s], axis=0))
+    out = out.at[:, tgt_r].set(jnp.concatenate([rpay_s, keyf_r], axis=0))
+    out = out[:, :max_np]
+    cell = pid_from_f32(out[7])
+    return SortedExchangeResult(packed=out[:7], cell=cell,
+                                n_valid=n_valid, overflow=overflow,
+                                clamp_count=clamp_count)

@@ -12,6 +12,8 @@ from cubep3m_tpu import state as state_mod
 from cubep3m_tpu.core import step as step_mod
 from cubep3m_tpu.core.driver import Simulation
 from cubep3m_tpu.core.timestep import OutputSchedule
+from cubep3m_tpu import kernels as kernels_mod
+from cubep3m_tpu.parallel.mesh import make_sim_mesh
 
 
 @pytest.fixture(scope="module")
@@ -232,3 +234,64 @@ def test_cic_fine_build():
     st = state_mod.random_ic(cfg, seed=5, fraction=0.3)
     st2 = sim.sweep(st, sim.kern_f, sim.kern_c, 1.0, 0.2, 1.0, 0.2, 0.2)
     assert np.all(np.isfinite(np.asarray(st2.v)))
+
+
+def test_merged_exchange_sort_matches_classic():
+    """cfg.merged_exchange_sort (one combined-key argsort + counting
+    merge) reproduces the classic exchange+sort trajectories exactly, on
+    1^3 and 2^3 meshes."""
+    import dataclasses
+    import jax
+
+    for nd in (1, 2):
+        if nd ** 3 > len(jax.devices()):
+            continue
+        cfg_a = small_config(nodes_dim=nd, shake=True,
+                             cosmo_expansion=False)
+        cfg_b = dataclasses.replace(cfg_a, merged_exchange_sort=True)
+
+        def run(cfg):
+            mesh = make_sim_mesh(cfg.nodes_dim)
+            if cfg.nodes_dim == 1:
+                st = state_mod.random_ic(cfg, seed=12)
+            else:
+                rng = np.random.default_rng(12)
+                nfg = cfg.nf_physical_dim
+                x = rng.uniform(0, nfg, (3000, 3)).astype(np.float32)
+                v = (rng.normal(size=(3000, 3)) * 0.3).astype(np.float32)
+                st = state_mod.distribute_global(cfg, x, v)
+            st = step_mod.shard_state(st, mesh)
+            sweep = step_mod.make_sweep(cfg, mesh)
+            kf, kc = kernels_mod.build_kernels(cfg)
+            kf, kc = jnp.asarray(kf), jnp.asarray(kc)
+            for i in range(3):
+                st = sweep(st, kf, kc, jnp.float32(1.0), jnp.float32(0.2),
+                           jnp.float32(1.0), jnp.float32(0.2 * (i + 1)),
+                           jnp.float32(0.2 * (i + 1)))
+            return st
+
+        st_a = run(cfg_a)
+        st_b = run(cfg_b)
+        assert int(st_a.np_local.sum()) == int(st_b.np_local.sum())
+        assert int(st_b.pp_overflow) == int(st_a.pp_overflow)
+        for name in ("dt_f_acc", "dt_pp_acc", "dt_c_acc"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(st_a, name)),
+                np.asarray(getattr(st_b, name)), rtol=1e-5,
+                err_msg=f"{name} nd={nd}")
+        # compare VALID rows only, matched by pid (padding rows differ by
+        # construction: classic leaves garbage copies there, merged zeros)
+        cap = cfg_a.max_np
+        counts = np.asarray(st_a.np_local)
+        for d in range(counts.size):
+            n = int(counts[d])
+            sl = slice(d * cap, d * cap + n)
+            pa = np.asarray(st_a.pid)[sl]
+            pb = np.asarray(st_b.pid)[sl]
+            oa, ob = np.argsort(pa), np.argsort(pb)
+            np.testing.assert_array_equal(pa[oa], pb[ob])
+            for name in ("x", "v"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(st_a, name))[sl][oa],
+                    np.asarray(getattr(st_b, name))[sl][ob],
+                    rtol=1e-5, atol=1e-5, err_msg=f"{name} nd={nd}")
