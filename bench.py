@@ -44,8 +44,11 @@ def main():
                          "physics, 1.5x faster steady state, longer "
                          "first-time compile)")
     ap.add_argument("--staged", action="store_true",
-                    help="three-jit staged sweep (the fused 512^3-mesh "
+                    help="multi-jit staged sweep (the fused 512^3-mesh "
                          "program OOM-kills the tunnel's compile helper)")
+    ap.add_argument("--merged-sort", action="store_true",
+                    help="fuse the exchange class sort into the cell sort "
+                         "(one argsort/step; cfg.merged_exchange_sort)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +76,7 @@ def main():
                     density_buffer=args.buffer, shake=True, pid=False,
                     z_i=100.0, coarse_corner_deposit=args.corner_deposit,
                     fine_fft_tiles=fft_tiles,
+                    merged_exchange_sort=args.merged_sort,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     assert cfg.nf_physical_dim == nf
