@@ -127,8 +127,9 @@ def cell_occupancy(cell: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.arange(n, dtype=jnp.int32)
     endb = jnp.concatenate([cell[:-1] != cell[1:],
                             jnp.ones((1,), bool)])
-    end = jnp.flip(jax.lax.associative_scan(
-        jnp.minimum, jnp.flip(jnp.where(endb, idx, n - 1))))
+    # native reverse cummin (associative_scan wedges the remote compiler
+    # at production sizes — see binning.rank_from_sorted)
+    end = jax.lax.cummin(jnp.where(endb, idx, n - 1), reverse=True)
     return end - (idx - rank) + 1
 
 
