@@ -13,10 +13,59 @@ tunnel).  `python bench.py --small` runs a 64^3 box for smoke testing.
 """
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _run_config(args_list, budget_s):
+    """Run one bench configuration in a SUBPROCESS (a failed/poisoned
+    compile must not contaminate the fallback) with a wall budget.
+    Returns the parsed JSON result line or None."""
+    cmd = [sys.executable, os.path.abspath(__file__)] + args_list
+    print(f"# bench auto: {' '.join(args_list)} (budget {budget_s}s)",
+          file=sys.stderr, flush=True)
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        print("# bench auto: budget exceeded", file=sys.stderr, flush=True)
+        return None
+    sys.stderr.write(proc.stderr)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            out = json.loads(line)
+            if "metric" in out:
+                return out
+        except json.JSONDecodeError:
+            continue
+    print(f"# bench auto: no result (rc={proc.returncode})",
+          file=sys.stderr, flush=True)
+    return None
+
+
+def auto_main():
+    """Driver entry (`python bench.py` with no arguments): try the
+    north-star 256^3 fused config with a wall budget; on failure wait out
+    the TPU worker's crashed-client recovery and fall back to the proven
+    128^3 config so a wedged remote compiler can never leave the round
+    without a number."""
+    budget = int(os.environ.get("CUBEP3M_BENCH256_BUDGET", "3300"))
+    out = _run_config(["--np-dim", "256", "--steps", "5",
+                       "--no-corner-deposit"], budget)
+    if out is None:
+        # a killed TPU client wedges the worker for minutes; the fallback
+        # process would otherwise hang at its first compile
+        print("# bench auto: waiting 330s for TPU worker recovery",
+              file=sys.stderr, flush=True)
+        time.sleep(330)
+        out = _run_config(["--np-dim", "128", "--steps", "10"], 2400)
+    if out is None:
+        raise SystemExit("bench auto: both configurations failed")
+    print(json.dumps(out))
 
 
 def main():
@@ -141,4 +190,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 1:
+        auto_main()
+    else:
+        main()
