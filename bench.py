@@ -98,6 +98,10 @@ def main():
     ap.add_argument("--merged-sort", action="store_true",
                     help="fuse the exchange class sort into the cell sort "
                          "(one argsort/step; cfg.merged_exchange_sort)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="scan CHUNK fixed-dt sweeps per dispatch "
+                         "(amortizes the tunnel's per-dispatch latency; "
+                         "physics identical to --chunk 0)")
     args = ap.parse_args()
 
     import jax
@@ -151,9 +155,18 @@ def main():
     st = state_mod.particles_ic(cfg, x, v)
     st = step_mod.shard_state(st, mesh)
 
-    def one(st, dt, t):
-        return sweep(st, kern_f, kern_c, jnp.float32(1.0), jnp.float32(dt),
-                     jnp.float32(1.0), jnp.float32(t), jnp.float32(t))
+    if args.chunk > 0:
+        chunked = step_mod.make_fixed_chunk(cfg, mesh, sweep, args.chunk)
+
+        def one_dispatch(st):
+            return chunked(st, kern_f, kern_c, jnp.float32(0.05))
+        steps_per_dispatch = args.chunk
+    else:
+        def one_dispatch(st):
+            return sweep(st, kern_f, kern_c, jnp.float32(1.0),
+                         jnp.float32(0.05), jnp.float32(1.0),
+                         st.tau + 0.05, st.t + 0.05)
+        steps_per_dispatch = 1
 
     def fence(s):
         # the axon backend's block_until_ready returns early; materializing
@@ -161,16 +174,18 @@ def main():
         np.asarray(jax.device_get(s.tau))
 
     t0 = time.time()
-    st = one(st, 0.05, 0.05)
+    st = one_dispatch(st)
     fence(st)
     print(f"# first step (compile) {time.time() - t0:.1f}s", file=sys.stderr)
 
+    n_dispatch = max(1, args.steps // steps_per_dispatch)
     t0 = time.time()
-    for i in range(args.steps):
-        st = one(st, 0.05, 0.1 + 0.05 * i)
+    for i in range(n_dispatch):
+        st = one_dispatch(st)
     fence(st)
-    dt_step = (time.time() - t0) / args.steps
-    print(f"# {dt_step:.3f} s/step over {args.steps} steps", file=sys.stderr)
+    dt_step = (time.time() - t0) / (n_dispatch * steps_per_dispatch)
+    print(f"# {dt_step:.3f} s/step over {n_dispatch * steps_per_dispatch} "
+          f"steps ({n_dispatch} dispatches)", file=sys.stderr)
 
     # sanity: particles conserved, forces sane, no pp overflow
     vfin = np.asarray(st.v[: min(100000, n)])

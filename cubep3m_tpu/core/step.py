@@ -849,6 +849,42 @@ def make_chunked_sweep(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
     return jax.jit(mapped)
 
 
+def make_fixed_chunk(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
+    """lax.scan over `chunk` FIXED-dt sweeps (bench harness).
+
+    Physics-identical to dispatching the fused sweep `chunk` times with
+    the same dt (a_mid = a_new = 1, no expansion), but costs ONE tunnel
+    round trip per chunk — on a remote-tunneled TPU the per-dispatch
+    latency is a measurable fraction of a step.  Production runs with
+    adaptive dt use make_chunked_sweep instead."""
+    sweep_local = sweep._sweep_local
+
+    import dataclasses as _dc
+
+    def chunk_local(state: SimState, kern_f_im, kern_c_im, dt) -> SimState:
+        one = jnp.float32(1.0)
+
+        def body(st, _):
+            st2 = sweep_local(st, kern_f_im, kern_c_im, one, dt, one,
+                              st.tau + dt, st.t + dt)
+            st2 = _dc.replace(
+                st2,
+                pp_overflow=jnp.maximum(st2.pp_overflow, st.pp_overflow),
+                bucket_overflow=jnp.maximum(st2.bucket_overflow,
+                                            st.bucket_overflow),
+                clamp_count=jnp.maximum(st2.clamp_count, st.clamp_count))
+            return st2, None
+        state, _ = jax.lax.scan(body, state, None, length=chunk)
+        return state
+
+    specs = state_specs(mhd=cfg.mhd)
+    rspec = P()
+    mapped = shard_map(chunk_local, mesh=mesh,
+                       in_specs=(specs, rspec, rspec, rspec),
+                       out_specs=specs, check_vma=False)
+    return jax.jit(mapped)
+
+
 def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,
                    pp_band: int = 32) -> jnp.ndarray:
     """Total force on every particle WITHOUT kicking (single-device test

@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--max-steps", type=int, default=1200)
     ap.add_argument("--chunks", action="store_true")
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--pp-dense-band", type=int, default=4096,
+                    help="dense-tail pair window: must exceed the max "
+                         "same-fine-cell occupancy at z=0 (cluster cores "
+                         "pack >512 particles per fine cell at 128^3+ "
+                         "resolution; the tail pass is lax.cond-skipped "
+                         "until halos collapse, so early steps pay nothing)")
     args = ap.parse_args()
 
     import jax
@@ -48,6 +54,7 @@ def main():
                     nf_tile=nf // 2 + 2 * 32, nf_cutoff=16, buf_extra=16,
                     box=args.box, z_i=args.z_i,
                     density_buffer=1.3, shake=True, pid=False,
+                    pp_dense_band=args.pp_dense_band,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     print(f"# {cfg.summary()}", flush=True)
