@@ -12,13 +12,30 @@ Run on the real TPU: `python bench.py` (first compile ~minutes over the
 tunnel).  `python bench.py --small` runs a 64^3 box for smoke testing.
 """
 import argparse
+import hashlib
 import json
 import os
+import pickle
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+EXE_CACHE = os.path.join(_HERE, "bench_cache")
+
+
+def _source_key():
+    """Hash of the package source: a serialized executable is only valid
+    for the exact code that produced it."""
+    import glob
+    h = hashlib.sha256()
+    for f in sorted(glob.glob(os.path.join(_HERE, "cubep3m_tpu", "**",
+                                           "*.py"), recursive=True)):
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
 
 
 def _run_config(args_list, budget_s):
@@ -54,8 +71,20 @@ def auto_main():
     128^3 config so a wedged remote compiler can never leave the round
     without a number."""
     budget = int(os.environ.get("CUBEP3M_BENCH256_BUDGET", "3300"))
-    out = _run_config(["--np-dim", "256", "--steps", "5",
-                       "--no-corner-deposit"], budget)
+    out = None
+    exe = os.path.join(EXE_CACHE, "fused256_chunk5.exe")
+    if os.path.exists(exe):
+        # pre-serialized executable: deserialization + first-run warmup is
+        # ~2 min vs ~20 min remote compile, so try this first with a tight
+        # budget; the key check inside main() falls back to compiling if
+        # the source changed, which would blow the budget -> then the full
+        # paths below still run.
+        out = _run_config(["--np-dim", "256", "--steps", "10",
+                           "--no-corner-deposit", "--chunk", "5",
+                           "--load-exe", exe], 1500)
+    if out is None:
+        out = _run_config(["--np-dim", "256", "--steps", "5",
+                           "--no-corner-deposit"], budget)
     if out is None:
         # a killed TPU client wedges the worker for minutes; the fallback
         # process would otherwise hang at its first compile
@@ -102,6 +131,14 @@ def main():
                     help="scan CHUNK fixed-dt sweeps per dispatch "
                          "(amortizes the tunnel's per-dispatch latency; "
                          "physics identical to --chunk 0)")
+    ap.add_argument("--save-exe", default=None, metavar="PATH",
+                    help="serialize the compiled step executable to PATH "
+                         "(jax.experimental.serialize_executable) so a "
+                         "later run can skip the remote compile")
+    ap.add_argument("--load-exe", default=None, metavar="PATH",
+                    help="deserialize a previously saved executable "
+                         "instead of compiling (falls back to compiling "
+                         "if the source/config key does not match)")
     args = ap.parse_args()
 
     import jax
@@ -156,17 +193,74 @@ def main():
     st = step_mod.shard_state(st, mesh)
 
     if args.chunk > 0:
-        chunked = step_mod.make_fixed_chunk(cfg, mesh, sweep, args.chunk)
-
-        def one_dispatch(st):
-            return chunked(st, kern_f, kern_c, jnp.float32(0.05))
+        target = step_mod.make_fixed_chunk(cfg, mesh, sweep, args.chunk)
+        call_args = (st, kern_f, kern_c, jnp.float32(0.05))
         steps_per_dispatch = args.chunk
     else:
-        def one_dispatch(st):
-            return sweep(st, kern_f, kern_c, jnp.float32(1.0),
-                         jnp.float32(0.05), jnp.float32(1.0),
-                         st.tau + 0.05, st.t + 0.05)
+        one = jnp.float32(1.0)
+        dt = jnp.float32(0.05)
+        target = sweep
+        call_args = (st, kern_f, kern_c, one, dt, one, st.tau + dt,
+                     st.t + dt)
         steps_per_dispatch = 1
+
+    # key ties a serialized executable to the exact source + config that
+    # produced it: a stale executable would silently run OLD physics
+    exe_key = (_source_key(), jax.__version__, np_dim, args.chunk,
+               args.fast, args.buffer, args.corner_deposit, args.staged,
+               args.merged_sort)
+    compiled = None
+    if args.load_exe:
+        try:
+            with open(args.load_exe, "rb") as f:
+                d = pickle.load(f)
+            if d["key"] != exe_key:
+                print(f"# load-exe: stale key (saved {d['key']}, want "
+                      f"{exe_key}) — recompiling", file=sys.stderr,
+                      flush=True)
+            else:
+                from jax.experimental.serialize_executable import (
+                    deserialize_and_load)
+                t0 = time.time()
+                compiled = deserialize_and_load(d["payload"], d["in_tree"],
+                                                d["out_tree"])
+                print(f"# load-exe: deserialized in {time.time() - t0:.1f}s",
+                      file=sys.stderr, flush=True)
+        except Exception as e:  # corrupt file, plugin mismatch, ...
+            print(f"# load-exe failed ({e!r}) — recompiling",
+                  file=sys.stderr, flush=True)
+    if compiled is None and args.save_exe:
+        t0 = time.time()
+        compiled = target.lower(*call_args).compile()
+        print(f"# save-exe: compiled in {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        from jax.experimental.serialize_executable import serialize
+        payload, in_tree, out_tree = serialize(compiled)
+        os.makedirs(os.path.dirname(os.path.abspath(args.save_exe)),
+                    exist_ok=True)
+        tmp = args.save_exe + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump({"key": exe_key, "payload": payload,
+                         "in_tree": in_tree, "out_tree": out_tree}, f)
+        os.replace(tmp, args.save_exe)
+        print(f"# save-exe: {len(payload)} bytes -> {args.save_exe}",
+              file=sys.stderr, flush=True)
+
+    if compiled is not None:
+        if args.chunk > 0:
+            def one_dispatch(st):
+                return compiled(st, kern_f, kern_c, jnp.float32(0.05))
+        else:
+            def one_dispatch(st):
+                return compiled(st, kern_f, kern_c, one, dt, one,
+                                st.tau + dt, st.t + dt)
+    elif args.chunk > 0:
+        def one_dispatch(st):
+            return target(st, kern_f, kern_c, jnp.float32(0.05))
+    else:
+        def one_dispatch(st):
+            return target(st, kern_f, kern_c, one, dt, one, st.tau + dt,
+                          st.t + dt)
 
     def fence(s):
         # the axon backend's block_until_ready returns early; materializing

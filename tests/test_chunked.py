@@ -57,6 +57,40 @@ def test_chunked_chaplygin_matches_host_stepping():
                                rtol=5e-4)
 
 
+def test_fixed_chunk_matches_sequential_sweeps():
+    """bench's make_fixed_chunk (lax.scan over fixed-dt sweeps) is
+    step-for-step identical to dispatching the fused sweep."""
+    import jax.numpy as jnp
+    from cubep3m_tpu.core import step as step_mod
+    from cubep3m_tpu.parallel.mesh import make_sim_mesh
+    from cubep3m_tpu import kernels as kernels_mod
+
+    cfg = small_config(z_i=100.0, shake=True)
+    kern_f, kern_c = kernels_mod.build_kernels(cfg)
+    kern_f, kern_c = jnp.asarray(kern_f), jnp.asarray(kern_c)
+    mesh = make_sim_mesh(1)
+    sweep = step_mod.make_sweep(cfg, mesh)
+    chunked = step_mod.make_fixed_chunk(cfg, mesh, sweep, 3)
+    st0 = step_mod.shard_state(state_mod.random_ic(cfg, seed=7), mesh)
+
+    dt = jnp.float32(0.04)
+    one = jnp.float32(1.0)
+    st_seq = st0
+    for _ in range(3):
+        st_seq = sweep(st_seq, kern_f, kern_c, one, dt, one,
+                       st_seq.tau + dt, st_seq.t + dt)
+    st_chunk = chunked(st0, kern_f, kern_c, dt)
+
+    n = int(st_seq.np_local[0])
+    assert int(st_chunk.np_local[0]) == n
+    ph = np.argsort(np.asarray(st_seq.pid)[:n])
+    pc = np.argsort(np.asarray(st_chunk.pid)[:n])
+    np.testing.assert_array_equal(np.asarray(st_seq.x)[:n][ph],
+                                  np.asarray(st_chunk.x)[:n][pc])
+    np.testing.assert_array_equal(np.asarray(st_seq.v)[:n][ph],
+                                  np.asarray(st_chunk.v)[:n][pc])
+
+
 def test_profiler_trace_capture(tmp_path):
     """Simulation.profile writes a jax.profiler trace (tracing aux role)."""
     cfg = small_config(shake=False)
