@@ -72,16 +72,18 @@ def auto_main():
     without a number."""
     budget = int(os.environ.get("CUBEP3M_BENCH256_BUDGET", "3300"))
     out = None
-    exe = os.path.join(EXE_CACHE, "fused256_chunk5.exe")
-    if os.path.exists(exe):
-        # pre-serialized executable: deserialization + first-run warmup is
-        # ~2 min vs ~20 min remote compile, so try this first with a tight
-        # budget; the key check inside main() falls back to compiling if
-        # the source changed, which would blow the budget -> then the full
-        # paths below still run.
-        out = _run_config(["--np-dim", "256", "--steps", "10",
-                           "--no-corner-deposit", "--chunk", "5",
-                           "--load-exe", exe], 1500)
+    # pre-serialized executables: deserialization + first-run warmup is
+    # ~2 min vs ~20 min remote compile, so try these first with a tight
+    # budget; the key check inside main() falls back to compiling if the
+    # source changed, which would blow the budget -> the full paths below
+    # still run.
+    for exe, extra in [
+            (os.path.join(EXE_CACHE, "fused256_chunk5.exe"),
+             ["--steps", "10", "--chunk", "5"]),
+            (os.path.join(EXE_CACHE, "fused256.exe"), ["--steps", "5"])]:
+        if out is None and os.path.exists(exe):
+            out = _run_config(["--np-dim", "256", "--no-corner-deposit",
+                               "--load-exe", exe] + extra, 1500)
     if out is None:
         out = _run_config(["--np-dim", "256", "--steps", "5",
                            "--no-corner-deposit"], budget)
