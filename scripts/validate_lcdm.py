@@ -50,11 +50,15 @@ def main():
     from cubep3m_tpu.analysis import power as pw, halofind as hf
 
     nf = 2 * args.np_dim
+    # beyond nf=512 padded the axon backend's c2c transform limit bites:
+    # run the fine solve as tile FFTs of <=~320^3 (see bench.py)
+    fft_tiles = max(1, nf // 256)
     cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
                     nf_tile=nf // 2 + 2 * 32, nf_cutoff=16, buf_extra=16,
                     box=args.box, z_i=args.z_i,
                     density_buffer=1.3, shake=True, pid=False,
                     pp_dense_band=args.pp_dense_band,
+                    fine_fft_tiles=fft_tiles,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     print(f"# {cfg.summary()}", flush=True)
