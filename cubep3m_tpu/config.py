@@ -125,6 +125,17 @@ class SimConfig:
                                  # pairs are dropped and counted
     pp_dense_cap_frac: float = 0.25  # dense-tail buffer capacity as a
                                      # fraction of max_np
+    pp_autosize: bool = False    # driver-adaptive dense band: probe the max
+                                 # same-cell occupancy every
+                                 # `pp_autosize_every` steps and rebuild the
+                                 # sweep with a larger pp_dense_band BEFORE
+                                 # the dense-tail window overflows (the
+                                 # reference sizes max_llf statically and
+                                 # aborts on overflow,
+                                 # particle_mesh_threaded.f90:280-284)
+    pp_autosize_every: int = 25  # probe cadence in sweeps (occupancy grows
+                                 # smoothly with structure formation)
+    pp_autosize_headroom: float = 0.7  # grow when occ > headroom*(band+1)
     pp_cell_capacity: int = 32   # max particles per fine cell for pp bucketing
     pp_coarse_capacity: int = 256  # max particles per coarse cell (pp bucket)
     pp_pallas: Optional[bool] = None  # PPINT band pass as the fused Pallas

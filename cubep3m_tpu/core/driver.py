@@ -67,6 +67,7 @@ class Simulation:
             self.sweep = step_mod.make_sweep(cfg, self.mesh,
                                              pp_band=self.pp_band)
         self.kill_time_s = kill_time_s
+        self._steps_since_occ_probe = 0
         self._start_wall = time.time()
         self.logs: List[StepLog] = []
         # per-step coarse P(k) records (coarse_power.f90 `ps_c` role):
@@ -271,6 +272,50 @@ class Simulation:
                 state, _ = self.step(state)
         return state
 
+    def _rebuild_sweep(self) -> None:
+        """Recompile the sweep after a config change (pp_autosize); cached
+        chunk programs and the staged stepper are invalidated with it."""
+        if self.cfg.staged_sweep:
+            self.sweep = step_mod.make_staged_sweep(self.cfg, self.mesh,
+                                                    pp_band=self.pp_band)
+        else:
+            self.sweep = step_mod.make_sweep(self.cfg, self.mesh,
+                                             pp_band=self.pp_band)
+        self._chunks = {}
+        if hasattr(self, "_staged_stepper"):
+            del self._staged_stepper
+
+    def pp_autosize_check(self, state: SimState, steps: int = 1) -> None:
+        """Adaptive dense-tail sizing (cfg.pp_autosize): every
+        `pp_autosize_every` sweeps, probe the max same-fine-cell occupancy
+        and PREEMPTIVELY rebuild the sweep with a doubled `pp_dense_band`
+        once occupancy nears the window, so no step ever drops pairs.  The
+        reference sizes its per-cell list statically and aborts on overflow
+        (particle_mesh_threaded.f90:280-284); occupancy grows smoothly as
+        halos collapse, so a probe every few tens of steps catches the
+        growth with wide margin."""
+        cfg = self.cfg
+        if not (cfg.pp_autosize and cfg.pp):
+            return
+        self._steps_since_occ_probe += steps
+        if self._steps_since_occ_probe < cfg.pp_autosize_every:
+            return
+        self._steps_since_occ_probe = 0
+        if not hasattr(self, "_occ_probe"):
+            self._occ_probe = step_mod.make_occupancy_probe(cfg, self.mesh)
+        occ = int(self._occ_probe(state.x, state.np_local))
+        if occ <= cfg.pp_autosize_headroom * (cfg.pp_dense_band + 1):
+            return
+        new_band = cfg.pp_dense_band
+        while occ > cfg.pp_autosize_headroom * (new_band + 1):
+            new_band *= 2
+        if self.cfg.verbosity >= 1:
+            print(f"pp_autosize: max cell occupancy {occ} -> growing "
+                  f"pp_dense_band {cfg.pp_dense_band} -> {new_band} "
+                  f"(recompiling sweep)", flush=True)
+        self.cfg = dataclasses.replace(cfg, pp_dense_band=new_band)
+        self._rebuild_sweep()
+
     # chunk sizes compiled on demand (device-side dt control between
     # scheduled outputs; one host sync per chunk instead of per sweep)
     CHUNK_SIZES = (8, 4)  # tunneled executions beyond ~30s wall hang the worker
@@ -349,6 +394,7 @@ class Simulation:
             else:
                 state, dec = self.step(state)
                 steps_done += 1
+            self.pp_autosize_check(state, steps=size or 1)
             # wall-clock kill checkpoint applies to chunked stepping too
             # (cubepm_kill.f90:231-258; long runs spend most steps chunked)
             if self.kill_time_s is not None and self.on_kill and (

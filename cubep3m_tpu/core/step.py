@@ -99,6 +99,30 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
         is_leaf=lambda x: isinstance(x, P))
 
 
+def make_occupancy_probe(cfg: SimConfig, mesh: Mesh):
+    """Jitted global max same-fine-cell occupancy: probe(x, np_local) -> ().
+
+    The driver's `pp_autosize` uses this to grow `pp_dense_band` BEFORE
+    the dense-tail window overflows (the reference instead sizes its
+    per-cell list `max_llf` statically and aborts on overflow,
+    `particle_mesh_threaded.f90:280-284`).  Cost: one argsort + one cummax
+    scan of the local particles — run every few tens of steps, not per
+    sweep.  Occupancy is a per-cell property and cells are wholly owned by
+    one device, so local ranks suffice; the result is pmax-replicated.
+    """
+    nf = cfg.nf_physical_node_dim
+
+    def local(x, np_local):
+        valid = jnp.arange(x.shape[0]) < np_local[0]
+        skey = jnp.sort(binning.fine_cell_key(x, valid, nf))
+        rank = binning.rank_from_sorted(skey)
+        occ = jnp.max(jnp.where(skey < nf ** 3, rank + 1, 0))
+        return jax.lax.pmax(occ, AXES)
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(P(AXES), P(AXES)),
+                             out_specs=P(), check_vma=False))
+
+
 def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     """Build the jitted sweep over `mesh` (shape (nd, nd, nd), axes x/y/z).
 
