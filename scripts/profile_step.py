@@ -6,6 +6,13 @@ NGP gather+kick, PPINT band, coarse CIC variants + FFT + gather, particle
 exchange.  Phases overlap work that the fused sweep amortizes, so the sum
 exceeds the fused step time — use for relative weights.
 
+Device memory hygiene matters at 256^3 (17.6M particles on a 16 GB chip):
+sorted inputs are prepared on the HOST (numpy argsort) so no phase depends
+on another phase's device outputs, every (N,3) array reaches the device as
+a compact jit input, and each phase's outputs are dropped before the next.
+`--only sort,fine,...` times a subset in a fresh process (the tunnel's
+remote compiler has no persistent cache, ~3-7 min per phase compile).
+
 Run: python scripts/profile_step.py [--np-dim 128] [--cpu] [--bench]
 `--bench` mirrors bench.py's exact config (tight buffers, tiled fine FFTs)
 so the weights map one-to-one onto the headline step.
@@ -28,8 +35,11 @@ def main():
     ap.add_argument("--bench", action="store_true",
                     help="mirror bench.py's config (nf_buf=16, buffer 1.05, "
                          "tiled fine FFTs) instead of the validation config")
-    ap.add_argument("--skip", default="",
-                    help="comma-separated phase substrings to skip")
+    ap.add_argument("--only", default="",
+                    help="comma-separated phase keys to run (default all): "
+                         "sort,reorder,deposit,fine,gather,pp,ppallas,"
+                         "coarse8,coarsecorner,coarsefft,coarsegather,"
+                         "exchange")
     args = ap.parse_args()
 
     import jax
@@ -45,14 +55,13 @@ def main():
     from cubep3m_tpu.core.step import fold_pads
 
     nf_dim = 2 * args.np_dim
+    fft_tiles = max(1, nf_dim // 256)
     if args.bench:
-        fft_tiles = max(1, nf_dim // 256)
         cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
                         nf_tile=nf_dim // 2 + 2 * 16, nf_cutoff=16,
                         buf_extra=0, density_buffer=1.05, shake=False,
                         pid=False, fine_fft_tiles=fft_tiles)
     else:
-        fft_tiles = max(1, nf_dim // 256)
         cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
                         nf_tile=nf_dim // 2 + 2 * 32, nf_cutoff=16,
                         buf_extra=16, density_buffer=1.3, shake=False,
@@ -63,19 +72,32 @@ def main():
     ms = cfg.mesh_scale
     print(f"# {cfg.summary()}", file=sys.stderr, flush=True)
 
-    kern_f, kern_c = km.build_kernels(cfg)
-    kern_f = jnp.asarray(kern_f)
-    kern_c = jnp.asarray(kern_c)
+    only = [s for s in args.only.split(",") if s]
+
+    def want(key):
+        return not only or key in only
 
     rng = np.random.default_rng(0)
     n = cfg.np_total
     cap = cfg.max_np
+
+    # ---- host-side prep: sorted positions + cell keys + ranks ----
     x_h = np.zeros((cap, 3), np.float32)
     x_h[:n] = rng.uniform(0, nf, (n, 3))
-    x = jnp.asarray(x_h)
+    key_h = np.full(cap, nf ** 3, np.int64)
+    c = np.floor(x_h[:n]).astype(np.int64)
+    key_h[:n] = (c[:, 0] * nf + c[:, 1]) * nf + c[:, 2]
+    order_h = np.argsort(key_h, kind="stable").astype(np.int32)
+    skey_h = key_h[order_h].astype(np.int32)
+    xs_h = x_h[order_h]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(skey_h)) + 1])
+    rank_h = (np.arange(cap) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [cap]])))).astype(np.int32)
+
+    import jax
+    import jax.numpy as jnp
     valid = jnp.arange(cap) < n
     w = jnp.where(valid, jnp.float32(cfg.mass_p), 0.0)
-    skip = [s for s in args.skip.split(",") if s]
 
     def sync(out):
         # axon's block_until_ready returns early; materializing bytes to
@@ -84,9 +106,6 @@ def main():
         np.asarray(jax.device_get(leaf.ravel()[:1]))
 
     def timeit(name, fn, *a):
-        if any(s in name for s in skip):
-            print(f"{name:>24}:   skipped", flush=True)
-            return None
         t0 = time.time()
         out = fn(*a)           # compile
         sync(out)
@@ -96,83 +115,120 @@ def main():
             out = fn(*a)
             sync(out)
         dt = (time.time() - t0) / args.reps
-        print(f"{name:>24}: {dt * 1e3:9.2f} ms   (compile {tc:.1f}s)",
+        print(f"{name:>28}: {dt * 1e3:9.2f} ms   (compile {tc:.1f}s)",
               flush=True)
-        return out
+        del out
 
-    sort_fn = jax.jit(lambda xx: binning.sort_by_cell(xx, valid, nf))
-    sp = timeit("sort_by_cell", sort_fn, x)
+    if want("sort"):
+        x = jnp.asarray(x_h)
+        sort_fn = jax.jit(lambda xx: binning.sort_by_cell(xx, valid, nf))
+        timeit("sort_by_cell", sort_fn, x)
+        del x
 
-    # packed reorder: x/v/pid travel as ONE (N,7) row gather in the sweep
-    packed = jnp.concatenate([x, x, x[:, :1]], axis=1)
-    reord = jax.jit(lambda p, o: p[o])
-    timeit("packed (N,7) reorder", reord, packed, sp.order)
-    xs = x[sp.order]
+    if want("reorder"):
+        # packed reorder: x/v/pid travel as ONE (N,7) row gather
+        packed = jnp.asarray(np.concatenate(
+            [x_h, x_h, x_h[:, :1]], axis=1))
+        order = jnp.asarray(order_h)
+        timeit("packed (N,7) reorder", jax.jit(lambda p, o: p[o]),
+               packed, order)
+        del packed, order
 
-    dep = jax.jit(lambda xx: deposit.ngp_deposit(
-        xx, w, (nf, nf, nf), sorted_cells=True))
-    rho = timeit("ngp_deposit(sorted)", dep, xs)
+    xs = jnp.asarray(xs_h)
 
-    if cfg.fine_fft_tiles > 1:
-        t = cfg.fine_fft_tiles
-        ff = jax.jit(lambda r, kf: fftconv.fine_force_tiled(
-            jnp.pad(r, cfg.nf_buf, mode="wrap"), kf, cfg.nf_buf, nf, t))
-        f_fine = timeit(f"fine FFT force ({t}^3 tiles)", ff, rho, kern_f)
-    else:
-        ff = jax.jit(lambda r, kf: fftconv.fine_force(
-            jnp.pad(r, cfg.nf_buf, mode="wrap"), kf, cfg.nf_buf, nf))
-        f_fine = timeit("fine pad+FFT force", ff, rho, kern_f)
+    if want("deposit"):
+        dep = jax.jit(lambda xx: deposit.ngp_deposit(
+            xx, w, (nf, nf, nf), sorted_cells=True))
+        timeit("ngp_deposit(sorted)", dep, xs)
 
-    gath = jax.jit(lambda f, xx: deposit.ngp_gather(f, xx))
-    timeit("ngp_gather", gath, f_fine, xs)
-    del f_fine
+    if want("fine") or want("gather"):
+        kern_f, _ = km.build_kernels(cfg)
+        kern_f = jnp.asarray(kern_f)
+        rho = jax.jit(lambda xx: deposit.ngp_deposit(
+            xx, w, (nf, nf, nf), sorted_cells=True))(xs)
+        if cfg.fine_fft_tiles > 1:
+            t = cfg.fine_fft_tiles
+            ff = jax.jit(lambda r, kf: fftconv.fine_force_tiled(
+                jnp.pad(r, cfg.nf_buf, mode="wrap"), kf, cfg.nf_buf, nf, t))
+            name = f"fine FFT force ({t}^3 tiles)"
+        else:
+            ff = jax.jit(lambda r, kf: fftconv.fine_force(
+                jnp.pad(r, cfg.nf_buf, mode="wrap"), kf, cfg.nf_buf, nf))
+            name = "fine pad+FFT force"
+        if want("fine"):
+            timeit(name, ff, rho, kern_f)
+        if want("gather"):
+            f_fine = ff(rho, kern_f)
+            del rho
+            gath = jax.jit(lambda f, xx: deposit.ngp_gather(f, xx))
+            timeit("ngp_gather", gath, f_fine, xs)
+            del f_fine
+        else:
+            del rho
+        del kern_f
 
-    ppf = jax.jit(lambda xx: pp.ppint_band_force(
-        xx, sp.cell, sp.rank, nf ** 3, 32, cfg.mass_p, cfg.rsoft,
-        cfg.pp_bias).force)
-    timeit("ppint_band(32) xla", ppf, xs)
+    cell = jnp.asarray(skey_h)
+    rank = jnp.asarray(rank_h)
 
-    if jax.default_backend() != "cpu":
+    if want("pp"):
+        ppf = jax.jit(lambda xx: pp.ppint_band_force(
+            xx, cell, rank, nf ** 3, 32, cfg.mass_p, cfg.rsoft,
+            cfg.pp_bias).force)
+        timeit("ppint_band(32) xla", ppf, xs)
+
+    if want("ppallas") and jax.default_backend() != "cpu":
         from cubep3m_tpu.ops import pp_pallas
         ppp = jax.jit(lambda xx: pp_pallas.ppint_band_force_pallas(
-            xx, sp.cell, 32, cfg.mass_p, cfg.rsoft, cfg.pp_bias))
+            xx, cell, 32, cfg.mass_p, cfg.rsoft, cfg.pp_bias))
         timeit("ppint_band(32) pallas", ppp, xs)
+
+    del cell, rank
 
     # coarse mesh section, both deposit strategies
     ncp = nc + 2
 
-    def coarse_plain_dep(xx):
-        return fold_pads(deposit.cic_deposit(
-            xx, w, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1)
+    if want("coarse8"):
+        dep8 = jax.jit(lambda xx: fold_pads(deposit.cic_deposit(
+            xx, w, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1))
+        timeit("coarse cic_deposit (8-scatter)", dep8, xs)
 
-    rc = timeit("coarse cic_deposit (8-scatter)", jax.jit(coarse_plain_dep),
-                xs)
+    if want("coarsecorner"):
+        depc = jax.jit(lambda xx: fold_pads(deposit.cic_deposit_corner(
+            xx, w, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1))
+        timeit("coarse cic_deposit (corner)", depc, xs)
 
-    def coarse_corner_dep(xx):
-        return fold_pads(deposit.cic_deposit_corner(
-            xx, w, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1)
+    if want("coarsefft") or want("coarsegather"):
+        _, kern_c = km.build_kernels(cfg)
+        kern_c = jnp.asarray(kern_c)
+        rc = jax.jit(lambda xx: fold_pads(deposit.cic_deposit(
+            xx, w, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1))(xs)
+        cf = jax.jit(lambda r, kc: fftconv.coarse_force(r, kc))
+        if want("coarsefft"):
+            timeit("coarse FFT force", cf, rc, kern_c)
+        if want("coarsegather"):
+            fc = cf(rc, kern_c)
 
-    timeit("coarse cic_deposit (corner)", jax.jit(coarse_corner_dep), xs)
+            def coarse_gather(f, xx):
+                fcp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (1, 1)),
+                              mode="wrap")
+                return deposit.cic_gather_corner(fcp, xx, scale=ms,
+                                                 offset=-0.5, pad=1)
 
-    fc = timeit("coarse FFT force", jax.jit(
-        lambda r, kc: fftconv.coarse_force(r, kc)), rc, kern_c)
+            timeit("coarse corner gather", jax.jit(coarse_gather), fc, xs)
+            del fc
+        del rc, kern_c
 
-    def coarse_gather(f, xx):
-        fcp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (1, 1)), mode="wrap")
-        return deposit.cic_gather_corner(fcp, xx, scale=ms, offset=-0.5,
-                                         pad=1)
+    if want("exchange"):
+        from cubep3m_tpu.parallel import exchange as ex_mod
+        pid0 = jnp.zeros((cap,), jnp.int32)
+        x = jnp.asarray(x_h)
 
-    timeit("coarse corner gather", jax.jit(coarse_gather), fc, xs)
+        def exch(xx):
+            return ex_mod.exchange_particles(xx, xx, pid0, valid, nf,
+                                             max(256, cap // 16),
+                                             compact=False)
 
-    from cubep3m_tpu.parallel import exchange as ex_mod
-    pid0 = jnp.zeros((cap,), jnp.int32)
-
-    def exch(xx):
-        return ex_mod.exchange_particles(xx, xx, pid0, valid, nf,
-                                         max(256, cap // 16),
-                                         compact=False)
-
-    timeit("exchange(no-compact)", jax.jit(exch), x)
+        timeit("exchange(no-compact)", jax.jit(exch), x)
 
 
 if __name__ == "__main__":

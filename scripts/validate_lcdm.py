@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--max-steps", type=int, default=1200)
     ap.add_argument("--chunks", action="store_true")
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="write native checkpoints at a few intermediate "
+                         "redshifts (tunnel-hang insurance for hour-long "
+                         "256^3 runs)")
+    ap.add_argument("--resume-from", default=None,
+                    help="native .npz checkpoint to resume from")
     ap.add_argument("--pp-dense-band", type=int, default=4096,
                     help="dense-tail pair window: must exceed the max "
                          "same-fine-cell occupancy at z=0 (cluster cores "
@@ -63,13 +69,24 @@ def main():
     cfg.validate()
     print(f"# {cfg.summary()}", flush=True)
 
-    t0 = time.time()
-    st = zl.zeldovich_ic(cfg, seed=42)
-    print(f"# ICs generated in {time.time() - t0:.1f}s", flush=True)
-
-    sched = OutputSchedule.from_redshifts(checkpoints=[0.0],
+    ckpts = [0.0]
+    if args.ckpt_dir:
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        ckpts = [10.0, 5.0, 3.0, 2.0, 1.0, 0.5, 0.0]
+    sched = OutputSchedule.from_redshifts(checkpoints=ckpts,
                                           halofinds=[0.0])
     sim = Simulation(cfg, schedule=sched)
+
+    t0 = time.time()
+    if args.resume_from:
+        from cubep3m_tpu.io import checkpoint as ck
+        st, cur = ck.load_native(args.resume_from, cfg)
+        sim.cursors = cur
+        print(f"# resumed from {args.resume_from}: a={float(st.a):.5f} "
+              f"nts={int(st.nts)} cursors={cur}", flush=True)
+    else:
+        st = zl.zeldovich_ic(cfg, seed=42)
+        print(f"# ICs generated in {time.time() - t0:.1f}s", flush=True)
     st = step_mod.shard_state(st, sim.mesh)
 
     t0 = time.time()
@@ -80,6 +97,9 @@ def main():
         final = state
 
     sim.on_checkpoint.append(on_ck)
+    if args.ckpt_dir:
+        sim.attach_outputs(args.ckpt_dir, projections=False,
+                           halofinds=False)
 
     # host-stepped with a heartbeat (the tunneled TPU's remote compiler is
     # flaky with long scan programs, so chunked mode is opt-in)
