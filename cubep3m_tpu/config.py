@@ -154,6 +154,21 @@ class SimConfig:
                                 # compilers OOM on the fused program.
                                 # Chunked stepping dispatches staged steps
                                 # with on-device dt (make_staged_stepper).
+    coarse_sort: bool = False  # re-sort particles by coarse base-cell key
+                               # before the coarse CIC section: turns the
+                               # UNSORTED corner scatter/gather (~3x the
+                               # sorted index-op floor at 256^3) into
+                               # segment-sum-class sorted ops, at the cost
+                               # of one extra argsort + packed reorder.
+                               # Particles leave the sweep in coarse order
+                               # (the next sweep's cell sort re-sorts).
+                               # Identical physics (fp32 sum order aside)
+    single_node_wrap: bool = True  # nodes_dim==1 fast path: the ownership
+                                   # exchange degenerates to the periodic
+                                   # wrap x mod nf (exact for any drift;
+                                   # saves ~0.5 s/step at 256^3).  Off =
+                                   # run the full 26-class machinery even
+                                   # on one device (equality tests)
     merged_exchange_sort: bool = False  # fuse the exchange's class sort
                                         # into the cell sort: ONE big
                                         # argsort/step (combined keys +

@@ -185,7 +185,26 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         x = jnp.where(valid[:, None], x, 0.0)
 
         # ---- ownership exchange (particle_pass/delete_particles role) ----
-        if cfg.merged_exchange_sort:
+        if cfg.nodes_dim == 1 and cfg.single_node_wrap:
+            # single-node fast path: ownership never changes, so the whole
+            # 26-class exchange (class keys + sort + ppermutes, ~0.5 s at
+            # 256^3) reduces to the periodic wrap `x mod nf` — exact for
+            # ANY drift+shake distance, with nothing to drop or clamp
+            # (the reference's single-node build still runs its buffer
+            # passes; this is a TPU-first simplification, not a port)
+            x = jnp.where(valid[:, None], jnp.mod(x, nf), 0.0)
+            clamp_count = jnp.asarray(0, jnp.int32)
+            np_local = state.np_local[0]
+            ex_overflow_local = jnp.asarray(0, jnp.int32)
+            v, pid = state.v, state.pid
+            sp_full = binning.sort_by_cell(x, valid, nf)
+            packed = jnp.concatenate(
+                [x.T, v.T, exchange_mod.pid_to_f32(pid)[None, :]],
+                axis=0)[:, sp_full.order[:n_slots]]
+            sp = binning.SortedParticles(order=None,
+                                         cell=sp_full.cell[:n_slots],
+                                         rank=sp_full.rank[:n_slots])
+        elif cfg.merged_exchange_sort:
             # ONE big argsort: combined keys sort residents by cell AND
             # group leaver classes; arrivals merge by per-cell counting
             exs = exchange_mod.exchange_cell_sorted(
@@ -325,6 +344,25 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
 
         # ---- coarse level (coarse_mesh.f90) ----
         ncp = nc + 2
+        coarse_sorted = cfg.coarse_sort and not cfg.coarse_from_fine
+        if coarse_sorted:
+            # re-sort by the coarse base-cell key: the corner deposit's
+            # scatter and the force gather become monotone (sorted-scatter
+            # economics — profile_step.py measured the unsorted corner
+            # scatter at ~3x the sorted floor at 256^3).  Particles simply
+            # STAY in coarse order through the sweep tail: identity is in
+            # pid, and the next sweep's fine-cell sort reorders anyway.
+            ckey = deposit.cic_base_key(x, (ncp, ncp, ncp), scale=ms,
+                                        offset=-0.5, pad=1, valid=valid)
+            corder = jnp.argsort(ckey)
+            cpacked = jnp.concatenate(
+                [x.T, v.T, exchange_mod.pid_to_f32(pid)[None, :]],
+                axis=0)[:, corder]
+            x = exchange_mod.colmajor(cpacked[0:3].T)
+            v = exchange_mod.colmajor(cpacked[3:6].T)
+            pid = exchange_mod.pid_from_f32(cpacked[6])
+            valid = ckey[corder] < ncp ** 3
+            w = jnp.where(valid, jnp.float32(mass_p * (1.0 - fb)), 0.0)
         if cfg.coarse_from_fine:
             # regular-stencil deposit from the fine NGP grid (includes the
             # gas contribution already folded into rho)
@@ -332,7 +370,12 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             rho_c_pad = cst.coarse_deposit_from_fine(rho, ms)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
         else:
-            if cfg.coarse_corner_deposit:
+            if coarse_sorted:
+                # indices just sorted above: hint is genuine
+                rho_c_pad = deposit.cic_deposit_corner(
+                    x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,
+                    valid=valid, sorted_cells=True)
+            elif cfg.coarse_corner_deposit:
                 # corner-split single-scatter CIC (fast steady state,
                 # ~330 s extra XLA compile — see config.py)
                 rho_c_pad = deposit.cic_deposit_corner(
@@ -381,7 +424,10 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                                                  ncells_fine - 1))
         else:
             fcp = deposit.cic_gather_corner(f_c_pad, x, scale=ms,
-                                            offset=-0.5, pad=1)
+                                            offset=-0.5, pad=1,
+                                            valid=valid if coarse_sorted
+                                            else None,
+                                            sorted_cells=coarse_sorted)
         v = v + jnp.where(valid[:, None], fcp * kick, 0.0)
 
         if cfg.mhd:
@@ -504,6 +550,12 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         xT = (state.x.T + state.v.T * (0.5 * (dt + state.dt_old))
               + offset[:, None])
         xT = jnp.where(valid[None, :], xT, 0.0)
+        if cfg.nodes_dim == 1 and cfg.single_node_wrap:
+            # single-node fast path (see make_sweep): exchange == periodic
+            # wrap, exact for any displacement, nothing dropped
+            xT = jnp.where(valid[None, :], jnp.mod(xT, nf), 0.0)
+            return (xT, state.v.T, state.pid, valid, rng, shake_offset,
+                    jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
         ex = exchange_mod.exchange_particles(
             xT, state.v.T, state.pid, valid, nf, max_buf,
             compact=False, soa=True)
@@ -625,17 +677,43 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         return (vT, dt_pp_ext_acc.astype(jnp.float32),
                 jax.lax.psum(res.overflow, AXES))
 
-    def c1_local(packed, cell, rho, kern_c_im, a_mid):
-        """Coarse deposit + fold + global FFT force + dt_c limiter."""
-        a_mid = jnp.asarray(a_mid, jnp.float32)
+    csort = cfg.coarse_sort and not cfg.coarse_from_fine
+    ncp_cells = (nc + 2) ** 3
+
+    def c0a_local(packed, cell):
+        """Coarse base-key argsort (cfg.coarse_sort): makes the c1 scatter
+        and c2 gather monotone (sorted-scatter economics)."""
+        ncp = nc + 2
         xT = packed[0:3]
         valid = cell < ncells_fine
+        ckey = deposit.cic_base_key_t(xT, (ncp, ncp, ncp), scale=ms,
+                                      offset=-0.5, pad=1, valid=valid)
+        corder = jnp.argsort(ckey)
+        return corder.astype(jnp.int32), ckey[corder]
+
+    def c0b_local(packed, vT2, corder):
+        """ONE (10, N) payload gather into coarse order (payload width is
+        nearly free; index traversal dominates)."""
+        big = jnp.concatenate([packed, vT2], axis=0)[:, corder]
+        return big[0:7], big[7:10]
+
+    def c1_local(packed, cell, rho, kern_c_im, a_mid):
+        """Coarse deposit + fold + global FFT force + dt_c limiter.
+        With cfg.coarse_sort, `cell` is the SORTED coarse base key from
+        c0a (validity sentinel ncp^3); otherwise the fine cell key."""
+        a_mid = jnp.asarray(a_mid, jnp.float32)
+        xT = packed[0:3]
+        valid = cell < (ncp_cells if csort else ncells_fine)
         w = jnp.where(valid, jnp.float32(mass_p), 0.0)
         ncp = nc + 2
         if cfg.coarse_from_fine:
             from ..ops import coarse_stencil as cst
             rho_c_pad = cst.coarse_deposit_from_fine(rho, ms)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
+        elif csort:
+            rho_c = halo_mod.halo_fold(deposit.cic_deposit_corner_t(
+                xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,
+                valid=valid, sorted_cells=True), 1)
         elif cfg.coarse_corner_deposit:
             rho_c = halo_mod.halo_fold(deposit.cic_deposit_corner_t(
                 xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
@@ -664,16 +742,21 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         return f_c_pad, dt_c_acc.astype(jnp.float32)
 
     def c2_local(packed, cell, vT, f_c_pad, a_mid, dt):
-        """Coarse force gather + kick."""
+        """Coarse force gather + kick (`cell` semantics as in c1)."""
         a_mid = jnp.asarray(a_mid, jnp.float32)
         kick = a_mid * G * jnp.asarray(dt, jnp.float32)
         xT = packed[0:3]
-        valid = cell < ncells_fine
+        valid = cell < (ncp_cells if csort else ncells_fine)
         if cfg.coarse_from_fine:
             from ..ops import coarse_stencil as cst
             f_c_fine = cst.coarse_gather_to_fine(f_c_pad, ms)
             fcpT = deposit.ngp_gather_t(
                 f_c_fine, jnp.clip(cell, 0, ncells_fine - 1))
+        elif csort:
+            fcpT = deposit.cic_gather_corner_t(f_c_pad, xT, scale=ms,
+                                               offset=-0.5, pad=1,
+                                               valid=valid,
+                                               sorted_cells=True)
         else:
             fcpT = deposit.cic_gather_corner_t(f_c_pad, xT, scale=ms,
                                                offset=-0.5, pad=1)
@@ -710,6 +793,12 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     b5_jit = jax.jit(shard_map(
         b5_local, mesh=mesh, in_specs=(prow, pa, prow, r, r),
         out_specs=(prow, r, r), check_vma=False))
+    c0a_jit = jax.jit(shard_map(
+        c0a_local, mesh=mesh, in_specs=(prow, pa),
+        out_specs=(pa, pa), check_vma=False))
+    c0b_jit = jax.jit(shard_map(
+        c0b_local, mesh=mesh, in_specs=(prow, prow, pa),
+        out_specs=(prow, prow), check_vma=False))
     c1_jit = jax.jit(shard_map(
         c1_local, mesh=mesh, in_specs=(prow, pa, grid_spec, r, r),
         out_specs=(grid4_spec, r), check_vma=False))
@@ -749,6 +838,8 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         b3_jit = _logged("b3", b3_jit)
         b4_jit = _logged("b4", b4_jit)
         b5_jit = _logged("b5", b5_jit)
+        c0a_jit = _logged("c0a", c0a_jit)
+        c0b_jit = _logged("c0b", c0b_jit)
         c1_jit = _logged("c1", c1_jit)
         c2_jit = _logged("c2", c2_jit)
 
@@ -781,6 +872,9 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         if cfg.pp_ext:
             vT2, dt_pp_ext_acc, bucket_overflow = b5_jit(packed, cell,
                                                          vT2, a_mid, dt)
+        if csort:
+            corder, cell = c0a_jit(packed, cell)
+            packed, vT2 = c0b_jit(packed, vT2, corder)
         f_c_pad, dt_c_acc = c1_jit(packed, cell, rho, kern_c_im, a_mid)
         vT3 = c2_jit(packed, cell, vT2, f_c_pad, a_mid, dt)
         x = to_rows(packed[0:3])
@@ -803,6 +897,7 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     staged_sweep._stages = {
         "a1": a1_jit, "a2a": a2a_jit, "a2b": a2b_jit, "b1": b1_jit,
         "b2": b2_jit, "b3": b3_jit, "b4": b4_jit, "b5": b5_jit,
+        "c0a": c0a_jit, "c0b": c0b_jit,
         "c1": c1_jit, "c2": c2_jit}   # for probes / precompile campaigns
     return staged_sweep
 

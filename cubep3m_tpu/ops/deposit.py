@@ -91,9 +91,30 @@ def cic_deposit(pos: jnp.ndarray, weight: jnp.ndarray,
     return grid.reshape(shape)
 
 
+def cic_base_key(pos: jnp.ndarray, shape: Tuple[int, int, int],
+                 scale: float = 1.0, offset: float = 0.0, pad: int = 0,
+                 valid: jnp.ndarray = None) -> jnp.ndarray:
+    """The EXACT flat base-cell index the corner deposit/gather will use
+    (same clip), as a sort key; invalid slots get the sentinel `ncells`
+    (so they sort last, one past the `ncells-1` the ops clip them to).
+    Sorting particles by this key makes `cic_deposit_corner`'s scatter and
+    `cic_gather_corner`'s gather monotone (`sorted_cells=True` legal):
+    unsorted coarse scatters run ~3x the sorted-scatter floor at 256^3
+    (scripts/profile_step.py)."""
+    nx, ny, nz = shape
+    c0, _, _ = _cic_weights(pos, scale, offset)
+    c0 = jnp.clip(c0 + pad, 0, jnp.array(shape) - 2)
+    key = _flat_index(c0, shape)
+    if valid is not None:
+        key = jnp.where(valid, key, nx * ny * nz)
+    return key
+
+
 def cic_deposit_corner(pos: jnp.ndarray, weight: jnp.ndarray,
                        shape: Tuple[int, int, int], scale: float = 1.0,
-                       offset: float = 0.0, pad: int = 0) -> jnp.ndarray:
+                       offset: float = 0.0, pad: int = 0,
+                       valid: jnp.ndarray = None,
+                       sorted_cells: bool = False) -> jnp.ndarray:
     """CIC deposit with ONE scatter (corner-split accumulator).
 
     Equivalent to `cic_deposit` but TPU-fast: scatter/gather cost on TPU is
@@ -112,6 +133,10 @@ def cic_deposit_corner(pos: jnp.ndarray, weight: jnp.ndarray,
     c0, w0, w1 = _cic_weights(pos, scale, offset)
     c0 = jnp.clip(c0 + pad, 0, jnp.array(shape) - 2)
     base = _flat_index(c0, shape)
+    if valid is not None:
+        # invalid slots (zero weight) pinned to the LAST cell so a
+        # cic_base_key-sorted index array stays monotone end to end
+        base = jnp.where(valid, base, nx * ny * nz - 1)
     wx = jnp.stack([w0[:, 0], w1[:, 0]])             # (2, N)
     wy = jnp.stack([w0[:, 1], w1[:, 1]])
     wz = jnp.stack([w0[:, 2], w1[:, 2]])
@@ -119,7 +144,7 @@ def cic_deposit_corner(pos: jnp.ndarray, weight: jnp.ndarray,
     w8 = (weight[None] * wx[:, None, None] * wy[None, :, None]
           * wz[None, None, :]).reshape(8, -1)
     acc = jnp.zeros((8, nx * ny * nz), jnp.float32)
-    acc = acc.at[:, base].add(w8)
+    acc = acc.at[:, base].add(w8, indices_are_sorted=sorted_cells)
     acc = acc.reshape(2, 2, 2, nx, ny, nz)
     grid = jnp.zeros((nx, ny, nz), jnp.float32)
     for dx in (0, 1):
@@ -132,7 +157,8 @@ def cic_deposit_corner(pos: jnp.ndarray, weight: jnp.ndarray,
 
 def cic_gather_corner(field: jnp.ndarray, pos: jnp.ndarray,
                       scale: float = 1.0, offset: float = 0.0,
-                      pad: int = 0) -> jnp.ndarray:
+                      pad: int = 0, valid: jnp.ndarray = None,
+                      sorted_cells: bool = False) -> jnp.ndarray:
     """CIC interpolation with ONE gather (corner-packed field).
 
     Equivalent to `cic_gather` for (C, X, Y, Z) fields: the 8 corner values
@@ -146,6 +172,8 @@ def cic_gather_corner(field: jnp.ndarray, pos: jnp.ndarray,
     c0, w0, w1 = _cic_weights(pos, scale, offset)
     c0 = jnp.clip(c0 + pad, 0, jnp.array(field.shape[-3:]) - 2)
     base = _flat_index(c0, (nx, ny, nz))
+    if valid is not None:
+        base = jnp.where(valid, base, nx * ny * nz - 1)
     corners = []
     for dx in (0, 1):
         for dy in (0, 1):
@@ -154,7 +182,8 @@ def cic_gather_corner(field: jnp.ndarray, pos: jnp.ndarray,
                     field[:, dx:, dy:, dz:],
                     ((0, 0), (0, dx), (0, dy), (0, dz))))
     packed = jnp.stack(corners).reshape(8 * C, -1)   # (8C, XYZ)
-    vals = packed[:, base].reshape(2, 2, 2, C, -1)   # one gather
+    vals = packed.at[:, base].get(
+        indices_are_sorted=sorted_cells).reshape(2, 2, 2, C, -1)
     wx = jnp.stack([w0[:, 0], w1[:, 0]])             # (2, N)
     wy = jnp.stack([w0[:, 1], w1[:, 1]])
     wz = jnp.stack([w0[:, 2], w1[:, 2]])
@@ -277,9 +306,24 @@ def cic_deposit_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
     return grid.reshape(shape)
 
 
+def cic_base_key_t(pos_t: jnp.ndarray, shape: Tuple[int, int, int],
+                   scale: float = 1.0, offset: float = 0.0, pad: int = 0,
+                   valid: jnp.ndarray = None) -> jnp.ndarray:
+    """`cic_base_key` for SoA (3, N) positions."""
+    nx, ny, nz = shape
+    c0, _, _ = _cic_weights_t(pos_t, scale, offset)
+    c0 = jnp.clip(c0 + pad, 0, jnp.array(shape)[:, None] - 2)
+    key = (c0[0] * ny + c0[1]) * nz + c0[2]
+    if valid is not None:
+        key = jnp.where(valid, key, nx * ny * nz)
+    return key
+
+
 def cic_deposit_corner_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
                          shape: Tuple[int, int, int], scale: float = 1.0,
-                         offset: float = 0.0, pad: int = 0) -> jnp.ndarray:
+                         offset: float = 0.0, pad: int = 0,
+                         valid: jnp.ndarray = None,
+                         sorted_cells: bool = False) -> jnp.ndarray:
     """`cic_deposit_corner` for SoA (3, N) positions: ONE scatter of all 8
     corner weights at the base cell into an (8, ncells) accumulator, then
     8 static shifted adds (per-index scatter economics, scatter_bench)."""
@@ -287,13 +331,15 @@ def cic_deposit_corner_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
     c0, w0, w1 = _cic_weights_t(pos_t, scale, offset)
     c0 = jnp.clip(c0 + pad, 0, jnp.array(shape)[:, None] - 2)
     base = (c0[0] * ny + c0[1]) * nz + c0[2]
+    if valid is not None:
+        base = jnp.where(valid, base, nx * ny * nz - 1)
     wx = jnp.stack([w0[0], w1[0]])                   # (2, N)
     wy = jnp.stack([w0[1], w1[1]])
     wz = jnp.stack([w0[2], w1[2]])
     w8 = (weight[None] * wx[:, None, None] * wy[None, :, None]
           * wz[None, None, :]).reshape(8, -1)       # (8, N) corner-major
     acc = jnp.zeros((8, nx * ny * nz), jnp.float32)
-    acc = acc.at[:, base].add(w8)
+    acc = acc.at[:, base].add(w8, indices_are_sorted=sorted_cells)
     acc = acc.reshape(2, 2, 2, nx, ny, nz)
     grid = jnp.zeros((nx, ny, nz), jnp.float32)
     for dx in (0, 1):
@@ -306,13 +352,16 @@ def cic_deposit_corner_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
 
 def cic_gather_corner_t(field: jnp.ndarray, pos_t: jnp.ndarray,
                         scale: float = 1.0, offset: float = 0.0,
-                        pad: int = 0) -> jnp.ndarray:
+                        pad: int = 0, valid: jnp.ndarray = None,
+                        sorted_cells: bool = False) -> jnp.ndarray:
     """`cic_gather_corner` for SoA positions, returning SoA (C, N)."""
     C = field.shape[0]
     nx, ny, nz = field.shape[-3:]
     c0, w0, w1 = _cic_weights_t(pos_t, scale, offset)
     c0 = jnp.clip(c0 + pad, 0, jnp.array(field.shape[-3:])[:, None] - 2)
     base = (c0[0] * ny + c0[1]) * nz + c0[2]
+    if valid is not None:
+        base = jnp.where(valid, base, nx * ny * nz - 1)
     corners = []
     for dx in (0, 1):
         for dy in (0, 1):
@@ -321,7 +370,8 @@ def cic_gather_corner_t(field: jnp.ndarray, pos_t: jnp.ndarray,
                     field[:, dx:, dy:, dz:],
                     ((0, 0), (0, dx), (0, dy), (0, dz))))
     packed = jnp.stack(corners).reshape(8 * C, -1)   # (8C, XYZ)
-    vals = packed[:, base].reshape(2, 2, 2, C, -1)   # one gather
+    vals = packed.at[:, base].get(
+        indices_are_sorted=sorted_cells).reshape(2, 2, 2, C, -1)
     wx = jnp.stack([w0[0], w1[0]])                   # (2, N)
     wy = jnp.stack([w0[1], w1[1]])
     wz = jnp.stack([w0[2], w1[2]])

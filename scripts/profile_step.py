@@ -197,6 +197,49 @@ def main():
             xx, w, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1))
         timeit("coarse cic_deposit (corner)", depc, xs)
 
+    if want("coarsekeysort") or want("coarsesorteddep") or want(
+            "coarsesortedgath"):
+        # host-prep a COARSE-key-sorted copy (cfg.coarse_sort pipeline)
+        ckey_h = np.full(cap, ncp ** 3, np.int64)
+        b = np.clip(np.floor(x_h[:n] / ms - 0.5).astype(np.int64) + 1, 0,
+                    ncp - 2)
+        ckey_h[:n] = (b[:, 0] * ncp + b[:, 1]) * ncp + b[:, 2]
+        cord_h = np.argsort(ckey_h, kind="stable")
+        xc = jnp.asarray(x_h[cord_h])
+        vc = jnp.asarray(ckey_h[cord_h] < ncp ** 3)
+        wc = jnp.where(vc, jnp.float32(cfg.mass_p), 0.0)
+
+        if want("coarsekeysort"):
+            ks = jax.jit(lambda xx: jnp.argsort(deposit.cic_base_key(
+                xx, (ncp,) * 3, scale=ms, offset=-0.5, pad=1,
+                valid=valid)))
+            timeit("coarse key+argsort", ks, jnp.asarray(x_h))
+
+        if want("coarsesorteddep"):
+            deps = jax.jit(lambda xx: fold_pads(deposit.cic_deposit_corner(
+                xx, wc, (ncp,) * 3, scale=ms, offset=-0.5, pad=1,
+                valid=vc, sorted_cells=True), 1))
+            timeit("coarse cic_deposit (SORTED)", deps, xc)
+
+        if want("coarsesortedgath"):
+            _, kern_c2 = km.build_kernels(cfg)
+            rc2 = jax.jit(lambda xx: fold_pads(deposit.cic_deposit(
+                xx, wc, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1))(xc)
+            fc2 = jax.jit(fftconv.coarse_force)(rc2, jnp.asarray(kern_c2))
+            del rc2
+
+            def gat(f, xx):
+                fcp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (1, 1)),
+                              mode="wrap")
+                return deposit.cic_gather_corner(fcp, xx, scale=ms,
+                                                 offset=-0.5, pad=1,
+                                                 valid=vc,
+                                                 sorted_cells=True)
+
+            timeit("coarse gather (SORTED)", jax.jit(gat), fc2, xc)
+            del fc2
+        del xc, vc, wc
+
     if want("coarsefft") or want("coarsegather"):
         _, kern_c = km.build_kernels(cfg)
         kern_c = jnp.asarray(kern_c)

@@ -81,11 +81,15 @@ def test_step_log_written(tmp_path):
 
 def test_clamp_counter_surfaces_multihop_particles():
     """A particle moving more than one node width in a step is clamped AND
-    counted (core/step.py clamp_count) — never silently pinned."""
+    counted (core/step.py clamp_count) — never silently pinned.  Applies
+    to the EXCHANGE path only: the single-node wrap fast path handles any
+    displacement exactly (test_single_node_wrap), so force the full
+    machinery here."""
     import jax.numpy as jnp
     from cubep3m_tpu.core import step as step_mod
 
-    cfg = small_config(pp=False, cosmo_expansion=False, shake=False)
+    cfg = small_config(pp=False, cosmo_expansion=False, shake=False,
+                       single_node_wrap=False)
     sim = Simulation(cfg)
     nf = cfg.nf_physical_node_dim
     x = np.array([[nf / 2.0] * 3, [nf / 4.0] * 3], np.float32)
