@@ -129,6 +129,12 @@ def main():
     ap.add_argument("--merged-sort", action="store_true",
                     help="fuse the exchange class sort into the cell sort "
                          "(one argsort/step; cfg.merged_exchange_sort)")
+    ap.add_argument("--coarse-sort", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="re-sort by coarse base key before the coarse CIC "
+                         "(cfg.coarse_sort).  Measured at 256^3: the "
+                         "sorted-indices hint does NOT speed the windowed "
+                         "corner scatter (1140 vs 1139 ms) — off by default")
     ap.add_argument("--chunk", type=int, default=0,
                     help="scan CHUNK fixed-dt sweeps per dispatch "
                          "(amortizes the tunnel's per-dispatch latency; "
@@ -169,6 +175,7 @@ def main():
                     z_i=100.0, coarse_corner_deposit=args.corner_deposit,
                     fine_fft_tiles=fft_tiles,
                     merged_exchange_sort=args.merged_sort,
+                    coarse_sort=args.coarse_sort,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     assert cfg.nf_physical_dim == nf
@@ -210,7 +217,7 @@ def main():
     # produced it: a stale executable would silently run OLD physics
     exe_key = (_source_key(), jax.__version__, np_dim, args.chunk,
                args.fast, args.buffer, args.corner_deposit, args.staged,
-               args.merged_sort)
+               args.merged_sort, args.coarse_sort)
     compiled = None
     if args.load_exe:
         try:
