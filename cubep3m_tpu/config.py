@@ -154,6 +154,11 @@ class SimConfig:
                                 # compilers OOM on the fused program.
                                 # Chunked stepping dispatches staged steps
                                 # with on-device dt (make_staged_stepper).
+    coarse_pallas: Optional[bool] = None  # with coarse_sort: run the coarse
+                                # deposit as the Pallas segmented-sum
+                                # kernel (ops/deposit_pallas.py) instead of
+                                # an XLA scatter.  None = auto (on for TPU
+                                # backends when the accumulator fits VMEM)
     coarse_sort: bool = False  # re-sort particles by coarse base-cell key
                                # before the coarse CIC section: turns the
                                # UNSORTED corner scatter/gather (~3x the

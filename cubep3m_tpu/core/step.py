@@ -140,6 +140,14 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     max_buf = face_buffer_size(cfg)
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
+    # Pallas segmented coarse deposit: needs coarse-sorted particles and
+    # the (8, ncp^3) accumulator resident in VMEM (70 MB at nc=128)
+    _acc_bytes = 8 * (-(-(nc + 2) ** 3 // 128) * 128) * 4
+    use_coarse_pallas = (cfg.coarse_sort and not cfg.coarse_from_fine
+                         and (cfg.coarse_pallas
+                              if cfg.coarse_pallas is not None
+                              else (jax.default_backend() == "tpu"
+                                    and _acc_bytes <= 96 * 2 ** 20)))
 
     fb = cfg.cosmo.omega_b / cfg.cosmo.omega_m if cfg.mhd else 0.0
     gas_pad = 8  # TVD stencil reach over a fwd+bwd pass (2 sweeps x radius 3)
@@ -358,6 +366,7 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             cpacked = jnp.concatenate(
                 [x.T, v.T, exchange_mod.pid_to_f32(pid)[None, :]],
                 axis=0)[:, corder]
+            xT_c = cpacked[0:3]
             x = exchange_mod.colmajor(cpacked[0:3].T)
             v = exchange_mod.colmajor(cpacked[3:6].T)
             pid = exchange_mod.pid_from_f32(cpacked[6])
@@ -370,7 +379,14 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             rho_c_pad = cst.coarse_deposit_from_fine(rho, ms)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
         else:
-            if coarse_sorted:
+            if coarse_sorted and use_coarse_pallas:
+                # segmented Pallas reduction over the sorted runs (the
+                # XLA scatter ignores sortedness; ops/deposit_pallas.py)
+                from ..ops import deposit_pallas as dpp
+                rho_c_pad = dpp.cic_deposit_corner_seg(
+                    xT_c, w, (ncp, ncp, ncp), scale=ms, offset=-0.5,
+                    pad=1)
+            elif coarse_sorted:
                 # indices just sorted above: hint is genuine
                 rho_c_pad = deposit.cic_deposit_corner(
                     x, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,
@@ -525,6 +541,12 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     max_buf = face_buffer_size(cfg)
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
+    _acc_bytes = 8 * (-(-(nc + 2) ** 3 // 128) * 128) * 4
+    use_coarse_pallas = (cfg.coarse_sort and not cfg.coarse_from_fine
+                         and (cfg.coarse_pallas
+                              if cfg.coarse_pallas is not None
+                              else (jax.default_backend() == "tpu"
+                                    and _acc_bytes <= 96 * 2 ** 20)))
 
     n_slots_cap = cfg.max_np
 
@@ -710,6 +732,10 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             from ..ops import coarse_stencil as cst
             rho_c_pad = cst.coarse_deposit_from_fine(rho, ms)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
+        elif csort and use_coarse_pallas:
+            from ..ops import deposit_pallas as dpp
+            rho_c = halo_mod.halo_fold(dpp.cic_deposit_corner_seg(
+                xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
         elif csort:
             rho_c = halo_mod.halo_fold(deposit.cic_deposit_corner_t(
                 xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,

@@ -166,7 +166,10 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
 
     vf = vfactor(a_i, c)
     npd = nf // 2
-    from ..ops.deposit import cic_gather
+    from ..ops.deposit import cic_gather_t
+    # delta/psi fields are only materialized as jit outputs when a caller
+    # needs them (1.6+ GB residents at 256^3 otherwise)
+    want_fields = bool(return_delta or (cfg.mhd and cfg.gas_from_delta))
 
     # jitted, fully device-resident: eager complex ops with weak python
     # scalars are unsupported on the axon TPU backend, and host<->device
@@ -187,23 +190,33 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
         psi = jnp.stack(psi)
 
         # particles at centers of every 2nd cell, displaced by psi at the
-        # site (dist_init.f90:1552-1560): strided views, no gathers
+        # site (dist_init.f90:1552-1560): strided views, no gathers.
+        # SoA (3, N) throughout — any (N, small) minor-axis intermediate
+        # lane-pads 42x on TPU (a (3, 16.8M, 8) gather temp is 25.8 GB)
         disp = psi[:, ::2, ::2, ::2]
         q = jnp.arange(npd, dtype=jnp.float32) * 2.0 + 0.5
-        x = jnp.stack(
-            [q[:, None, None] + disp[0],
-             q[None, :, None] + disp[1],
-             q[None, None, :] + disp[2]], axis=-1).reshape(-1, 3)
-        x = jnp.mod(x, float(nf))
+        xT = jnp.stack(
+            [(q[:, None, None] + disp[0]).reshape(-1),
+             (q[None, :, None] + disp[1]).reshape(-1),
+             (q[None, None, :] + disp[2]).reshape(-1)])
+        xT = jnp.mod(xT, float(nf))
 
         psi_pad = jnp.pad(psi, ((0, 0), (1, 1), (1, 1), (1, 1)),
                           mode="wrap")
-        v = vf * cic_gather(psi_pad, x, scale=1.0, offset=-0.5, pad=1)
-        return x.astype(jnp.float32), v.astype(jnp.float32), delta_k, psi
+        vT = vf * cic_gather_t(psi_pad, xT, scale=1.0, offset=-0.5, pad=1)
+        x = xT.T.astype(jnp.float32)
+        v = vT.T.astype(jnp.float32)
+        if want_fields:
+            return x, v, delta_k, psi
+        return x, v
 
-    x_dev, v_dev, delta_k, psi = _make(jax.random.PRNGKey(seed),
-                                       jnp.asarray(amp),
-                                       jnp.asarray(inv_kd2))
+    out = _make(jax.random.PRNGKey(seed), jnp.asarray(amp),
+                jnp.asarray(inv_kd2))
+    if want_fields:
+        x_dev, v_dev, delta_k, psi = out
+    else:
+        x_dev, v_dev = out
+        delta_k = psi = None
 
     if cfg.nodes_dim == 1:
         # pack into the padded state layout on device

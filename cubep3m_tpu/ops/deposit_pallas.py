@@ -92,14 +92,16 @@ def _seg_kernel(key_s, end_s, w8_ref, end_v, acc_ref, t_ref, *, bs: int):
 
 
 def segment_deposit_sorted(skey: jnp.ndarray, w8: jnp.ndarray,
-                           ncells: int, interpret: bool = False
-                           ) -> jnp.ndarray:
+                           ncells: int, interpret=None) -> jnp.ndarray:
     """Sum w8 (8, N) into (8, ncells) by SORTED key (N,) — the Pallas
     segmented reduction described in the module docstring.
 
     skey must be non-decreasing with values in [0, ncells); zero-weight
-    padding rows conventionally carry key ncells-1.
+    padding rows conventionally carry key ncells-1.  interpret=None auto-
+    enables the Pallas interpreter on CPU backends (tests).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     n = skey.shape[0]
     nb = -(-n // _BS)
     pad = nb * _BS - n
@@ -137,8 +139,7 @@ def segment_deposit_sorted(skey: jnp.ndarray, w8: jnp.ndarray,
 
 def cic_deposit_corner_seg(pos_t: jnp.ndarray, weight: jnp.ndarray,
                            shape, scale: float = 1.0, offset: float = 0.0,
-                           pad: int = 0, interpret: bool = False
-                           ) -> jnp.ndarray:
+                           pad: int = 0, interpret=None) -> jnp.ndarray:
     """Corner-split CIC deposit via the segmented Pallas kernel.
 
     pos_t (3, N) must be sorted by `deposit.cic_base_key_t` (the sweep's

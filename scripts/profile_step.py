@@ -197,8 +197,8 @@ def main():
             xx, w, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1))
         timeit("coarse cic_deposit (corner)", depc, xs)
 
-    if want("coarsekeysort") or want("coarsesorteddep") or want(
-            "coarsesortedgath"):
+    if (want("coarsekeysort") or want("coarsesorteddep")
+            or want("coarsesortedgath") or want("coarseseg")):
         # host-prep a COARSE-key-sorted copy (cfg.coarse_sort pipeline)
         ckey_h = np.full(cap, ncp ** 3, np.int64)
         b = np.clip(np.floor(x_h[:n] / ms - 0.5).astype(np.int64) + 1, 0,
@@ -214,6 +214,12 @@ def main():
                 xx, (ncp,) * 3, scale=ms, offset=-0.5, pad=1,
                 valid=valid)))
             timeit("coarse key+argsort", ks, jnp.asarray(x_h))
+
+        if want("coarseseg"):
+            from cubep3m_tpu.ops import deposit_pallas as dpp
+            segd = jax.jit(lambda xx: fold_pads(dpp.cic_deposit_corner_seg(
+                xx.T, wc, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1))
+            timeit("coarse deposit (PALLAS seg)", segd, xc)
 
         if want("coarsesorteddep"):
             deps = jax.jit(lambda xx: fold_pads(deposit.cic_deposit_corner(
