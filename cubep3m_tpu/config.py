@@ -157,8 +157,21 @@ class SimConfig:
     coarse_pallas: Optional[bool] = None  # with coarse_sort: run the coarse
                                 # deposit as the Pallas segmented-sum
                                 # kernel (ops/deposit_pallas.py) instead of
-                                # an XLA scatter.  None = auto (on for TPU
-                                # backends when the accumulator fits VMEM)
+                                # an XLA scatter.  None = OFF: the kernel's
+                                # dynamic lane-dim column RMW fails Mosaic
+                                # lowering on real TPUs ("index in dim 1
+                                # not provably a multiple of 128"); kept
+                                # for interpret-mode reference.  Use
+                                # coarse_csum (auto-on) instead.
+    coarse_csum: Optional[bool] = None  # with coarse_sort: segmented-sum
+                                # coarse deposit in pure XLA (compensated
+                                # cumsum + run-boundary gathers, ~N/8
+                                # indices; deposit.cic_deposit_corner_
+                                # csum_t).  Run boundaries pool for free
+                                # from the fine NGP histogram when
+                                # cfg.ngp.  None = auto (on with
+                                # coarse_sort).  fp32-ulp-exact vs the
+                                # scatter deposit (coarse_deposit_probe)
     coarse_sort: bool = False  # re-sort particles by coarse base-cell key
                                # before the coarse CIC section: turns the
                                # UNSORTED corner scatter/gather (~3x the

@@ -140,14 +140,16 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     max_buf = face_buffer_size(cfg)
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
-    # Pallas segmented coarse deposit: needs coarse-sorted particles and
-    # the (8, ncp^3) accumulator resident in VMEM (70 MB at nc=128)
-    _acc_bytes = 8 * (-(-(nc + 2) ** 3 // 128) * 128) * 4
+    # Pallas segmented coarse deposit: opt-in only (fails Mosaic lowering
+    # on real TPUs — dynamic lane-dim column RMW; see config.py)
     use_coarse_pallas = (cfg.coarse_sort and not cfg.coarse_from_fine
-                         and (cfg.coarse_pallas
-                              if cfg.coarse_pallas is not None
-                              else (jax.default_backend() == "tpu"
-                                    and _acc_bytes <= 96 * 2 ** 20)))
+                         and bool(cfg.coarse_pallas))
+    # XLA segmented-sum coarse deposit (compensated cumsum + boundary
+    # gathers): the default sorted path (coarse_deposit_probe.py)
+    use_coarse_csum = (cfg.coarse_sort and not cfg.coarse_from_fine
+                       and not use_coarse_pallas
+                       and (cfg.coarse_csum
+                            if cfg.coarse_csum is not None else True))
 
     fb = cfg.cosmo.omega_b / cfg.cosmo.omega_m if cfg.mhd else 0.0
     gas_pad = 8  # TVD stencil reach over a fwd+bwd pass (2 sweeps x radius 3)
@@ -277,6 +279,10 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             rho = halo_mod.halo_fold(deposit.cic_deposit(
                 x, w, (nf + 2, nf + 2, nf + 2), scale=1.0, offset=-0.5,
                 pad=1), 1)
+        # the unit-weight fine NGP histogram doubles as the coarse
+        # deposit's run-boundary source (counts per coarse base key pool
+        # exactly from per-fine-cell counts; deposit.py)
+        rho_dm = rho if (use_coarse_csum and cfg.ngp) else None
         if cfg.mhd:
             rho = rho + jnp.float32(fb) * gas_u[0]
         rho_halo = halo_mod.halo_pad(rho, nf_buf)
@@ -386,6 +392,18 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                 rho_c_pad = dpp.cic_deposit_corner_seg(
                     xT_c, w, (ncp, ncp, ncp), scale=ms, offset=-0.5,
                     pad=1)
+            elif coarse_sorted and use_coarse_csum:
+                # segmented-sum deposit over the sorted runs: compensated
+                # cumsum + boundary gathers, ~N/8 indices; run boundaries
+                # pool for free from the fine NGP histogram when cfg.ngp
+                counts = None
+                if rho_dm is not None:
+                    counts = deposit.coarse_counts_from_fine_hist(
+                        rho_dm / jnp.float32(mass_p * (1.0 - fb)),
+                        ms, 1).reshape(-1)
+                rho_c_pad = deposit.cic_deposit_corner_csum_t(
+                    xT_c, w, (ncp, ncp, ncp), scale=ms, offset=-0.5,
+                    pad=1, counts=counts)
             elif coarse_sorted:
                 # indices just sorted above: hint is genuine
                 rho_c_pad = deposit.cic_deposit_corner(
@@ -541,12 +559,12 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     max_buf = face_buffer_size(cfg)
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
-    _acc_bytes = 8 * (-(-(nc + 2) ** 3 // 128) * 128) * 4
     use_coarse_pallas = (cfg.coarse_sort and not cfg.coarse_from_fine
-                         and (cfg.coarse_pallas
-                              if cfg.coarse_pallas is not None
-                              else (jax.default_backend() == "tpu"
-                                    and _acc_bytes <= 96 * 2 ** 20)))
+                         and bool(cfg.coarse_pallas))
+    use_coarse_csum = (cfg.coarse_sort and not cfg.coarse_from_fine
+                       and not use_coarse_pallas
+                       and (cfg.coarse_csum
+                            if cfg.coarse_csum is not None else True))
 
     n_slots_cap = cfg.max_np
 
@@ -735,6 +753,12 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         elif csort and use_coarse_pallas:
             from ..ops import deposit_pallas as dpp
             rho_c = halo_mod.halo_fold(dpp.cic_deposit_corner_seg(
+                xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
+        elif csort and use_coarse_csum:
+            # segmented-sum deposit; run boundaries from the op's own
+            # 1-payload sorted histogram (b1 does not carry the fine
+            # histogram between stages — grid bytes)
+            rho_c = halo_mod.halo_fold(deposit.cic_deposit_corner_csum_t(
                 xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
         elif csort:
             rho_c = halo_mod.halo_fold(deposit.cic_deposit_corner_t(

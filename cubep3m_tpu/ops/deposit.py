@@ -350,6 +350,108 @@ def cic_deposit_corner_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
     return grid
 
 
+def _corner_recombine(acc: jnp.ndarray,
+                      shape: Tuple[int, int, int]) -> jnp.ndarray:
+    """Fold an (8, nx*ny*nz) corner-major accumulator back onto the grid
+    with 8 static shifted adds (dense, tiny at coarse resolution)."""
+    nx, ny, nz = shape
+    acc = acc.reshape(2, 2, 2, nx, ny, nz)
+    grid = jnp.zeros((nx, ny, nz), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                grid = grid.at[dx:, dy:, dz:].add(
+                    acc[dx, dy, dz, :nx - dx, :ny - dy, :nz - dz])
+    return grid
+
+
+def coarse_counts_from_fine_hist(hist: jnp.ndarray, scale: int,
+                                 pad: int) -> jnp.ndarray:
+    """Per-coarse-BASE-cell particle counts from the fine NGP histogram.
+
+    The offset=-0.5 CIC base b = floor(x/scale - 0.5) + pad is a pure
+    function of the fine cell f = floor(x): the -0.5 coarse-cell offset is
+    an integer scale//2 fine cells, so b = (f - scale//2)//scale + pad and
+    the exact per-base counts are a shifted scale^3 sum-pool of the fine
+    histogram (no second particle pass).  Requires even `scale` and the
+    clip-free regime of cic_deposit_corner (pad >= 1, x in [0, nf)).
+
+    hist: (nf, nf, nf) float32 counts of VALID particles per fine cell
+    (the sweep's unit-weight fine NGP deposit).  Returns an
+    (ncp, ncp, ncp) int32 grid, ncp = nf//scale + 2*pad, flattenable in
+    cic_base_key's row-major order.
+    """
+    assert scale % 2 == 0, "integer-shift argument needs even mesh_scale"
+    nf = hist.shape[0]
+    ncp = nf // scale + 2 * pad
+    shift = scale // 2
+    lo, hi = pad * scale - shift, pad * scale + shift
+    h = jnp.pad(hist, ((lo, hi), (lo, hi), (lo, hi)))
+    h = h.reshape(ncp, scale, ncp, scale, ncp, scale).sum(axis=(1, 3, 5))
+    return jnp.round(h).astype(jnp.int32)
+
+
+def cic_deposit_corner_csum_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
+                              shape: Tuple[int, int, int],
+                              scale: float = 1.0, offset: float = 0.0,
+                              pad: int = 0,
+                              counts: Optional[jnp.ndarray] = None
+                              ) -> jnp.ndarray:
+    """Segmented-sum corner CIC deposit for base-key-SORTED particles.
+
+    Requires pos_t SORTED by `cic_base_key_t` (invalid slots carrying
+    zero `weight` sorted last by the sentinel key).  The deposit is then
+    a segmented sum over ~(particles-per-cell)-long runs: a compensated
+    (8, N) cumsum along particles plus TWO gathers at the run boundaries
+    (~N/8 indices) replaces the N-index windowed scatter-add, which runs
+    ~3-6x slower on TPU regardless of the indices_are_sorted hint
+    (scripts/coarse_deposit_probe.py; ~20 ns/index scatter economics).
+
+    counts: optional (ncells,) int32 — valid particles per flat base key
+    (e.g. `coarse_counts_from_fine_hist(...).reshape(-1)`).  If None, a
+    1-payload sorted histogram scatter computes it (still ~2x faster
+    overall than the windowed scatter).
+
+    Precision: XLA's cumsum is a tree scan (O(log N) error growth) and
+    the Fast2Sum-compensated second cumsum captures the stored-prefix
+    rounding residuals, so boundary differences match a float64 segment
+    sum to ~fp32 ulp (probe: 2.5e-7 max abs err at 17.6M particles).
+    """
+    nx, ny, nz = shape
+    ncells = nx * ny * nz
+    c0, w0, w1 = _cic_weights_t(pos_t, scale, offset)
+    c0 = jnp.clip(c0 + pad, 0, jnp.array(shape)[:, None] - 2)
+    base = (c0[0] * ny + c0[1]) * nz + c0[2]
+    wx = jnp.stack([w0[0], w1[0]])                   # (2, N)
+    wy = jnp.stack([w0[1], w1[1]])
+    wz = jnp.stack([w0[2], w1[2]])
+    w8 = (weight[None] * wx[:, None, None] * wy[None, :, None]
+          * wz[None, None, :]).reshape(8, -1)       # (8, N) corner-major
+    if counts is None:
+        # invalid slots sort last: clamp their sentinel into the last
+        # cell with zero contribution
+        hist = jnp.zeros((ncells,), jnp.float32)
+        hist = hist.at[jnp.minimum(base, ncells - 1)].add(
+            jnp.where(weight > 0, 1.0, 0.0), indices_are_sorted=True)
+        counts = hist.astype(jnp.int32)
+    ends = jnp.cumsum(counts)
+    starts = ends - counts
+    # compensated prefix sums: e = w - fl(diff(c1)) is the exact stored-
+    # prefix rounding residual (Fast2Sum), accumulated one level down
+    c1 = jnp.cumsum(w8, axis=1)
+    d = jnp.diff(c1, axis=1, prepend=jnp.float32(0.0))
+    c2 = jnp.cumsum(w8 - d, axis=1)
+    em1 = jnp.maximum(ends - 1, 0)
+    sm1 = jnp.maximum(starts - 1, 0)
+    c = jnp.concatenate([c1, c2], axis=0)            # (16, N)
+    hi = jnp.where(ends > 0,
+                   c.at[:, em1].get(indices_are_sorted=True), 0.0)
+    lo = jnp.where(starts > 0,
+                   c.at[:, sm1].get(indices_are_sorted=True), 0.0)
+    acc = (hi[:8] - lo[:8]) + (hi[8:] - lo[8:])      # (8, ncells)
+    return _corner_recombine(acc, shape)
+
+
 def cic_gather_corner_t(field: jnp.ndarray, pos_t: jnp.ndarray,
                         scale: float = 1.0, offset: float = 0.0,
                         pad: int = 0, valid: jnp.ndarray = None,

@@ -31,6 +31,50 @@ def test_base_key_matches_op_indices():
     assert np.all(skey[nv:] == ncp ** 3)
 
 
+def test_csum_deposit_matches_scatter():
+    """Segmented-sum corner deposit (compensated cumsum + boundary
+    gathers) == scatter corner deposit, with counts from BOTH sources:
+    the in-op sorted histogram and the pooled fine NGP histogram."""
+    rng = np.random.default_rng(1)
+    n, nc, ms = 20000, 4, 4
+    ncp, nf = nc + 2, nc * ms
+    # clustered + uniform positions, ~10% invalid slots
+    x = np.concatenate([
+        rng.uniform(0, nf, (n // 2, 3)),
+        (rng.normal(0.6 * nf, 0.05 * nf, (n // 2, 3)) % nf)]).astype(
+            np.float32)
+    valid = jnp.asarray(rng.random(n) < 0.9)
+    xj = jnp.asarray(x)
+    key = deposit.cic_base_key(xj, (ncp,) * 3, scale=ms, offset=-0.5,
+                               pad=1, valid=valid)
+    order = jnp.argsort(key)
+    xs = xj[order]
+    w = jnp.where(valid[order], jnp.float32(0.37), 0.0)
+    want = deposit.cic_deposit_corner(xs, w, (ncp,) * 3, scale=ms,
+                                      offset=-0.5, pad=1,
+                                      valid=valid[order])
+    # (a) in-op histogram
+    got_a = deposit.cic_deposit_corner_csum_t(
+        xs.T, w, (ncp,) * 3, scale=ms, offset=-0.5, pad=1)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+    # (b) counts pooled from the fine NGP histogram
+    hist = deposit.ngp_deposit(xj, jnp.where(valid, 1.0, 0.0),
+                               (nf,) * 3)
+    counts = deposit.coarse_counts_from_fine_hist(hist, ms, 1)
+    assert int(counts.sum()) == int(np.asarray(valid).sum())
+    got_b = deposit.cic_deposit_corner_csum_t(
+        xs.T, w, (ncp,) * 3, scale=ms, offset=-0.5, pad=1,
+        counts=counts.reshape(-1))
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+    # pooled counts agree with a direct key histogram
+    np.testing.assert_array_equal(
+        np.asarray(counts).reshape(-1),
+        np.bincount(np.asarray(key)[np.asarray(valid)],
+                    minlength=ncp ** 3)[:ncp ** 3])
+
+
 def _run(cfg, staged, n_steps=3, seed=7):
     mesh = make_sim_mesh(1)
     kern_f, kern_c = kernels_mod.build_kernels(cfg)
