@@ -33,6 +33,14 @@ def main():
                          "256^3 runs)")
     ap.add_argument("--resume-from", default=None,
                     help="native .npz checkpoint to resume from")
+    ap.add_argument("--coarse-sort", action="store_true",
+                    help="cfg.coarse_sort: segmented-sum coarse deposit "
+                         "(fastest 256^3 config; identical physics)")
+    ap.add_argument("--bench-geom", action="store_true",
+                    help="use the bench's proven-compiling geometry "
+                         "(288^3 tiles, nf_buf=16, density_buffer 1.15 — "
+                         "single-node wrap conserves np_local exactly) "
+                         "instead of the conservative 320^3/1.3 default")
     ap.add_argument("--pp-dense-band", type=int, default=4096,
                     help="dense-tail pair window: must exceed the max "
                          "same-fine-cell occupancy at z=0 (cluster cores "
@@ -59,12 +67,16 @@ def main():
     # beyond nf=512 padded the axon backend's c2c transform limit bites:
     # run the fine solve as tile FFTs of <=~320^3 (see bench.py)
     fft_tiles = max(1, nf // 256)
+    buf_extra = 0 if args.bench_geom else 16
     cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
-                    nf_tile=nf // 2 + 2 * 32, nf_cutoff=16, buf_extra=16,
+                    nf_tile=nf // 2 + 2 * (16 + buf_extra),
+                    nf_cutoff=16, buf_extra=buf_extra,
                     box=args.box, z_i=args.z_i,
-                    density_buffer=1.3, shake=True, pid=False,
+                    density_buffer=1.15 if args.bench_geom else 1.3,
+                    shake=True, pid=False,
                     pp_dense_band=args.pp_dense_band,
                     fine_fft_tiles=fft_tiles,
+                    coarse_sort=args.coarse_sort,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     print(f"# {cfg.summary()}", flush=True)
