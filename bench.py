@@ -78,15 +78,18 @@ def auto_main():
     # source changed, which would blow the budget -> the full paths below
     # still run.
     for exe, extra in [
+            (os.path.join(EXE_CACHE, "fused256_chunk5_csort.exe"),
+             ["--steps", "10", "--chunk", "5", "--coarse-sort"]),
             (os.path.join(EXE_CACHE, "fused256_chunk5.exe"),
-             ["--steps", "10", "--chunk", "5"]),
-            (os.path.join(EXE_CACHE, "fused256.exe"), ["--steps", "5"])]:
+             ["--steps", "10", "--chunk", "5", "--no-corner-deposit"]),
+            (os.path.join(EXE_CACHE, "fused256.exe"),
+             ["--steps", "5", "--no-corner-deposit"])]:
         if out is None and os.path.exists(exe):
-            out = _run_config(["--np-dim", "256", "--no-corner-deposit",
-                               "--load-exe", exe] + extra, 1500)
+            out = _run_config(["--np-dim", "256", "--load-exe", exe]
+                              + extra, 1500)
     if out is None:
-        out = _run_config(["--np-dim", "256", "--steps", "5",
-                           "--no-corner-deposit"], budget)
+        out = _run_config(["--np-dim", "256", "--steps", "10",
+                           "--chunk", "5", "--coarse-sort"], budget)
     if out is None:
         # a killed TPU client wedges the worker for minutes; the fallback
         # process would otherwise hang at its first compile

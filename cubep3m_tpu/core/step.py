@@ -424,9 +424,10 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
             if cfg.mhd:
                 # gas mass: sum-pool mesh_scale^3 gas cells
-                # (coarse_mass.f90:67-78)
-                rho_c = rho_c + jnp.float32(fb) * gas_u[0].reshape(
-                    nc, ms, nc, ms, nc, ms).sum(axis=(1, 3, 5))
+                # (coarse_mass.f90:67-78); strided slice-adds, never the
+                # 6-D reshape (TPU tile padding — see deposit.sum_pool3)
+                rho_c = rho_c + jnp.float32(fb) * deposit.sum_pool3(
+                    gas_u[0], ms)
         if cfg.coarse_pencil_fft:
             # distributed pencil FFT (p3dfft_coarse role); 1-cell force halo
             # exchange (coarse_force_buffer role)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,18 +44,20 @@ def _axis_weights(ms: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def deposit_axis(grid: jnp.ndarray, axis: int, ms: int) -> jnp.ndarray:
-    """Contract one fine axis (n) to a padded coarse axis (n/ms + 2)."""
+    """Contract one fine axis (n) to a padded coarse axis (n/ms + 2).
+
+    Strided slice-adds, never a (..., nc, ms, ...) reshape: a size-ms
+    minor dim tile-pads to (8,128) on TPU (up to 32x memory — the same
+    hazard deposit.sum_pool3 documents)."""
     lo, mid, hi = _axis_weights(ms)
     n = grid.shape[axis]
     nc = n // ms
-    shape = list(grid.shape)
-    shape[axis:axis + 1] = [nc, ms]
-    g = grid.reshape(shape)
-    wshape = [1] * len(shape)
-    wshape[axis + 1] = ms
-    g_lo = jnp.sum(g * jnp.asarray(lo).reshape(wshape), axis=axis + 1)
-    g_mid = jnp.sum(g * jnp.asarray(mid).reshape(wshape), axis=axis + 1)
-    g_hi = jnp.sum(g * jnp.asarray(hi).reshape(wshape), axis=axis + 1)
+    g_lo = g_mid = g_hi = None
+    for m in range(ms):
+        sm = jax.lax.slice_in_dim(grid, m, n, stride=ms, axis=axis)
+        g_lo = lo[m] * sm if g_lo is None else g_lo + lo[m] * sm
+        g_mid = mid[m] * sm if g_mid is None else g_mid + mid[m] * sm
+        g_hi = hi[m] * sm if g_hi is None else g_hi + hi[m] * sm
     out_shape = list(g_lo.shape)
     out_shape[axis] = nc + 2
     out = jnp.zeros(out_shape, grid.dtype)
@@ -82,24 +85,17 @@ def gather_axis(grid: jnp.ndarray, axis: int, ms: int) -> jnp.ndarray:
     """Expand one padded coarse axis (nc+2) to fine (nc*ms) by the
     transposed stencil (trilinear at fine-cell centers)."""
     lo, mid, hi = _axis_weights(ms)
-    ncp = grid.shape[axis]
+    # operate with the target axis LEADING so the (nc, ms) stack+merge
+    # keeps the big dims minor (a size-ms minor dim tile-pads 32x on TPU)
+    g = jnp.moveaxis(grid, axis, 0)
+    ncp = g.shape[0]
     nc = ncp - 2
-
-    def sl(a, b):
-        idx = [slice(None)] * grid.ndim
-        idx[axis] = slice(a, b)
-        return tuple(idx)
-
-    g_m1 = grid[sl(0, nc)]       # coarse j-1
-    g_0 = grid[sl(1, nc + 1)]    # coarse j
-    g_p1 = grid[sl(2, nc + 2)]   # coarse j+1
-    parts = []
-    for m in range(ms):
-        parts.append(lo[m] * g_m1 + mid[m] * g_0 + hi[m] * g_p1)
-    stacked = jnp.stack(parts, axis=axis + 1)   # (..., nc, ms, ...)
-    shape = list(grid.shape)
-    shape[axis] = nc * ms
-    return stacked.reshape(shape)
+    g_m1, g_0, g_p1 = g[0:nc], g[1:nc + 1], g[2:nc + 2]
+    parts = [lo[m] * g_m1 + mid[m] * g_0 + hi[m] * g_p1
+             for m in range(ms)]
+    stacked = jnp.stack(parts, axis=1)          # (nc, ms, ...)
+    out = stacked.reshape((nc * ms,) + g.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
 
 
 def coarse_gather_to_fine(f_c_pad: jnp.ndarray, ms: int) -> jnp.ndarray:

@@ -387,8 +387,27 @@ def coarse_counts_from_fine_hist(hist: jnp.ndarray, scale: int,
     shift = scale // 2
     lo, hi = pad * scale - shift, pad * scale + shift
     h = jnp.pad(hist, ((lo, hi), (lo, hi), (lo, hi)))
-    h = h.reshape(ncp, scale, ncp, scale, ncp, scale).sum(axis=(1, 3, 5))
+    h = sum_pool3(h, scale)
+    assert h.shape == (ncp, ncp, ncp)
     return jnp.round(h).astype(jnp.int32)
+
+
+def sum_pool3(grid: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """scale^3 sum-pooling of a 3-D grid via per-axis strided slice-adds.
+
+    NEVER reshape to (n, s, n, s, n, s) on TPU: the tiled T(8,128) layout
+    pads the size-s minor dims to (8,128) — an 18.8 GB temp for a 520^3
+    fine grid at s=4 (the compile-time OOM that killed the first csum
+    256^3 bench).  Strided slices keep 3-D shapes with large minor dims.
+    """
+    h = grid
+    for ax in range(3):
+        parts = [jax.lax.slice_in_dim(h, s, h.shape[ax], stride=scale,
+                                      axis=ax) for s in range(scale)]
+        h = parts[0]
+        for p in parts[1:]:
+            h = h + p
+    return h
 
 
 def cic_deposit_corner_csum_t(pos_t: jnp.ndarray, weight: jnp.ndarray,

@@ -131,14 +131,34 @@ def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
     tpad = tp + 2 * nf_buf
     assert kern_f_im.shape[-1] == tpad, (kern_f_im.shape, tpad)
     batch = _extract_tiles(rho_halo, tiles, tp, tpad)
-    rho_k = jnp.fft.fftn(batch.astype(jnp.complex64), axes=(1, 2, 3))
-    fx_k = (1j * kern_f_im[0]) * rho_k
-    fy_k = (1j * kern_f_im[1]) * rho_k
-    fz_k = (1j * kern_f_im[2]) * rho_k
-    fxy = jnp.fft.ifftn(fx_k + 1j * fy_k, axes=(1, 2, 3))
-    fz = jnp.fft.ifftn(fz_k, axes=(1, 2, 3))
-    f = jnp.stack([fxy.real, fxy.imag, fz.real],
-                  axis=1).astype(jnp.float32)       # (T^3, 3, tpad^3)
+    t3 = batch.shape[0]
+    npair = t3 // 2
+    # two-for-one packing over tile PAIRS: Z = fft(a + i*b) and, for each
+    # real odd kernel component, ifft(i*K*Z) = (K*a) + i*(K*b) by
+    # linearity — so one forward and THREE inverses serve TWO tiles
+    # (2 c2c per tile instead of 3; at 8 tiles: 24 -> 16 transforms)
+    z = jnp.fft.fftn(batch[0:2 * npair:2]
+                     + 1j * batch[1:2 * npair:2], axes=(1, 2, 3))
+    inv_in = jnp.concatenate(
+        [(1j * kern_f_im[c]) * z for c in range(3)], axis=0)
+    out = jnp.fft.ifftn(inv_in, axes=(1, 2, 3))     # (3P, tpad^3)
+    fa = jnp.stack([out[0:npair].real, out[npair:2 * npair].real,
+                    out[2 * npair:].real], axis=1)  # even tiles
+    fb = jnp.stack([out[0:npair].imag, out[npair:2 * npair].imag,
+                    out[2 * npair:].imag], axis=1)  # odd tiles
+    f = jnp.stack([fa, fb], axis=1).reshape(
+        2 * npair, 3, tpad, tpad, tpad).astype(jnp.float32)
+    if t3 % 2:
+        # odd tile count: last tile classically (1 fwd + 2 packed inv)
+        rho_k = jnp.fft.fftn(batch[-1:].astype(jnp.complex64),
+                             axes=(1, 2, 3))
+        fxy = jnp.fft.ifftn((1j * kern_f_im[0]) * rho_k
+                            + 1j * ((1j * kern_f_im[1]) * rho_k),
+                            axes=(1, 2, 3))
+        fz = jnp.fft.ifftn((1j * kern_f_im[2]) * rho_k, axes=(1, 2, 3))
+        f_last = jnp.stack([fxy.real, fxy.imag, fz.real],
+                           axis=1).astype(jnp.float32)
+        f = jnp.concatenate([f, f_last], axis=0)
     sl = slice(nf_buf, nf_buf + tp)
     f = f[:, :, sl, sl, sl].reshape(tiles, tiles, tiles, 3, tp, tp, tp)
     # reassemble (3, nf_node^3): tile index -> spatial offset
