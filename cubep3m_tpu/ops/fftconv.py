@@ -176,9 +176,21 @@ def fine_force_potential_tiled(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
     tpad = tp + 2 * nf_buf
     assert pot_kern.shape[-1] == tpad, (pot_kern.shape, tpad)
     batch = _extract_tiles(rho_halo, tiles, tp, tpad)
-    rho_k = jnp.fft.fftn(batch.astype(jnp.complex64), axes=(1, 2, 3))
-    phi = jnp.fft.ifftn(rho_k * pot_kern, axes=(1, 2, 3)).real.astype(
-        jnp.float32)
+    t3 = batch.shape[0]
+    npair = t3 // 2
+    # two-for-one pairing: ifft(P * fft(a + i*b)) = phi_a + i*phi_b for
+    # the real even potential kernel — HALF the transforms per solve
+    z = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(
+        batch[0:2 * npair:2] + 1j * batch[1:2 * npair:2], axes=(1, 2, 3)),
+        axes=(1, 2, 3))
+    phi = jnp.stack([z.real, z.imag], axis=1).reshape(
+        (2 * npair,) + z.shape[1:]).astype(jnp.float32)
+    if t3 % 2:
+        zl = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(
+            batch[-1:].astype(jnp.complex64), axes=(1, 2, 3)),
+            axes=(1, 2, 3))
+        phi = jnp.concatenate(
+            [phi, zl.real.astype(jnp.float32)], axis=0)
     lo, hi = nf_buf, nf_buf + tp
 
     def diff(axis):
