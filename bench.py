@@ -246,6 +246,16 @@ def main():
         compiled = target.lower(*call_args).compile()
         print(f"# save-exe: compiled in {time.time() - t0:.1f}s",
               file=sys.stderr, flush=True)
+        try:
+            m = compiled.memory_analysis()
+            gb = 1024 ** 3
+            print(f"# save-exe: memory args {m.argument_size_in_bytes/gb:.2f}"
+                  f" out {m.output_size_in_bytes/gb:.2f}"
+                  f" temps {m.temp_size_in_bytes/gb:.2f}"
+                  f" aliased {m.alias_size_in_bytes/gb:.2f} GiB",
+                  file=sys.stderr, flush=True)
+        except Exception:
+            pass
         from jax.experimental.serialize_executable import serialize
         payload, in_tree, out_tree = serialize(compiled)
         os.makedirs(os.path.dirname(os.path.abspath(args.save_exe)),

@@ -1052,7 +1052,10 @@ def make_fixed_chunk(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
     mapped = shard_map(chunk_local, mesh=mesh,
                        in_specs=(specs, rspec, rspec, rspec),
                        out_specs=specs, check_vma=False)
-    return jax.jit(mapped)
+    # donate the state: the bench loop never reuses its input, and the
+    # aliasing returns ~0.6 GiB of HBM headroom at 256^3 (the fused
+    # program peaks ~14/16 GiB; exe_memory.py showed aliased=0 before)
+    return jax.jit(mapped, donate_argnums=0)
 
 
 def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,

@@ -455,19 +455,30 @@ def cic_deposit_corner_csum_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
         counts = hist.astype(jnp.int32)
     ends = jnp.cumsum(counts)
     starts = ends - counts
-    # compensated prefix sums: e = w - fl(diff(c1)) is the exact stored-
-    # prefix rounding residual (Fast2Sum), accumulated one level down
-    c1 = jnp.cumsum(w8, axis=1)
-    d = jnp.diff(c1, axis=1, prepend=jnp.float32(0.0))
-    c2 = jnp.cumsum(w8 - d, axis=1)
     em1 = jnp.maximum(ends - 1, 0)
     sm1 = jnp.maximum(starts - 1, 0)
-    c = jnp.concatenate([c1, c2], axis=0)            # (16, N)
-    hi = jnp.where(ends > 0,
-                   c.at[:, em1].get(indices_are_sorted=True), 0.0)
-    lo = jnp.where(starts > 0,
-                   c.at[:, sm1].get(indices_are_sorted=True), 0.0)
-    acc = (hi[:8] - lo[:8]) + (hi[8:] - lo[8:])      # (8, ncells)
+    mask_e = ends > 0
+    mask_s = starts > 0
+    # compensated prefix sums: e = w - fl(diff(c1)) is the exact stored-
+    # prefix rounding residual (Fast2Sum), accumulated one level down.
+    # Each cumsum's boundaries are gathered as soon as it exists (4
+    # narrow gathers instead of 2 on a (16, N) concat): at 17.6M
+    # particles the concat alone is a 1.13 GB copy and the old
+    # all-live-at-once form peaked ~4 GB of (8, N) temps — enough to
+    # OOM the fused 256^3 program on a 16 GB chip (bench_logs/
+    # bench256_csort_r3.log); this ordering keeps at most three (8, N)
+    # arrays live (~1.7 GB).
+    c1 = jnp.cumsum(w8, axis=1)
+    acc = (jnp.where(mask_e, c1.at[:, em1].get(indices_are_sorted=True),
+                     0.0)
+           - jnp.where(mask_s, c1.at[:, sm1].get(indices_are_sorted=True),
+                       0.0))
+    r = w8 - jnp.diff(c1, axis=1, prepend=jnp.float32(0.0))
+    c2 = jnp.cumsum(r, axis=1)
+    acc = acc + (
+        jnp.where(mask_e, c2.at[:, em1].get(indices_are_sorted=True), 0.0)
+        - jnp.where(mask_s, c2.at[:, sm1].get(indices_are_sorted=True),
+                    0.0))                            # (8, ncells)
     return _corner_recombine(acc, shape)
 
 
