@@ -100,20 +100,6 @@ def coarse_force(rho_c: jnp.ndarray, kern_c_im: jnp.ndarray) -> jnp.ndarray:
     return force_from_density(rho_c, kern_c_im)
 
 
-def _extract_tiles(grid: jnp.ndarray, tiles: int, tp: int,
-                   tpad: int) -> jnp.ndarray:
-    """(T^3, tpad, tpad, tpad) overlapping tiles of a halo-padded node
-    grid; tile (i,j,k) starts at (i*tp, j*tp, k*tp)."""
-    blocks = []
-    for ix in range(tiles):
-        for iy in range(tiles):
-            for iz in range(tiles):
-                blocks.append(jax.lax.slice(
-                    grid, (ix * tp, iy * tp, iz * tp),
-                    (ix * tp + tpad, iy * tp + tpad, iz * tp + tpad)))
-    return jnp.stack(blocks)
-
-
 def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
                      nf_buf: int, nf_node: int, tiles: int) -> jnp.ndarray:
     """Fine force via tiles^3 overlapping tile FFTs — the reference's
@@ -130,41 +116,50 @@ def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
     tp = nf_node // tiles
     tpad = tp + 2 * nf_buf
     assert kern_f_im.shape[-1] == tpad, (kern_f_im.shape, tpad)
-    batch = _extract_tiles(rho_halo, tiles, tp, tpad)
-    t3 = batch.shape[0]
+    coords = [(ix, iy, iz) for ix in range(tiles) for iy in range(tiles)
+              for iz in range(tiles)]
+    t3 = len(coords)
     npair = t3 // 2
+    sl = slice(nf_buf, nf_buf + tp)
+
+    def tile(c):
+        return jax.lax.slice(
+            rho_halo, (c[0] * tp, c[1] * tp, c[2] * tp),
+            (c[0] * tp + tpad, c[1] * tp + tpad, c[2] * tp + tpad))
+
     # two-for-one packing over tile PAIRS: Z = fft(a + i*b) and, for each
     # real odd kernel component, ifft(i*K*Z) = (K*a) + i*(K*b) by
     # linearity — so one forward and THREE inverses serve TWO tiles
-    # (2 c2c per tile instead of 3; at 8 tiles: 24 -> 16 transforms)
-    z = jnp.fft.fftn(batch[0:2 * npair:2]
-                     + 1j * batch[1:2 * npair:2], axes=(1, 2, 3))
-    inv_in = jnp.concatenate(
-        [(1j * kern_f_im[c]) * z for c in range(3)], axis=0)
-    out = jnp.fft.ifftn(inv_in, axes=(1, 2, 3))     # (3P, tpad^3)
-    fa = jnp.stack([out[0:npair].real, out[npair:2 * npair].real,
-                    out[2 * npair:].real], axis=1)  # even tiles
-    fb = jnp.stack([out[0:npair].imag, out[npair:2 * npair].imag,
-                    out[2 * npair:].imag], axis=1)  # odd tiles
-    f = jnp.stack([fa, fb], axis=1).reshape(
-        2 * npair, 3, tpad, tpad, tpad).astype(jnp.float32)
+    # (2 c2c per tile instead of 3; at 8 tiles: 24 -> 16 transforms).
+    # Pairs are processed SEQUENTIALLY and each cropped result is written
+    # straight into the (3, nf^3) output: batching all tiles' spectra at
+    # once keeps two (3*T^3/2, tpad^3) complex64 arrays live (~4.6 GB at
+    # 256^3), which pushed the fused 256^3 program past the 16 GiB chip.
+    f = jnp.zeros((3, nf_node, nf_node, nf_node), jnp.float32)
+    for p in range(npair):
+        ca, cb = coords[2 * p], coords[2 * p + 1]
+        z = jnp.fft.fftn(tile(ca) + 1j * tile(cb))
+        w = jnp.fft.ifftn(
+            jnp.stack([(1j * kern_f_im[c]) * z for c in range(3)]),
+            axes=(1, 2, 3))[:, sl, sl, sl]
+        f = jax.lax.dynamic_update_slice(
+            f, w.real.astype(jnp.float32),
+            (0, ca[0] * tp, ca[1] * tp, ca[2] * tp))
+        f = jax.lax.dynamic_update_slice(
+            f, w.imag.astype(jnp.float32),
+            (0, cb[0] * tp, cb[1] * tp, cb[2] * tp))
     if t3 % 2:
         # odd tile count: last tile classically (1 fwd + 2 packed inv)
-        rho_k = jnp.fft.fftn(batch[-1:].astype(jnp.complex64),
-                             axes=(1, 2, 3))
+        cl = coords[-1]
+        rho_k = jnp.fft.fftn(tile(cl).astype(jnp.complex64))
         fxy = jnp.fft.ifftn((1j * kern_f_im[0]) * rho_k
-                            + 1j * ((1j * kern_f_im[1]) * rho_k),
-                            axes=(1, 2, 3))
-        fz = jnp.fft.ifftn((1j * kern_f_im[2]) * rho_k, axes=(1, 2, 3))
-        f_last = jnp.stack([fxy.real, fxy.imag, fz.real],
-                           axis=1).astype(jnp.float32)
-        f = jnp.concatenate([f, f_last], axis=0)
-    sl = slice(nf_buf, nf_buf + tp)
-    f = f[:, :, sl, sl, sl].reshape(tiles, tiles, tiles, 3, tp, tp, tp)
-    # reassemble (3, nf_node^3): tile index -> spatial offset
-    f = jnp.moveaxis(f, 3, 0)                       # (3, tx, ty, tz, ...)
-    f = jnp.transpose(f, (0, 1, 4, 2, 5, 3, 6))
-    return f.reshape(3, nf_node, nf_node, nf_node)
+                            + 1j * ((1j * kern_f_im[1]) * rho_k))
+        fz = jnp.fft.ifftn((1j * kern_f_im[2]) * rho_k)
+        f_last = jnp.stack([fxy.real, fxy.imag, fz.real]
+                           ).astype(jnp.float32)[:, sl, sl, sl]
+        f = jax.lax.dynamic_update_slice(
+            f, f_last, (0, cl[0] * tp, cl[1] * tp, cl[2] * tp))
+    return f
 
 
 def fine_force_potential_tiled(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
@@ -175,35 +170,48 @@ def fine_force_potential_tiled(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
     tp = nf_node // tiles
     tpad = tp + 2 * nf_buf
     assert pot_kern.shape[-1] == tpad, (pot_kern.shape, tpad)
-    batch = _extract_tiles(rho_halo, tiles, tp, tpad)
-    t3 = batch.shape[0]
+    coords = [(ix, iy, iz) for ix in range(tiles) for iy in range(tiles)
+              for iz in range(tiles)]
+    t3 = len(coords)
     npair = t3 // 2
-    # two-for-one pairing: ifft(P * fft(a + i*b)) = phi_a + i*phi_b for
-    # the real even potential kernel — HALF the transforms per solve
-    z = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(
-        batch[0:2 * npair:2] + 1j * batch[1:2 * npair:2], axes=(1, 2, 3)),
-        axes=(1, 2, 3))
-    phi = jnp.stack([z.real, z.imag], axis=1).reshape(
-        (2 * npair,) + z.shape[1:]).astype(jnp.float32)
-    if t3 % 2:
-        zl = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(
-            batch[-1:].astype(jnp.complex64), axes=(1, 2, 3)),
-            axes=(1, 2, 3))
-        phi = jnp.concatenate(
-            [phi, zl.real.astype(jnp.float32)], axis=0)
     lo, hi = nf_buf, nf_buf + tp
 
-    def diff(axis):
-        down = jax.lax.slice_in_dim(phi, lo - 1, hi - 1, axis=axis + 1)
-        up = jax.lax.slice_in_dim(phi, lo + 1, hi + 1, axis=axis + 1)
+    def tile(c):
+        return jax.lax.slice(
+            rho_halo, (c[0] * tp, c[1] * tp, c[2] * tp),
+            (c[0] * tp + tpad, c[1] * tp + tpad, c[2] * tp + tpad))
+
+    def diff(phi, axis):
+        down = jax.lax.slice_in_dim(phi, lo - 1, hi - 1, axis=axis)
+        up = jax.lax.slice_in_dim(phi, lo + 1, hi + 1, axis=axis)
         other = [a for a in range(3) if a != axis]
-        sl = [slice(None)] * 4
+        sl = [slice(None)] * 3
         for a in other:
-            sl[a + 1] = slice(lo, hi)
+            sl[a] = slice(lo, hi)
         return (0.5 * (down - up))[tuple(sl)]
 
-    f = jnp.stack([diff(0), diff(1), diff(2)], axis=1)  # (T^3, 3, tp^3)
-    f = f.reshape(tiles, tiles, tiles, 3, tp, tp, tp)
-    f = jnp.moveaxis(f, 3, 0)
-    f = jnp.transpose(f, (0, 1, 4, 2, 5, 3, 6))
-    return f.reshape(3, nf_node, nf_node, nf_node)
+    def grad(phi):
+        return jnp.stack([diff(phi, 0), diff(phi, 1), diff(phi, 2)])
+
+    # two-for-one pairing: ifft(P * fft(a + i*b)) = phi_a + i*phi_b for
+    # the real even potential kernel — HALF the transforms per solve.
+    # Pairs run sequentially with results placed straight into the output
+    # (see fine_force_tiled: the all-tiles batch peaked ~GBs at 256^3).
+    f = jnp.zeros((3, nf_node, nf_node, nf_node), jnp.float32)
+    for p in range(npair):
+        ca, cb = coords[2 * p], coords[2 * p + 1]
+        z = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(tile(ca) + 1j * tile(cb)))
+        f = jax.lax.dynamic_update_slice(
+            f, grad(z.real.astype(jnp.float32)),
+            (0, ca[0] * tp, ca[1] * tp, ca[2] * tp))
+        f = jax.lax.dynamic_update_slice(
+            f, grad(z.imag.astype(jnp.float32)),
+            (0, cb[0] * tp, cb[1] * tp, cb[2] * tp))
+    if t3 % 2:
+        cl = coords[-1]
+        zl = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(
+            tile(cl).astype(jnp.complex64)))
+        f = jax.lax.dynamic_update_slice(
+            f, grad(zl.real.astype(jnp.float32)),
+            (0, cl[0] * tp, cl[1] * tp, cl[2] * tp))
+    return f
