@@ -131,23 +131,35 @@ def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
     # real odd kernel component, ifft(i*K*Z) = (K*a) + i*(K*b) by
     # linearity — so one forward and THREE inverses serve TWO tiles
     # (2 c2c per tile instead of 3; at 8 tiles: 24 -> 16 transforms).
-    # Pairs are processed SEQUENTIALLY and each cropped result is written
-    # straight into the (3, nf^3) output: batching all tiles' spectra at
-    # once keeps two (3*T^3/2, tpad^3) complex64 arrays live (~4.6 GB at
-    # 256^3), which pushed the fused 256^3 program past the 16 GiB chip.
-    f = jnp.zeros((3, nf_node, nf_node, nf_node), jnp.float32)
-    for p in range(npair):
-        ca, cb = coords[2 * p], coords[2 * p + 1]
-        z = jnp.fft.fftn(tile(ca) + 1j * tile(cb))
+    # Pairs are processed SEQUENTIALLY via lax.scan over dynamic tile
+    # offsets — ONE compiled fft+ifft instance dispatched npair times
+    # (the staged path's per-tile strategy): batching all tiles' spectra
+    # at once keeps two (3*T^3/2, tpad^3) complex64 arrays live (~4.6 GB
+    # at 256^3, the fused program's peak-memory region), and unrolling
+    # the pair loop compiles 2*npair separate FFT instances.
+    f0 = jnp.zeros((3, nf_node, nf_node, nf_node), jnp.float32)
+    offs = jnp.asarray(
+        [[[c[0] * tp, c[1] * tp, c[2] * tp] for c in pair]
+         for pair in zip(coords[0:2 * npair:2], coords[1:2 * npair:2])],
+        jnp.int32)                                   # (npair, 2, 3)
+
+    def pair_body(f, off):
+        oa, ob = off[0], off[1]
+        a = jax.lax.dynamic_slice(rho_halo, (oa[0], oa[1], oa[2]),
+                                  (tpad, tpad, tpad))
+        b = jax.lax.dynamic_slice(rho_halo, (ob[0], ob[1], ob[2]),
+                                  (tpad, tpad, tpad))
+        z = jnp.fft.fftn(a + 1j * b)
         w = jnp.fft.ifftn(
             jnp.stack([(1j * kern_f_im[c]) * z for c in range(3)]),
             axes=(1, 2, 3))[:, sl, sl, sl]
         f = jax.lax.dynamic_update_slice(
-            f, w.real.astype(jnp.float32),
-            (0, ca[0] * tp, ca[1] * tp, ca[2] * tp))
+            f, w.real.astype(jnp.float32), (0, oa[0], oa[1], oa[2]))
         f = jax.lax.dynamic_update_slice(
-            f, w.imag.astype(jnp.float32),
-            (0, cb[0] * tp, cb[1] * tp, cb[2] * tp))
+            f, w.imag.astype(jnp.float32), (0, ob[0], ob[1], ob[2]))
+        return f, None
+
+    f, _ = jax.lax.scan(pair_body, f0, offs)
     if t3 % 2:
         # odd tile count: last tile classically (1 fwd + 2 packed inv)
         cl = coords[-1]
@@ -195,18 +207,29 @@ def fine_force_potential_tiled(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
 
     # two-for-one pairing: ifft(P * fft(a + i*b)) = phi_a + i*phi_b for
     # the real even potential kernel — HALF the transforms per solve.
-    # Pairs run sequentially with results placed straight into the output
-    # (see fine_force_tiled: the all-tiles batch peaked ~GBs at 256^3).
-    f = jnp.zeros((3, nf_node, nf_node, nf_node), jnp.float32)
-    for p in range(npair):
-        ca, cb = coords[2 * p], coords[2 * p + 1]
-        z = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(tile(ca) + 1j * tile(cb)))
+    # Pairs run sequentially via lax.scan over dynamic tile offsets (one
+    # compiled fft+ifft instance; see fine_force_tiled for the memory and
+    # compile-time argument).
+    f0 = jnp.zeros((3, nf_node, nf_node, nf_node), jnp.float32)
+    offs = jnp.asarray(
+        [[[c[0] * tp, c[1] * tp, c[2] * tp] for c in pair]
+         for pair in zip(coords[0:2 * npair:2], coords[1:2 * npair:2])],
+        jnp.int32)                                   # (npair, 2, 3)
+
+    def pair_body(f, off):
+        oa, ob = off[0], off[1]
+        a = jax.lax.dynamic_slice(rho_halo, (oa[0], oa[1], oa[2]),
+                                  (tpad, tpad, tpad))
+        b = jax.lax.dynamic_slice(rho_halo, (ob[0], ob[1], ob[2]),
+                                  (tpad, tpad, tpad))
+        z = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(a + 1j * b))
         f = jax.lax.dynamic_update_slice(
-            f, grad(z.real.astype(jnp.float32)),
-            (0, ca[0] * tp, ca[1] * tp, ca[2] * tp))
+            f, grad(z.real.astype(jnp.float32)), (0, oa[0], oa[1], oa[2]))
         f = jax.lax.dynamic_update_slice(
-            f, grad(z.imag.astype(jnp.float32)),
-            (0, cb[0] * tp, cb[1] * tp, cb[2] * tp))
+            f, grad(z.imag.astype(jnp.float32)), (0, ob[0], ob[1], ob[2]))
+        return f, None
+
+    f, _ = jax.lax.scan(pair_body, f0, offs)
     if t3 % 2:
         cl = coords[-1]
         zl = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(

@@ -215,6 +215,25 @@ def main():
                 valid=valid)))
             timeit("coarse key+argsort", ks, jnp.asarray(x_h))
 
+        if want("coarsecsum"):
+            # production cfg.coarse_sort deposit: segmented csum with run
+            # boundaries pooled from the fine NGP histogram (which the
+            # sweep already computed for the fine deposit — free here)
+            hist_d = jax.jit(lambda xx: deposit.ngp_deposit(
+                xx, jnp.where(valid, 1.0, 0.0), (nf, nf, nf),
+                sorted_cells=True))(xs)
+
+            def depcs(xx, h):
+                counts = deposit.coarse_counts_from_fine_hist(
+                    h, ms, 1).reshape(-1)
+                return fold_pads(deposit.cic_deposit_corner_csum_t(
+                    xx.T, wc, (ncp,) * 3, scale=ms, offset=-0.5, pad=1,
+                    counts=counts), 1)
+
+            timeit("coarse deposit (csum+pool)", jax.jit(depcs), xc,
+                   hist_d)
+            del hist_d
+
         if want("coarseseg"):
             from cubep3m_tpu.ops import deposit_pallas as dpp
             segd = jax.jit(lambda xx: fold_pads(dpp.cic_deposit_corner_seg(
