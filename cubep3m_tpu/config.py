@@ -172,6 +172,15 @@ class SimConfig:
                                 # cfg.ngp.  None = auto (on with
                                 # coarse_sort).  fp32-ulp-exact vs the
                                 # scatter deposit (coarse_deposit_probe)
+    coarse_gather_pallas: Optional[bool] = None  # with coarse_sort: run the
+                                # coarse force gather as the Pallas ranked-
+                                # window kernel (ops/gather_pallas.py):
+                                # occupied-cell ranks + one-hot MXU column
+                                # selection replace the ~600 ms 24-wide XLA
+                                # windowed gather at 256^3.  None = auto (on
+                                # for TPU backends when the per-cell counts
+                                # are available, i.e. ngp + coarse_csum).
+                                # Exact vs the XLA gather (test_gather_pallas)
     coarse_sort: bool = False  # re-sort particles by coarse base-cell key
                                # before the coarse CIC section: turns the
                                # UNSORTED corner scatter/gather (~3x the

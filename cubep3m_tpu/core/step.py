@@ -373,11 +373,25 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                 [x.T, v.T, exchange_mod.pid_to_f32(pid)[None, :]],
                 axis=0)[:, corder]
             xT_c = cpacked[0:3]
+            ckey_s = ckey[corder]
             x = exchange_mod.colmajor(cpacked[0:3].T)
             v = exchange_mod.colmajor(cpacked[3:6].T)
             pid = exchange_mod.pid_from_f32(cpacked[6])
-            valid = ckey[corder] < ncp ** 3
+            valid = ckey_s < ncp ** 3
             w = jnp.where(valid, jnp.float32(mass_p * (1.0 - fb)), 0.0)
+        # per-base-cell counts pool for free from the fine NGP histogram
+        # (deposit.coarse_counts_from_fine_hist); both the segmented-sum
+        # deposit and the Pallas ranked gather key off them
+        ccounts = None
+        if coarse_sorted and rho_dm is not None:
+            ccounts = deposit.coarse_counts_from_fine_hist(
+                rho_dm / jnp.float32(mass_p * (1.0 - fb)),
+                ms, 1).reshape(-1)
+        use_gather_pallas = (
+            coarse_sorted and ccounts is not None
+            and (cfg.coarse_gather_pallas
+                 if cfg.coarse_gather_pallas is not None
+                 else jax.default_backend() == "tpu"))
         if cfg.coarse_from_fine:
             # regular-stencil deposit from the fine NGP grid (includes the
             # gas contribution already folded into rho)
@@ -394,16 +408,10 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                     pad=1)
             elif coarse_sorted and use_coarse_csum:
                 # segmented-sum deposit over the sorted runs: compensated
-                # cumsum + boundary gathers, ~N/8 indices; run boundaries
-                # pool for free from the fine NGP histogram when cfg.ngp
-                counts = None
-                if rho_dm is not None:
-                    counts = deposit.coarse_counts_from_fine_hist(
-                        rho_dm / jnp.float32(mass_p * (1.0 - fb)),
-                        ms, 1).reshape(-1)
+                # cumsum + boundary gathers, ~N/8 indices
                 rho_c_pad = deposit.cic_deposit_corner_csum_t(
                     xT_c, w, (ncp, ncp, ncp), scale=ms, offset=-0.5,
-                    pad=1, counts=counts)
+                    pad=1, counts=ccounts)
             elif coarse_sorted:
                 # indices just sorted above: hint is genuine
                 rho_c_pad = deposit.cic_deposit_corner(
@@ -457,6 +465,12 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             fcp = deposit.ngp_gather(
                 f_c_fine, x, flat_cells=jnp.clip(sp.cell, 0,
                                                  ncells_fine - 1))
+        elif use_gather_pallas:
+            # ranked-window Pallas gather (exact vs the XLA corner gather)
+            from ..ops import gather_pallas as gpp
+            fcp = exchange_mod.colmajor(gpp.cic_gather_corner_ranked(
+                f_c_pad, xT_c, ckey_s, ccounts, scale=ms,
+                offset=-0.5).T)
         else:
             fcp = deposit.cic_gather_corner(f_c_pad, x, scale=ms,
                                             offset=-0.5, pad=1,
@@ -566,6 +580,10 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                        and not use_coarse_pallas
                        and (cfg.coarse_csum
                             if cfg.coarse_csum is not None else True))
+    use_gather_pallas = (cfg.coarse_sort and not cfg.coarse_from_fine
+                         and (cfg.coarse_gather_pallas
+                              if cfg.coarse_gather_pallas is not None
+                              else jax.default_backend() == "tpu"))
 
     n_slots_cap = cfg.max_np
 
@@ -756,11 +774,13 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             rho_c = halo_mod.halo_fold(dpp.cic_deposit_corner_seg(
                 xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
         elif csort and use_coarse_csum:
-            # segmented-sum deposit; run boundaries from the op's own
-            # 1-payload sorted histogram (b1 does not carry the fine
-            # histogram between stages — grid bytes)
+            # segmented-sum deposit; run boundaries from ONE 1-payload
+            # sorted histogram (b1 does not carry the fine histogram
+            # between stages — grid bytes), shared with c2's gather
+            counts = deposit.sorted_key_counts(cell, w, ncp_cells)
             rho_c = halo_mod.halo_fold(deposit.cic_deposit_corner_csum_t(
-                xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
+                xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,
+                counts=counts), 1)
         elif csort:
             rho_c = halo_mod.halo_fold(deposit.cic_deposit_corner_t(
                 xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1,
@@ -790,9 +810,11 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             f_c_pad[:, 1:-1, 1:-1, 1:-1] ** 2, axis=0))
         fmax_c = jnp.sqrt(jax.lax.pmax(fmax_c_local, AXES))
         dt_c_acc = jnp.sqrt(ms / (fmax_c * a_mid * G))
+        if use_gather_pallas and use_coarse_csum:
+            return f_c_pad, dt_c_acc.astype(jnp.float32), counts
         return f_c_pad, dt_c_acc.astype(jnp.float32)
 
-    def c2_local(packed, cell, vT, f_c_pad, a_mid, dt):
+    def c2_local(packed, cell, vT, f_c_pad, a_mid, dt, counts=None):
         """Coarse force gather + kick (`cell` semantics as in c1)."""
         a_mid = jnp.asarray(a_mid, jnp.float32)
         kick = a_mid * G * jnp.asarray(dt, jnp.float32)
@@ -803,6 +825,11 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             f_c_fine = cst.coarse_gather_to_fine(f_c_pad, ms)
             fcpT = deposit.ngp_gather_t(
                 f_c_fine, jnp.clip(cell, 0, ncells_fine - 1))
+        elif csort and counts is not None:
+            # ranked-window Pallas gather (exact vs the XLA corner gather)
+            from ..ops import gather_pallas as gpp
+            fcpT = gpp.cic_gather_corner_ranked(
+                f_c_pad, xT, cell, counts, scale=ms, offset=-0.5)
         elif csort:
             fcpT = deposit.cic_gather_corner_t(f_c_pad, xT, scale=ms,
                                                offset=-0.5, pad=1,
@@ -850,12 +877,15 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     c0b_jit = jax.jit(shard_map(
         c0b_local, mesh=mesh, in_specs=(prow, prow, pa),
         out_specs=(prow, prow), check_vma=False))
+    counts_thread = use_gather_pallas and use_coarse_csum
     c1_jit = jax.jit(shard_map(
         c1_local, mesh=mesh, in_specs=(prow, pa, grid_spec, r, r),
-        out_specs=(grid4_spec, r), check_vma=False))
+        out_specs=((grid4_spec, r, pa) if counts_thread
+                   else (grid4_spec, r)), check_vma=False))
     c2_jit = jax.jit(shard_map(
         c2_local, mesh=mesh,
-        in_specs=(prow, pa, prow, grid4_spec, r, r),
+        in_specs=((prow, pa, prow, grid4_spec, r, r, pa) if counts_thread
+                  else (prow, pa, prow, grid4_spec, r, r)),
         out_specs=prow, check_vma=False))
     # the ONLY (N, 3) materializations: the final state arrays, produced
     # by a transpose-only module whose output layout is pinned column-major
@@ -926,8 +956,14 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         if csort:
             corder, cell = c0a_jit(packed, cell)
             packed, vT2 = c0b_jit(packed, vT2, corder)
-        f_c_pad, dt_c_acc = c1_jit(packed, cell, rho, kern_c_im, a_mid)
-        vT3 = c2_jit(packed, cell, vT2, f_c_pad, a_mid, dt)
+        if counts_thread:
+            f_c_pad, dt_c_acc, ccnt = c1_jit(packed, cell, rho, kern_c_im,
+                                             a_mid)
+            vT3 = c2_jit(packed, cell, vT2, f_c_pad, a_mid, dt, ccnt)
+        else:
+            f_c_pad, dt_c_acc = c1_jit(packed, cell, rho, kern_c_im,
+                                       a_mid)
+            vT3 = c2_jit(packed, cell, vT2, f_c_pad, a_mid, dt)
         x = to_rows(packed[0:3])
         v = to_rows(vT3)
         pid = exchange_mod.pid_from_f32(packed[6])

@@ -410,6 +410,17 @@ def sum_pool3(grid: jnp.ndarray, scale: int) -> jnp.ndarray:
     return h
 
 
+def sorted_key_counts(keys: jnp.ndarray, weight: jnp.ndarray,
+                      ncells: int) -> jnp.ndarray:
+    """(ncells,) int32 valid-particle counts per flat base key, for
+    key-SORTED particles (1-payload sorted histogram scatter).  Invalid
+    slots carry zero weight and the sentinel key (sorted last)."""
+    hist = jnp.zeros((ncells,), jnp.float32)
+    hist = hist.at[jnp.minimum(keys, ncells - 1)].add(
+        jnp.where(weight > 0, 1.0, 0.0), indices_are_sorted=True)
+    return hist.astype(jnp.int32)
+
+
 def cic_deposit_corner_csum_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
                               shape: Tuple[int, int, int],
                               scale: float = 1.0, offset: float = 0.0,
@@ -447,10 +458,14 @@ def cic_deposit_corner_csum_t(pos_t: jnp.ndarray, weight: jnp.ndarray,
     w8 = (weight[None] * wx[:, None, None] * wy[None, :, None]
           * wz[None, None, :]).reshape(8, -1)       # (8, N) corner-major
     if counts is None:
-        # invalid slots sort last: clamp their sentinel into the last
-        # cell with zero contribution
+        # invalid slots sort LAST under the caller's sentinel key but
+        # carry x = 0, so their raw `base` (cell 0) would break the
+        # sorted-indices contract at the tail — pin them to the last
+        # cell (zero contribution either way)
         hist = jnp.zeros((ncells,), jnp.float32)
-        hist = hist.at[jnp.minimum(base, ncells - 1)].add(
+        idx = jnp.where(weight > 0, jnp.minimum(base, ncells - 1),
+                        ncells - 1)
+        hist = hist.at[idx].add(
             jnp.where(weight > 0, 1.0, 0.0), indices_are_sorted=True)
         counts = hist.astype(jnp.int32)
     ends = jnp.cumsum(counts)

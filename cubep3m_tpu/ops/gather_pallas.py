@@ -110,7 +110,7 @@ def _corner_table(field: jnp.ndarray) -> jnp.ndarray:
 def cic_gather_corner_ranked(field: jnp.ndarray, pos_t: jnp.ndarray,
                              keys: jnp.ndarray, counts: jnp.ndarray,
                              scale: float = 1.0, offset: float = 0.0,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = None) -> jnp.ndarray:
     """Corner CIC gather for base-key-SORTED SoA particles.
 
     field: (3, nx, ny, nz) halo-padded force; pos_t: (3, N) sorted by
@@ -120,6 +120,9 @@ def cic_gather_corner_ranked(field: jnp.ndarray, pos_t: jnp.ndarray,
     matching `cic_gather_corner_t(..., valid, sorted_cells=True)` for
     in-range positions.
     """
+    if interpret is None:
+        # auto: Mosaic on TPU, interpreter elsewhere (CPU equality tests)
+        interpret = jax.default_backend() != "tpu"
     nx, ny, nz = field.shape[-3:]
     ncells = nx * ny * nz
     n = pos_t.shape[1]

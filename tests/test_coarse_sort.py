@@ -124,6 +124,34 @@ def test_staged_coarse_sort_equals_fused():
     np.testing.assert_allclose(va, vb, atol=2e-3)
 
 
+def test_fused_gather_pallas_equals_xla():
+    """cfg.coarse_gather_pallas (ranked-window kernel, interpret mode on
+    CPU) == the XLA corner gather inside the fused sweep."""
+    base = small_config(cosmo_expansion=False, shake=True, pid=True,
+                        coarse_sort=True)
+    st_a = _run(dataclasses.replace(base, coarse_gather_pallas=True),
+                staged=False)
+    st_b = _run(dataclasses.replace(base, coarse_gather_pallas=False),
+                staged=False)
+    xa, va = _by_pid(st_a)
+    xb, vb = _by_pid(st_b)
+    np.testing.assert_allclose(xa, xb, atol=1e-5)
+    np.testing.assert_allclose(va, vb, atol=1e-5)
+
+
+def test_staged_gather_pallas_equals_xla():
+    base = small_config(cosmo_expansion=False, shake=True, pid=True,
+                        coarse_sort=True)
+    st_a = _run(dataclasses.replace(base, coarse_gather_pallas=True),
+                staged=True)
+    st_b = _run(dataclasses.replace(base, coarse_gather_pallas=False),
+                staged=True)
+    xa, va = _by_pid(st_a)
+    xb, vb = _by_pid(st_b)
+    np.testing.assert_allclose(xa, xb, atol=1e-5)
+    np.testing.assert_allclose(va, vb, atol=1e-5)
+
+
 def test_coarse_sort_multidevice():
     """coarse_sort under a real 8-device mesh (per-device local sorts)."""
     cfg = small_config(nodes_dim=2, tiles_node_dim=2, nf_tile=24,
