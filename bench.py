@@ -96,6 +96,15 @@ def auto_main():
         print("# bench auto: waiting 330s for TPU worker recovery",
               file=sys.stderr, flush=True)
         time.sleep(330)
+        # proven kernel-free 256^3 config (80.5x landed with
+        # --no-gather-pallas semantics before the Pallas gather existed)
+        out = _run_config(["--np-dim", "256", "--steps", "10",
+                           "--chunk", "5", "--coarse-sort",
+                           "--no-gather-pallas"], budget)
+    if out is None:
+        print("# bench auto: waiting 330s for TPU worker recovery",
+              file=sys.stderr, flush=True)
+        time.sleep(330)
         out = _run_config(["--np-dim", "128", "--steps", "10"], 2400)
     if out is None:
         raise SystemExit("bench auto: both configurations failed")
@@ -138,6 +147,11 @@ def main():
                          "(cfg.coarse_sort).  Measured at 256^3: the "
                          "sorted-indices hint does NOT speed the windowed "
                          "corner scatter (1140 vs 1139 ms) — off by default")
+    ap.add_argument("--gather-pallas", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="cfg.coarse_gather_pallas: ranked-window Pallas "
+                         "coarse force gather (None = auto: on for TPU "
+                         "with --coarse-sort)")
     ap.add_argument("--chunk", type=int, default=0,
                     help="scan CHUNK fixed-dt sweeps per dispatch "
                          "(amortizes the tunnel's per-dispatch latency; "
@@ -179,6 +193,7 @@ def main():
                     fine_fft_tiles=fft_tiles,
                     merged_exchange_sort=args.merged_sort,
                     coarse_sort=args.coarse_sort,
+                    coarse_gather_pallas=args.gather_pallas,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     assert cfg.nf_physical_dim == nf
@@ -220,7 +235,7 @@ def main():
     # produced it: a stale executable would silently run OLD physics
     exe_key = (_source_key(), jax.__version__, np_dim, args.chunk,
                args.fast, args.buffer, args.corner_deposit, args.staged,
-               args.merged_sort, args.coarse_sort)
+               args.merged_sort, args.coarse_sort, args.gather_pallas)
     compiled = None
     if args.load_exe:
         try:
