@@ -152,6 +152,37 @@ def test_staged_gather_pallas_equals_xla():
     np.testing.assert_allclose(va, vb, atol=1e-5)
 
 
+def test_gather_pallas_multidevice():
+    """Ranked-window gather under a real 8-device mesh (interpret mode):
+    pallas_call must compose with shard_map — per-device local tables,
+    keys, and counts."""
+    cfg = small_config(nodes_dim=2, tiles_node_dim=2, nf_tile=24,
+                      nf_cutoff=8, buf_extra=0, cosmo_expansion=False,
+                      shake=False, pid=True, coarse_sort=True,
+                      coarse_gather_pallas=True)
+    mesh = make_sim_mesh(2)
+    kern_f, kern_c = kernels_mod.build_kernels(cfg)
+    sweep = step_mod.make_sweep(cfg, mesh, pp_band=16)
+    rng = np.random.default_rng(5)
+    nf = cfg.nf_physical_dim
+    x = rng.uniform(0, nf, (cfg.np_total, 3)).astype(np.float32)
+    st = state_mod.distribute_global(cfg, x, np.zeros_like(x))
+    st = step_mod.shard_state(st, mesh)
+    one = jnp.float32(1.0)
+    dt = jnp.float32(0.2)
+    st2 = sweep(st, jnp.asarray(kern_f), jnp.asarray(kern_c), one, dt,
+                one, st.tau + dt, st.t + dt)
+    cfg_b = dataclasses.replace(cfg, coarse_gather_pallas=False)
+    sweep_b = step_mod.make_sweep(cfg_b, mesh, pp_band=16)
+    st3 = sweep_b(st, jnp.asarray(kern_f), jnp.asarray(kern_c), one, dt,
+                  one, st.tau + dt, st.t + dt)
+    xa, va, pa = state_mod.gather_global(cfg, st2)[:3]
+    xb, vb, pb = state_mod.gather_global(cfg_b, st3)[:3]
+    oa, ob = np.argsort(pa), np.argsort(pb)
+    np.testing.assert_allclose(xa[oa], xb[ob], atol=1e-5)
+    np.testing.assert_allclose(va[oa], vb[ob], atol=1e-5)
+
+
 def test_coarse_sort_multidevice():
     """coarse_sort under a real 8-device mesh (per-device local sorts)."""
     cfg = small_config(nodes_dim=2, tiles_node_dim=2, nf_tile=24,
