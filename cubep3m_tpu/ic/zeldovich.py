@@ -126,11 +126,19 @@ def gaussian_delta_k(nf: int, pk_grid, key) -> jnp.ndarray:
 
 def zeldovich_ic(cfg: SimConfig, seed: int = 0,
                  transfer_file: Optional[str] = None,
-                 return_delta: bool = False):
+                 return_delta: bool = False,
+                 host_fft: bool = False):
     """Generate a SimState with Zel'dovich ICs at cfg.z_i.
 
     Single global-field generation (host+device); distributed over the
     device grid by subvolume.
+
+    host_fft=True runs the field generation (noise, delta_k, the three
+    displacement transforms and the velocity CIC gather) in numpy on the
+    HOST: insurance for backends whose c2c transform limit is below
+    nf^3 (the axon TPU backend reports UNIMPLEMENTED for 576^3 c2c; at a
+    256^3 box nf = 512).  Same spectra/physics; a different white-noise
+    realization than the device RNG stream for the same seed.
     """
     c = cfg.cosmo
     nf = cfg.nf_physical_dim
@@ -210,13 +218,52 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
             return x, v, delta_k, psi
         return x, v
 
-    out = _make(jax.random.PRNGKey(seed), jnp.asarray(amp),
-                jnp.asarray(inv_kd2))
-    if want_fields:
-        x_dev, v_dev, delta_k, psi = out
+    if host_fft:
+        rng_h = np.random.default_rng(seed)
+        noise = rng_h.standard_normal((nf, nf, nf)).astype(np.float32)
+        delta_k_h = np.fft.fftn(noise.astype(np.complex64)) * amp
+        del noise
+        psi_h = np.empty((3, nf, nf, nf), np.float32)
+        for axis in range(3):
+            grad = sin_g.reshape(shapes[axis])
+            psi_h[axis] = np.fft.ifftn(
+                1j * grad * delta_k_h * inv_kd2).real.astype(np.float32)
+        disp = psi_h[:, ::2, ::2, ::2]
+        q = np.arange(npd, dtype=np.float32) * 2.0 + 0.5
+        xh = np.stack(
+            [(q[:, None, None] + disp[0]).reshape(-1),
+             (q[None, :, None] + disp[1]).reshape(-1),
+             (q[None, None, :] + disp[2]).reshape(-1)])
+        xh = np.mod(xh, np.float32(nf))
+        # CIC gather of psi at the displaced positions (velocities)
+        t = xh - 0.5
+        c0 = np.floor(t).astype(np.int64)
+        frac = (t - c0).astype(np.float32)
+        vh = np.zeros((3, xh.shape[1]), np.float32)
+        for dx in (0, 1):
+            wx = frac[0] if dx else 1.0 - frac[0]
+            ix = (c0[0] + dx) % nf
+            for dy in (0, 1):
+                wy = frac[1] if dy else 1.0 - frac[1]
+                iy = (c0[1] + dy) % nf
+                for dz in (0, 1):
+                    wz = frac[2] if dz else 1.0 - frac[2]
+                    iz = (c0[2] + dz) % nf
+                    wgt = (wx * wy * wz).astype(np.float32)
+                    vh += wgt[None, :] * psi_h[:, ix, iy, iz]
+        x_dev = jnp.asarray(xh.T)
+        v_dev = jnp.asarray(np.float32(vf) * vh.T)
+        delta_k = jnp.asarray(delta_k_h) if want_fields else None
+        psi = jnp.asarray(psi_h) if want_fields else None
+        del psi_h, delta_k_h
     else:
-        x_dev, v_dev = out
-        delta_k = psi = None
+        out = _make(jax.random.PRNGKey(seed), jnp.asarray(amp),
+                    jnp.asarray(inv_kd2))
+        if want_fields:
+            x_dev, v_dev, delta_k, psi = out
+        else:
+            x_dev, v_dev = out
+            delta_k = psi = None
 
     if cfg.nodes_dim == 1:
         # pack into the padded state layout on device
@@ -233,12 +280,17 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
     else:
         st = distribute_global(cfg, np.asarray(x_dev), np.asarray(v_dev),
                                seed=seed)
+    def _delta_real():
+        if host_fft:
+            return jnp.asarray(np.fft.ifftn(
+                np.asarray(delta_k)).real.astype(np.float32))
+        return jnp.fft.ifftn(delta_k).real.astype(jnp.float32)
+
     if cfg.mhd and cfg.gas_from_delta:
         st = dataclasses.replace(st, gas_u=gas_ic_from_delta(
-            cfg, jnp.fft.ifftn(delta_k).real.astype(jnp.float32), psi, vf))
+            cfg, _delta_real(), psi, vf))
     if return_delta:
-        delta = jnp.fft.ifftn(delta_k).real
-        return st, np.asarray(delta)
+        return st, np.asarray(_delta_real())
     return st
 
 

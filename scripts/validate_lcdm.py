@@ -41,6 +41,13 @@ def main():
                          "(288^3 tiles, nf_buf=16, density_buffer 1.15 — "
                          "single-node wrap conserves np_local exactly) "
                          "instead of the conservative 320^3/1.3 default")
+    ap.add_argument("--ic-host", action="store_true",
+                    help="generate ICs with numpy host FFTs (insurance "
+                         "for backends whose c2c limit is below nf^3)")
+    ap.add_argument("--pk-grid", type=int, default=None,
+                    help="measurement grid for the final P(k) (default "
+                         "nf; use 256 on backends that cannot transform "
+                         "512^3)")
     ap.add_argument("--pp-dense-band", type=int, default=4096,
                     help="dense-tail pair window: must exceed the max "
                          "same-fine-cell occupancy at z=0 (cluster cores "
@@ -97,8 +104,9 @@ def main():
         print(f"# resumed from {args.resume_from}: a={float(st.a):.5f} "
               f"nts={int(st.nts)} cursors={cur}", flush=True)
     else:
-        st = zl.zeldovich_ic(cfg, seed=42)
-        print(f"# ICs generated in {time.time() - t0:.1f}s", flush=True)
+        st = zl.zeldovich_ic(cfg, seed=42, host_fft=args.ic_host)
+        print(f"# ICs generated in {time.time() - t0:.1f}s "
+              f"(host_fft={args.ic_host})", flush=True)
     st = step_mod.shard_state(st, sim.mesh)
 
     t0 = time.time()
@@ -139,7 +147,8 @@ def main():
     shake = final.shake_offset
     x_dev = jnp.mod(final.x - shake[None, :], cfg.nf_physical_dim)
     ps = pw.power_on_device(cfg, x_dev, int(final.np_local[0]),
-                            assignment="cic", subtract_shot=True)
+                            ngrid=args.pk_grid, assignment="cic",
+                            subtract_shot=True)
     lin = tr.linear_power(cfg.cosmo, 1.0)
 
     cat = hf.find_halos(cfg, final)

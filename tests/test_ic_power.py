@@ -183,3 +183,27 @@ def test_distributed_ic_invariant_across_device_counts():
         outs[nd] = (x[order], v[order])
     np.testing.assert_allclose(outs[1][0], outs[2][0], atol=2e-3)
     np.testing.assert_allclose(outs[1][1], outs[2][1], atol=2e-3)
+
+
+def test_zeldovich_host_fft_power_and_velocities():
+    """host_fft=True (numpy transforms — insurance for backends whose c2c
+    limit is below nf^3) produces particles with the same linear P(k) and
+    consistent velocities (v ~ vfactor * psi at the particle)."""
+    cfg = small_config(nodes_dim=1, tiles_node_dim=4, box=100.0, z_i=20.0)
+    st = zl.zeldovich_ic(cfg, seed=5, host_fft=True)
+    n = int(st.np_local[0])
+    assert n == cfg.np_total
+    x = np.asarray(st.x)[:n]
+    v = np.asarray(st.v)[:n]
+    assert np.all(np.isfinite(v)) and np.all((x >= 0) & (x < cfg.nf_physical_dim))
+    ps = pw.power_of_particles(cfg, x, assignment="cic")
+    lin = tr.linear_power(cfg.cosmo, cfg.a_i)
+    sel = (ps.k > 3 * 2 * math.pi / cfg.box) & (ps.k < 0.8)
+    ratio = ps.delta2[sel] / lin.delta2(ps.k[sel])
+    assert abs(np.average(ratio, weights=ps.nmodes[sel]) - 1.0) < 0.2
+    # velocity amplitude consistent with the device path's realization
+    st_d = zl.zeldovich_ic(cfg, seed=5)
+    vd = np.asarray(st_d.v)[: int(st_d.np_local[0])]
+    rms_h = float(np.sqrt((v ** 2).mean()))
+    rms_d = float(np.sqrt((vd ** 2).mean()))
+    assert abs(rms_h - rms_d) / rms_d < 0.1
