@@ -159,7 +159,10 @@ def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
             f, w.imag.astype(jnp.float32), (0, ob[0], ob[1], ob[2]))
         return f, None
 
-    f, _ = jax.lax.scan(pair_body, f0, offs)
+    if npair:
+        f, _ = jax.lax.scan(pair_body, f0, offs)
+    else:
+        f = f0  # single tile: offs would be shape-(0,); only the odd tail runs
     if t3 % 2:
         # odd tile count: last tile classically (1 fwd + 2 packed inv)
         cl = coords[-1]
@@ -229,7 +232,10 @@ def fine_force_potential_tiled(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
             f, grad(z.imag.astype(jnp.float32)), (0, ob[0], ob[1], ob[2]))
         return f, None
 
-    f, _ = jax.lax.scan(pair_body, f0, offs)
+    if npair:
+        f, _ = jax.lax.scan(pair_body, f0, offs)
+    else:
+        f = f0  # single tile: offs would be shape-(0,); only the odd tail runs
     if t3 % 2:
         cl = coords[-1]
         zl = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(

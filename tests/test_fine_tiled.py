@@ -77,3 +77,42 @@ def test_tiled_potential_matches_single():
     # potential mode is the documented approximate variant), so tile- and
     # node-sized kernels agree only to the projection residual
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=5e-3)
+
+
+@pytest.mark.parametrize("tiles", [1, 3])
+def test_tiled_fine_force_odd_tile_count(tiles):
+    """Odd tile counts exercise the classic last-tile branch (t3 % 2)."""
+    nf, nf_buf, cutoff = 12, 4, 4
+    rng = np.random.default_rng(2)
+    rho = jnp.asarray(rng.normal(size=(nf + 2 * nf_buf,) * 3)
+                      .astype(np.float32))
+    k_single = jnp.asarray(km.fine_kernel_fourier(nf + 2 * nf_buf, cutoff))
+    k_tile = jnp.asarray(km.fine_kernel_fourier(nf // tiles + 2 * nf_buf,
+                                                cutoff))
+    f1 = fftconv.fine_force(rho, k_single, nf_buf, nf)
+    f2 = fftconv.fine_force_tiled(rho, k_tile, nf_buf, nf, tiles=tiles)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("tiles", [1, 3])
+def test_tiled_potential_odd_tile_count(tiles):
+    """Odd-tile-count potential solve.  Unlike the compact force kernel,
+    the PROJECTED potential kernel has a slowly-decaying tail, so the
+    tiled potential solve is approximate at tile boundaries — consistent
+    with the quantized `--fast` mode's documented 1-3%% contract (at
+    tiles=1 the tile IS the padded node, so agreement is exact)."""
+    nf, nf_buf, cutoff = 12, 12, 4
+    rng = np.random.default_rng(3)
+    rho = jnp.asarray(rng.normal(size=(nf + 2 * nf_buf,) * 3)
+                      .astype(np.float32))
+    pk_single = jnp.asarray(km.potential_kernel_fourier(
+        km.fine_kernel_fourier(nf + 2 * nf_buf, cutoff)))
+    pk_tile = jnp.asarray(km.potential_kernel_fourier(
+        km.fine_kernel_fourier(nf // tiles + 2 * nf_buf, cutoff)))
+    f1 = fftconv.fine_force_potential(rho, pk_single, nf_buf, nf)
+    f2 = fftconv.fine_force_potential_tiled(rho, pk_tile, nf_buf, nf,
+                                            tiles=tiles)
+    tol = 1e-4 if tiles == 1 else 0.01
+    err = np.max(np.abs(np.asarray(f2) - np.asarray(f1)))
+    assert err < tol, err
