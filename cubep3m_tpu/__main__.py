@@ -36,6 +36,7 @@ def load_config(path):
     from .config import SimConfig, Cosmology
     with open(path) as f:
         raw = json.load(f)
+    raw = {k: v for k, v in raw.items() if not k.startswith("_")}
     schedule = {k: raw.pop(k, []) for k in
                 ("checkpoints", "projections", "halofinds")}
     cosmo = Cosmology(**raw.pop("cosmo", {}))
