@@ -64,6 +64,17 @@ def _run_config(args_list, budget_s):
     return None
 
 
+def _tunnel_alive():
+    """TCP-probe the axon relay (a dead relay blocks jax backend init
+    FOREVER — fail fast with a diagnosis instead of burning budgets)."""
+    import socket
+    try:
+        with socket.create_connection(("127.0.0.1", 8113), timeout=3):
+            return True
+    except OSError:
+        return False
+
+
 def auto_main():
     """Driver entry (`python bench.py` with no arguments): try the
     north-star 256^3 fused config with a wall budget; on failure wait out
@@ -71,6 +82,22 @@ def auto_main():
     128^3 config so a wedged remote compiler can never leave the round
     without a number."""
     budget = int(os.environ.get("CUBEP3M_BENCH256_BUDGET", "3300"))
+    if not _tunnel_alive():
+        # the relay can take minutes to come back after a crash; give it
+        # a bounded grace period before declaring the hardware gone
+        print("# bench auto: TPU tunnel relay down (127.0.0.1:8113 "
+              "refused); waiting up to 600s", file=sys.stderr, flush=True)
+        for _ in range(60):
+            time.sleep(10)
+            if _tunnel_alive():
+                break
+        else:
+            raise SystemExit(
+                "bench auto: TPU tunnel relay is down (all axon relay "
+                "ports connection-refused; the relay process exited and "
+                "cannot be restarted from inside the container).  Last "
+                "measured result: 7.09M particle-steps/s/chip at 256^3 "
+                "(80.5x), bench_logs/bench256_csort2_r3.log.")
     out = None
     # pre-serialized executables: deserialization + first-run warmup is
     # ~2 min vs ~20 min remote compile, so try these first with a tight
