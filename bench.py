@@ -67,12 +67,9 @@ def _run_config(args_list, budget_s):
 def _tunnel_alive():
     """TCP-probe the axon relay (a dead relay blocks jax backend init
     FOREVER — fail fast with a diagnosis instead of burning budgets)."""
-    import socket
-    try:
-        with socket.create_connection(("127.0.0.1", 8113), timeout=3):
-            return True
-    except OSError:
-        return False
+    sys.path.insert(0, _HERE)
+    from cubep3m_tpu import relay_alive
+    return relay_alive()
 
 
 def auto_main():

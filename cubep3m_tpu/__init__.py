@@ -23,6 +23,24 @@ def enable_compilation_cache(path: str = "/tmp/cubep3m_tpu_jax_cache"):
         pass
 
 
+def relay_alive(port: int = None, timeout: float = 3.0) -> bool:
+    """TCP-probe the axon TPU tunnel relay.
+
+    A DEAD relay blocks jax backend init forever (the relay process is
+    stdio-driven by an external parent and cannot be restarted from
+    inside the container) — entry points probe this before touching
+    `jax.devices()` so a missing tunnel fails fast instead of hanging.
+    """
+    import socket
+    if port is None:
+        port = int(_os.environ.get("CUBEP3M_AXON_RELAY_PORT", "8113"))
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
 __version__ = "0.1.0"
 __all__ = ["SimConfig", "Cosmology", "G", "small_config",
-           "enable_compilation_cache"]
+           "enable_compilation_cache", "relay_alive"]

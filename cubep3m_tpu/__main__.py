@@ -36,7 +36,10 @@ def load_config(path):
     from .config import SimConfig, Cosmology
     with open(path) as f:
         raw = json.load(f)
-    raw = {k: v for k, v in raw.items() if not k.startswith("_")}
+    # "_"-prefixed keys are comments, at any nesting level
+    raw = {k: ({kk: vv for kk, vv in v.items() if not kk.startswith("_")}
+               if isinstance(v, dict) else v)
+           for k, v in raw.items() if not k.startswith("_")}
     schedule = {k: raw.pop(k, []) for k in
                 ("checkpoints", "projections", "halofinds")}
     cosmo = Cosmology(**raw.pop("cosmo", {}))

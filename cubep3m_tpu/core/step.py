@@ -150,6 +150,14 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                        and not use_coarse_pallas
                        and (cfg.coarse_csum
                             if cfg.coarse_csum is not None else True))
+    if cfg.coarse_gather_pallas and not (
+            cfg.coarse_sort and not cfg.coarse_from_fine and cfg.ngp
+            and use_coarse_csum):
+        raise ValueError(
+            "coarse_gather_pallas=True requires coarse_sort (sorted keys) "
+            "+ ngp + the csum deposit (per-cell counts come from the fine "
+            "NGP histogram); a silent XLA fallback would misattribute the "
+            "gather cost")
 
     fb = cfg.cosmo.omega_b / cfg.cosmo.omega_m if cfg.mhd else 0.0
     gas_pad = 8  # TVD stencil reach over a fwd+bwd pass (2 sweeps x radius 3)
@@ -584,6 +592,13 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                          and (cfg.coarse_gather_pallas
                               if cfg.coarse_gather_pallas is not None
                               else jax.default_backend() == "tpu"))
+    if cfg.coarse_gather_pallas and not (
+            cfg.coarse_sort and not cfg.coarse_from_fine
+            and use_coarse_csum):
+        raise ValueError(
+            "coarse_gather_pallas=True requires coarse_sort + the csum "
+            "deposit (stage c1 threads its sorted-key counts to the "
+            "gather); a silent XLA fallback would misattribute the cost")
 
     n_slots_cap = cfg.max_np
 

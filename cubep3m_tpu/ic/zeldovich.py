@@ -253,9 +253,11 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
                     vh += wgt[None, :] * psi_h[:, ix, iy, iz]
         x_dev = jnp.asarray(xh.T)
         v_dev = jnp.asarray(np.float32(vf) * vh.T)
-        delta_k = jnp.asarray(delta_k_h) if want_fields else None
-        psi = jnp.asarray(psi_h) if want_fields else None
-        del psi_h, delta_k_h
+        # keep the fields on HOST (numpy): this path exists because the
+        # device cannot transform nf^3, and shipping GB-scale fields over
+        # the ~50 MB/s tunnel only to pull them back would defeat it
+        delta_k = delta_k_h.astype(np.complex64) if want_fields else None
+        psi = psi_h if want_fields else None
     else:
         out = _make(jax.random.PRNGKey(seed), jnp.asarray(amp),
                     jnp.asarray(inv_kd2))
@@ -282,13 +284,14 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
                                seed=seed)
     def _delta_real():
         if host_fft:
-            return jnp.asarray(np.fft.ifftn(
-                np.asarray(delta_k)).real.astype(np.float32))
+            # delta_k is a host numpy array here; transform on host
+            return jnp.asarray(np.fft.ifftn(delta_k).real.astype(
+                np.float32))
         return jnp.fft.ifftn(delta_k).real.astype(jnp.float32)
 
     if cfg.mhd and cfg.gas_from_delta:
         st = dataclasses.replace(st, gas_u=gas_ic_from_delta(
-            cfg, _delta_real(), psi, vf))
+            cfg, _delta_real(), jnp.asarray(psi), vf))
     if return_delta:
         return st, np.asarray(_delta_real())
     return st

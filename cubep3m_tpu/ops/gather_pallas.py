@@ -110,7 +110,8 @@ def _corner_table(field: jnp.ndarray) -> jnp.ndarray:
 def cic_gather_corner_ranked(field: jnp.ndarray, pos_t: jnp.ndarray,
                              keys: jnp.ndarray, counts: jnp.ndarray,
                              scale: float = 1.0, offset: float = 0.0,
-                             interpret: bool = None) -> jnp.ndarray:
+                             interpret: "bool | None" = None
+                             ) -> jnp.ndarray:
     """Corner CIC gather for base-key-SORTED SoA particles.
 
     field: (3, nx, ny, nz) halo-padded force; pos_t: (3, N) sorted by
