@@ -59,7 +59,8 @@ def _gather_kernel(m_ref, rank_ref, px_ref, py_ref, pz_ref,
     local = rank_ref[:, :] - base                     # (8, 128) in [0, 2C)
     iota = jax.lax.broadcasted_iota(jnp.int32, (_B, _LANES), 0)
 
-    outs = [jnp.zeros((_ROWS, _LANES), jnp.float32) for _ in range(3)]
+    # everything stays 2-D: Mosaic's vector layouts dislike rank-1 values
+    rows = [[], [], []]                               # per-component (1,128)
     for r in range(_ROWS):
         lr = local[r:r + 1, :]                        # (1, 128)
         # one-hot selection via MXU: (24, C) @ (C, 128) -> (24, 128)
@@ -71,23 +72,21 @@ def _gather_kernel(m_ref, rank_ref, px_ref, py_ref, pz_ref,
              + jax.lax.dot_general(
                 t1_ref[:, :], oh1, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))  # (24, 128)
-        # corner weights for this row
-        wx1, wy1, wz1 = fx[r], fy[r], fz[r]
-        wx = (1.0 - wx1, wx1)
-        wy = (1.0 - wy1, wy1)
-        wz = (1.0 - wz1, wz1)
+        # (8, 128) corner weights, corner-major to match the table rows
+        wx1 = fx[r:r + 1, :]
+        wy1 = fy[r:r + 1, :]
+        wz1 = fz[r:r + 1, :]
+        w8 = jnp.concatenate(
+            [(wx1 if dx else 1.0 - wx1) * (wy1 if dy else 1.0 - wy1)
+             * (wz1 if dz else 1.0 - wz1)
+             for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)], axis=0)
+        prod = v * jnp.concatenate([w8, w8, w8], axis=0)   # (24, 128)
         for c in range(3):
-            acc = jnp.zeros((_LANES,), jnp.float32)
-            k = 0
-            for dx in (0, 1):
-                for dy in (0, 1):
-                    for dz in (0, 1):
-                        acc = acc + v[c * 8 + k] * (wx[dx] * wy[dy] * wz[dz])
-                        k += 1
-            outs[c] = outs[c].at[r].set(acc)
-    ox_ref[:, :] = outs[0]
-    oy_ref[:, :] = outs[1]
-    oz_ref[:, :] = outs[2]
+            rows[c].append(jnp.sum(prod[c * 8:(c + 1) * 8, :], axis=0,
+                                   keepdims=True))     # (1, 128)
+    ox_ref[:, :] = jnp.concatenate(rows[0], axis=0)
+    oy_ref[:, :] = jnp.concatenate(rows[1], axis=0)
+    oz_ref[:, :] = jnp.concatenate(rows[2], axis=0)
 
 
 def _corner_table(field: jnp.ndarray) -> jnp.ndarray:
