@@ -121,6 +121,29 @@ def main():
         sim.attach_outputs(args.ckpt_dir, projections=False,
                            halofinds=False)
 
+    # relay watchdog: a dead axon tunnel blocks the current dispatch
+    # FOREVER (no exception reaches Python); turn that into a clean,
+    # resumable exit — intermediate checkpoints + --resume-from recover
+    if not args.cpu:
+        import threading
+        import cubep3m_tpu as _pkg
+
+        def _watch():
+            dead_since = None
+            while True:
+                time.sleep(60)
+                if _pkg.relay_alive():
+                    dead_since = None
+                elif dead_since is None:
+                    dead_since = time.time()
+                elif time.time() - dead_since > 300:
+                    print("# FATAL: TPU tunnel relay dead >5 min; "
+                          "exiting (resume with --resume-from on the "
+                          "latest checkpoint)", flush=True)
+                    os._exit(3)
+
+        threading.Thread(target=_watch, daemon=True).start()
+
     # host-stepped with a heartbeat (the tunneled TPU's remote compiler is
     # flaky with long scan programs, so chunked mode is opt-in)
     _orig_step = sim.step
