@@ -41,6 +41,11 @@ def main():
                          "(288^3 tiles, nf_buf=16, density_buffer 1.15 — "
                          "single-node wrap conserves np_local exactly) "
                          "instead of the conservative 320^3/1.3 default")
+    ap.add_argument("--gather-pallas", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="cfg.coarse_gather_pallas (None = auto; True on "
+                         "CPU runs the interpreter — slow, validation "
+                         "only)")
     ap.add_argument("--ic-host", action="store_true",
                     help="generate ICs with numpy host FFTs (insurance "
                          "for backends whose c2c limit is below nf^3)")
@@ -84,6 +89,7 @@ def main():
                     pp_dense_band=args.pp_dense_band,
                     fine_fft_tiles=fft_tiles,
                     coarse_sort=args.coarse_sort,
+                    coarse_gather_pallas=args.gather_pallas,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     print(f"# {cfg.summary()}", flush=True)
