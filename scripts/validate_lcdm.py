@@ -41,6 +41,9 @@ def main():
                          "(288^3 tiles, nf_buf=16, density_buffer 1.15 — "
                          "single-node wrap conserves np_local exactly) "
                          "instead of the conservative 320^3/1.3 default")
+    ap.add_argument("--staged", action="store_true",
+                    help="cfg.staged_sweep: run the 10-module staged "
+                         "sweep through the driver")
     ap.add_argument("--gather-pallas", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="cfg.coarse_gather_pallas (None = auto; True on "
@@ -90,6 +93,7 @@ def main():
                     fine_fft_tiles=fft_tiles,
                     coarse_sort=args.coarse_sort,
                     coarse_gather_pallas=args.gather_pallas,
+                    staged_sweep=args.staged,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     print(f"# {cfg.summary()}", flush=True)
