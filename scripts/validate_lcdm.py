@@ -41,6 +41,8 @@ def main():
                          "(288^3 tiles, nf_buf=16, density_buffer 1.15 — "
                          "single-node wrap conserves np_local exactly) "
                          "instead of the conservative 320^3/1.3 default")
+    ap.add_argument("--pp-ext", action="store_true",
+                    help="extended-range PP (BASELINE config 3 mode)")
     ap.add_argument("--staged", action="store_true",
                     help="cfg.staged_sweep: run the 10-module staged "
                          "sweep through the driver")
@@ -93,7 +95,7 @@ def main():
                     fine_fft_tiles=fft_tiles,
                     coarse_sort=args.coarse_sort,
                     coarse_gather_pallas=args.gather_pallas,
-                    staged_sweep=args.staged,
+                    staged_sweep=args.staged, pp_ext=args.pp_ext,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     print(f"# {cfg.summary()}", flush=True)
