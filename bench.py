@@ -257,9 +257,16 @@ def main():
 
     # key ties a serialized executable to the exact source + config that
     # produced it: a stale executable would silently run OLD physics
+    # resolve the gather-pallas AUTO decision into the key: the compiled
+    # program differs with/without the kernel, and the probe verdict file
+    # can flip the auto between save and load
+    from cubep3m_tpu.ops import gather_pallas as _gp
+    gather_resolved = (args.gather_pallas if args.gather_pallas is not None
+                       else (_gp.auto_enabled() and args.coarse_sort))
     exe_key = (_source_key(), jax.__version__, np_dim, args.chunk,
                args.fast, args.buffer, args.corner_deposit, args.staged,
-               args.merged_sort, args.coarse_sort, args.gather_pallas)
+               args.merged_sort, args.coarse_sort, args.gather_pallas,
+               gather_resolved)
     compiled = None
     if args.load_exe:
         try:

@@ -33,6 +33,7 @@ from jax import shard_map
 from ..config import SimConfig, G
 from ..state import SimState
 from ..ops import binning, deposit, fftconv, pp
+from ..ops import gather_pallas as gather_pallas_mod
 from ..parallel import halo as halo_mod
 from ..parallel import exchange as exchange_mod
 from ..parallel.mesh import AXES, make_sim_mesh
@@ -399,7 +400,7 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             coarse_sorted and ccounts is not None
             and (cfg.coarse_gather_pallas
                  if cfg.coarse_gather_pallas is not None
-                 else jax.default_backend() == "tpu"))
+                 else gather_pallas_mod.auto_enabled()))
         if cfg.coarse_from_fine:
             # regular-stencil deposit from the fine NGP grid (includes the
             # gas contribution already folded into rho)
@@ -591,7 +592,7 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     use_gather_pallas = (cfg.coarse_sort and not cfg.coarse_from_fine
                          and (cfg.coarse_gather_pallas
                               if cfg.coarse_gather_pallas is not None
-                              else jax.default_backend() == "tpu"))
+                              else gather_pallas_mod.auto_enabled()))
     if cfg.coarse_gather_pallas and not (
             cfg.coarse_sort and not cfg.coarse_from_fine
             and use_coarse_csum):

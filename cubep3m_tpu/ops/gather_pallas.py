@@ -29,11 +29,60 @@ per-tile locality, re-expressed for the MXU.
 from __future__ import annotations
 
 import functools
+import json
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def probe_verdict_path() -> str:
+    """Location of the recorded on-hardware probe verdict (repo-local)."""
+    override = os.environ.get("CUBEP3M_GATHER_PROBE_FILE")
+    if override:
+        return override
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(root, "bench_cache", "gather_pallas_probe.json")
+
+
+def record_probe_verdict(backend: str, ok: bool, ms: float | None = None,
+                         error: str = "") -> None:
+    """Persist a probe result (scripts/gather_probe.py) so later auto
+    decisions — including the driver's unattended `bench.py` run — skip a
+    kernel that failed Mosaic lowering on the real backend."""
+    path = probe_verdict_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"backend": backend, "ok": bool(ok), "ms": ms,
+                   "error": error[:500]}, f)
+    os.replace(tmp, path)
+
+
+def auto_enabled(backend: str | None = None) -> bool:
+    """Resolve cfg.coarse_gather_pallas=None (auto).
+
+    Priority: CUBEP3M_GATHER_PALLAS env (0/1), then the recorded probe
+    verdict for this backend, then the backend default (on for TPU).  A
+    Mosaic lowering failure is unrecoverable inside a compiled sweep, so
+    a recorded bad verdict turns auto OFF until a new probe overwrites it.
+    """
+    env = os.environ.get("CUBEP3M_GATHER_PALLAS")
+    if env is not None and env != "":
+        return env not in ("0", "false", "False", "off")
+    if backend is None:
+        backend = jax.default_backend()
+    try:
+        with open(probe_verdict_path()) as f:
+            verdict = json.load(f)
+        if verdict.get("backend") == backend:
+            return bool(verdict.get("ok"))
+    except (OSError, ValueError):
+        pass
+    return backend == "tpu"
 
 _ROWS = 8            # sublane rows per grid block
 _LANES = 128         # lanes per row

@@ -20,6 +20,11 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--only", default="")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--record", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="persist the Pallas verdict (bench_cache/"
+                         "gather_pallas_probe.json) so cfg auto decisions "
+                         "skip a kernel that fails on this backend")
     args = ap.parse_args()
 
     import jax
@@ -87,9 +92,24 @@ def main():
             sorted_cells=True))
         want = timeit("XLA corner gather (sorted)", gx, fld, xt)
     if args.only in ("", "pallas"):
+        from cubep3m_tpu.ops.gather_pallas import record_probe_verdict
+        backend = jax.default_backend()
         gp = jax.jit(lambda f, xx, kk, cc: cic_gather_corner_ranked(
             f, xx, kk, cc, scale=ms, offset=-0.5))
-        got = timeit("PALLAS ranked gather", gp, fld, xt, keys, counts)
+        try:
+            t_probe = time.time()
+            got = timeit("PALLAS ranked gather", gp, fld, xt, keys, counts)
+            if args.record:
+                record_probe_verdict(backend, True,
+                                     ms=(time.time() - t_probe) * 1e3)
+                print("# recorded ok verdict for backend "
+                      f"{backend}", file=sys.stderr, flush=True)
+        except Exception as e:
+            if args.record:
+                record_probe_verdict(backend, False, error=repr(e))
+                print(f"# recorded FAILED verdict for backend {backend}: "
+                      f"{e!r}", file=sys.stderr, flush=True)
+            raise
     if want is not None and got is not None:
         w = np.asarray(jax.device_get(want))[:, vs]
         g = np.asarray(jax.device_get(got))[:, vs]

@@ -72,3 +72,39 @@ def test_ranked_gather_sentinels_zero():
                                    interpret=True)
     g = np.asarray(got)[:, ~np.asarray(v_s)]
     np.testing.assert_array_equal(g, np.zeros_like(g))
+
+
+def test_auto_enabled_precedence(tmp_path, monkeypatch):
+    """env var > recorded probe verdict > backend default."""
+    import json
+    from cubep3m_tpu.ops import gather_pallas as gp
+
+    pf = tmp_path / "verdict.json"
+    monkeypatch.setenv("CUBEP3M_GATHER_PROBE_FILE", str(pf))
+    monkeypatch.delenv("CUBEP3M_GATHER_PALLAS", raising=False)
+
+    # backend default: on for tpu, off for cpu
+    assert gp.auto_enabled("tpu") is True
+    assert gp.auto_enabled("cpu") is False
+
+    # a recorded bad verdict for the SAME backend turns auto off
+    gp.record_probe_verdict("tpu", False, error="Mosaic says no")
+    assert gp.auto_enabled("tpu") is False
+    assert json.loads(pf.read_text())["ok"] is False
+    # ... but a verdict for a DIFFERENT backend is ignored
+    assert gp.auto_enabled("cpu") is False
+    gp.record_probe_verdict("cpu", True)
+    assert gp.auto_enabled("tpu") is True   # falls back to default
+    assert gp.auto_enabled("cpu") is True
+
+    # env var beats everything
+    monkeypatch.setenv("CUBEP3M_GATHER_PALLAS", "0")
+    assert gp.auto_enabled("tpu") is False
+    monkeypatch.setenv("CUBEP3M_GATHER_PALLAS", "1")
+    gp.record_probe_verdict("tpu", False, error="x")
+    assert gp.auto_enabled("tpu") is True
+
+    # a corrupt file degrades to the backend default
+    monkeypatch.delenv("CUBEP3M_GATHER_PALLAS")
+    pf.write_text("{not json")
+    assert gp.auto_enabled("tpu") is True
