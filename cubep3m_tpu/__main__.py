@@ -210,6 +210,20 @@ def cmd_forcetest(args):
           f"{float(np.median(res.frac_err)):.4f}")
 
 
+def _apply_platform(cpu: bool) -> None:
+    """Honor --cpu / JAX_PLATFORMS even under the axon sitecustomize.
+
+    The TPU-tunnel environment pre-imports jax and pins the platform
+    before user code runs, so the plain env var is read too late (same
+    workaround as tests/conftest.py) — and with a dead tunnel relay the
+    pinned backend blocks init FOREVER.  An explicit config update after
+    import always wins."""
+    plat = "cpu" if cpu else os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="cubep3m_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -217,6 +231,9 @@ def main(argv=None):
     def add(name, fn, **extra):
         p = sub.add_parser(name)
         p.add_argument("--config", required=True)
+        p.add_argument("--cpu", action="store_true",
+                       help="run on the CPU backend (overrides the "
+                            "session's pinned TPU platform)")
         p.set_defaults(fn=fn)
         return p
 
@@ -263,6 +280,7 @@ def main(argv=None):
     p.add_argument("--out", default=None)
 
     args = ap.parse_args(argv)
+    _apply_platform(getattr(args, "cpu", False))
     args.fn(args)
 
 
