@@ -91,4 +91,8 @@ run_step validate256 10800 bash scripts/run_validate256.sh \
 run_step profile 3600 python scripts/profile_step.py --np-dim 256 --bench \
     --only coarsesortedgath,coarsecsum,fine || true
 
+# -- 7. BASELINE config-3 mode: 128^3 full box with extended-range PP -------
+run_step validate-ppext 7200 python scripts/validate_lcdm.py --np-dim 128 \
+    --pp-ext --out bench_logs/validate_lcdm_128_ppext_r3.npz || true
+
 say "runbook complete"
