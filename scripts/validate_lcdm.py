@@ -43,6 +43,11 @@ def main():
                          "instead of the conservative 320^3/1.3 default")
     ap.add_argument("--pp-ext", action="store_true",
                     help="extended-range PP (BASELINE config 3 mode)")
+    ap.add_argument("--nodes-dim", type=int, default=1,
+                    help="devices per mesh axis (2 = a 2x2x2 = 8-device "
+                         "mesh; with --cpu, set "
+                         "XLA_FLAGS=--xla_force_host_platform_device_"
+                         "count=8 for a virtual mesh)")
     ap.add_argument("--staged", action="store_true",
                     help="cfg.staged_sweep: run the 10-module staged "
                          "sweep through the driver")
@@ -66,6 +71,13 @@ def main():
                          "until halos collapse, so early steps pay nothing)")
     args = ap.parse_args()
 
+    if args.cpu and args.nodes_dim > 1:
+        # must precede CPU backend creation (conftest.py does the same)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count="
+                f"{args.nodes_dim ** 3}").strip()
     import jax
     import cubep3m_tpu
     cubep3m_tpu.enable_compilation_cache()
@@ -85,8 +97,8 @@ def main():
     # run the fine solve as tile FFTs of <=~320^3 (see bench.py)
     fft_tiles = max(1, nf // 256)
     buf_extra = 0 if args.bench_geom else 16
-    cfg = SimConfig(nodes_dim=1, tiles_node_dim=2,
-                    nf_tile=nf // 2 + 2 * (16 + buf_extra),
+    cfg = SimConfig(nodes_dim=args.nodes_dim, tiles_node_dim=2,
+                    nf_tile=nf // (2 * args.nodes_dim) + 2 * (16 + buf_extra),
                     nf_cutoff=16, buf_extra=buf_extra,
                     box=args.box, z_i=args.z_i,
                     density_buffer=1.15 if args.bench_geom else 1.3,
@@ -115,6 +127,10 @@ def main():
         sim.cursors = cur
         print(f"# resumed from {args.resume_from}: a={float(st.a):.5f} "
               f"nts={int(st.nts)} cursors={cur}", flush=True)
+    elif args.nodes_dim > 1:
+        st = zl.zeldovich_ic_distributed(cfg, sim.mesh, seed=42)
+        print(f"# distributed ICs generated in {time.time() - t0:.1f}s",
+              flush=True)
     else:
         st = zl.zeldovich_ic(cfg, seed=42, host_fft=args.ic_host)
         print(f"# ICs generated in {time.time() - t0:.1f}s "
