@@ -238,6 +238,66 @@ def power_on_device(cfg: SimConfig, x: jnp.ndarray, n_valid,
                          nmodes=counts[ok])
 
 
+def power_of_state(cfg: SimConfig, state, mesh=None,
+                   ngrid: Optional[int] = None, assignment: str = "cic",
+                   subtract_shot: bool = True) -> PowerSpectrum:
+    """Snapshot P(k) from a SimState in ANY layout (single- or multi-device;
+    node-local, shake-offset coordinates).
+
+    Single-device states take the fully device-resident `power_on_device`
+    path (no particle pull — tunneled-TPU friendly).  Sharded states deposit
+    per device under shard_map onto a ghost-padded local block (the sweep's
+    own deposit pattern), fold the pads over the mesh, and pull only the
+    ngrid^3 grid — never the particle arrays (the per-rank mass assignment
+    of cic_power.f90:840-956 at scale).  Mass is exactly conserved: the pad
+    covers the shake reach (2*mesh_scale fine cells) plus the CIC support.
+    """
+    import jax
+
+    ngrid = ngrid or cfg.nf_physical_dim
+    n_total = int(np.asarray(jax.device_get(jnp.sum(state.np_local))))
+    if cfg.nodes_dim == 1:
+        x = jnp.mod(state.x - state.shake_offset[None, :],
+                    cfg.nf_physical_dim)
+        return power_on_device(cfg, x, n_total, ngrid=ngrid,
+                               assignment=assignment,
+                               subtract_shot=subtract_shot)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel import halo as halo_mod
+    from ..parallel.mesh import AXES, make_sim_mesh
+
+    if mesh is None:
+        mesh = make_sim_mesh(cfg.nodes_dim)
+    nd = cfg.nodes_dim
+    if ngrid % nd:
+        raise ValueError(f"ngrid {ngrid} not divisible by nodes_dim {nd}")
+    ngl = ngrid // nd
+    scale = cfg.nf_physical_dim / ngrid  # fine cells per measurement cell
+    pad = int(math.ceil(2 * cfg.mesh_scale / scale)) + 1
+    shp = (ngl + 2 * pad,) * 3
+    wv = jnp.float32(ngrid ** 3 / max(1, n_total))
+
+    def local(x, np_local, shake):
+        valid = jnp.arange(x.shape[0]) < np_local[0]
+        w = jnp.where(valid, wv, 0.0)
+        xs = x - shake[None, :]
+        if assignment == "ngp":
+            g = ngp_deposit(xs / scale, w, shp, offset=float(pad))
+        else:
+            g = cic_deposit(xs, w, shp, scale=scale, offset=-0.5, pad=pad)
+        return halo_mod.halo_fold(g, pad)
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(AXES), P(AXES), P()),
+                           out_specs=P(*AXES), check_vma=False))
+    grid = np.asarray(jax.device_get(
+        fn(state.x, state.np_local, state.shake_offset)))
+    return measure_power(grid - 1.0, cfg.box, assignment=assignment,
+                         subtract_shot=n_total if subtract_shot else None)
+
+
 def coarse_grid_global(cfg: SimConfig, state, mesh) -> np.ndarray:
     """Global coarse CIC density grid from a sharded multi-device state.
 

@@ -104,6 +104,11 @@ def main():
                     density_buffer=1.15 if args.bench_geom else 1.3,
                     shake=True, pid=False,
                     pp_dense_band=args.pp_dense_band,
+                    # realization-dependent cluster cores can exceed any
+                    # static dense band (a 64^3/100Mpc box packs >4096
+                    # particles into one fine cell by z=0); let the driver
+                    # grow the window before any pair is dropped
+                    pp_autosize=True,
                     fine_fft_tiles=fft_tiles,
                     coarse_sort=args.coarse_sort,
                     coarse_gather_pallas=args.gather_pallas,
@@ -193,13 +198,10 @@ def main():
           f"ppovfl={int(st.pp_overflow)}", flush=True)
     final = final if final is not None else st
 
-    # measurements at z=0 (device-resident P(k): no particle pull)
-    import jax.numpy as jnp
-    shake = final.shake_offset
-    x_dev = jnp.mod(final.x - shake[None, :], cfg.nf_physical_dim)
-    ps = pw.power_on_device(cfg, x_dev, int(final.np_local[0]),
-                            ngrid=args.pk_grid, assignment="cic",
-                            subtract_shot=True)
+    # measurements at z=0 (device-resident deposit: no particle pull;
+    # layout-aware — sharded states fold per-device blocks over the mesh)
+    ps = pw.power_of_state(cfg, final, mesh=sim.mesh, ngrid=args.pk_grid,
+                           assignment="cic", subtract_shot=True)
     lin = tr.linear_power(cfg.cosmo, 1.0)
 
     cat = hf.find_halos(cfg, final)

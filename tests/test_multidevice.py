@@ -72,6 +72,38 @@ def test_exchange_preserves_particles():
 
 
 @requires_8
+def test_power_of_state_sharded_matches_single_device():
+    """power_of_state on a sharded, shake-offset state must equal the
+    single-device measurement of the same global snapshot (the final P(k)
+    of validate_lcdm; a local-coordinate overlay would inflate it ~8x)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from cubep3m_tpu.analysis import power as pw
+
+    cfg1 = small_config(nodes_dim=1, tiles_node_dim=4, shake=True)
+    cfg8 = small_config(nodes_dim=2, tiles_node_dim=2, shake=True)
+    x, v = _global_ic(64, 4000, seed=7)
+    # clustered component so P(k) is far above shot noise
+    x[:2000] = (x[:1000].repeat(2, axis=0)
+                + np.random.default_rng(3).normal(
+                    scale=1.5, size=(2000, 3)).astype(np.float32)) % 64
+
+    st1 = state_mod.distribute_global(cfg1, x, v)
+    ps1 = pw.power_of_state(cfg1, st1, ngrid=32)
+
+    # shaken multi-device state: particles live at x+shake in local coords,
+    # with the offset recorded — exactly what a mid-run snapshot holds
+    shake = np.array([3.5, -2.25, 1.0], np.float32)
+    st8 = state_mod.distribute_global(cfg8, (x + shake) % 64, v)
+    st8 = dataclasses.replace(st8, shake_offset=jnp.asarray(shake))
+    st8 = step_mod.shard_state(st8, Simulation(cfg8).mesh)
+    ps8 = pw.power_of_state(cfg8, st8, ngrid=32)
+
+    np.testing.assert_allclose(ps8.pk, ps1.pk, rtol=2e-3, atol=1e-2)
+    np.testing.assert_array_equal(ps8.nmodes, ps1.nmodes)
+
+
+@requires_8
 def test_pencil_fft_matches_replicated_in_sweep():
     """The distributed pencil coarse FFT (p3dfft_coarse role) gives the
     same evolution as the replicated all_gather solve inside the full
