@@ -95,4 +95,16 @@ run_step profile 3600 python scripts/profile_step.py --np-dim 256 --bench \
 run_step validate-ppext 7200 python scripts/validate_lcdm.py --np-dim 128 \
     --pp-ext --out bench_logs/validate_lcdm_128_ppext_r3.npz || true
 
+# -- 8. BASELINE config 3 AT SCALE: 256^3 + pp_ext + finer halo grid --------
+# bounded demo: resume the 256^3 validation's latest checkpoint and run a
+# short pp_ext stretch with a refine-2 halofind (full-history pp_ext at
+# 256^3 is a multi-hour TPU run; the mode itself is what config 3 names)
+CK256=$(ls -t bench_logs/vck256/*.npz 2>/dev/null | head -1 || true)
+if [ -n "${CK256:-}" ]; then
+    run_step config3-256 7200 python scripts/validate_lcdm.py --np-dim 256 \
+        --pp-ext --halo-refine 2 --coarse-sort --bench-geom \
+        --max-steps 10 --pk-grid 256 --resume-from "$CK256" \
+        --out bench_logs/validate_lcdm_256_ppext_r3.npz || true
+fi
+
 say "runbook complete"

@@ -43,6 +43,10 @@ def main():
                          "instead of the conservative 320^3/1.3 default")
     ap.add_argument("--pp-ext", action="store_true",
                     help="extended-range PP (BASELINE config 3 mode)")
+    ap.add_argument("--halo-refine", type=int, default=1,
+                    help="halofinder density-mesh refinement "
+                         "(halofind_finer_grid.f90 variant; BASELINE "
+                         "config 3's 'finer halo grid')")
     ap.add_argument("--nodes-dim", type=int, default=1,
                     help="devices per mesh axis (2 = a 2x2x2 = 8-device "
                          "mesh; with --cpu, set "
@@ -204,7 +208,9 @@ def main():
                            assignment="cic", subtract_shot=True)
     lin = tr.linear_power(cfg.cosmo, 1.0)
 
-    cat = hf.find_halos(cfg, final)
+    hp = (hf.HalofindParams(refine=args.halo_refine)
+          if args.halo_refine != 1 else None)
+    cat = hf.find_halos(cfg, final, params=hp, mesh=sim.mesh)
     print(f"# halos found: {cat.size}", flush=True)
 
     np.savez(args.out, k=ps.k, delta2=ps.delta2, pk=ps.pk,
