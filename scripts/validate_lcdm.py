@@ -208,9 +208,21 @@ def main():
                            assignment="cic", subtract_shot=True)
     lin = tr.linear_power(cfg.cosmo, 1.0)
 
-    hp = (hf.HalofindParams(refine=args.halo_refine)
-          if args.halo_refine != 1 else None)
-    cat = hf.find_halos(cfg, final, params=hp, mesh=sim.mesh)
+    refine_used = args.halo_refine
+    try:
+        hp = (hf.HalofindParams(refine=args.halo_refine)
+              if args.halo_refine != 1 else None)
+        cat = hf.find_halos(cfg, final, params=hp, mesh=sim.mesh)
+    except Exception as e:
+        if args.halo_refine == 1:
+            raise
+        # a refine-r grid is r^3 x the fine mesh; on a 16 GiB chip the
+        # 256^3 box at refine 2 sits near the OOM line — fall back rather
+        # than lose the whole run's P(k)
+        print(f"# halofind refine={args.halo_refine} failed ({e!r}); "
+              "retrying at refine=1", flush=True)
+        refine_used = 1
+        cat = hf.find_halos(cfg, final, mesh=sim.mesh)
     print(f"# halos found: {cat.size}", flush=True)
 
     np.savez(args.out, k=ps.k, delta2=ps.delta2, pk=ps.pk,
@@ -225,6 +237,7 @@ def main():
         "n_steps": n_steps, "a_final": float(final.a),
         "n_halos": int(cat.size),
         "pk_over_linear_largescale": round(float(ratio), 4),
+        "halo_refine": refine_used,
     }), flush=True)
 
 
