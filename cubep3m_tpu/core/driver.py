@@ -287,13 +287,17 @@ class Simulation:
 
     def pp_autosize_check(self, state: SimState, steps: int = 1) -> None:
         """Adaptive dense-tail sizing (cfg.pp_autosize): every
-        `pp_autosize_every` sweeps, probe the max same-fine-cell occupancy
-        and PREEMPTIVELY rebuild the sweep with a doubled `pp_dense_band`
-        once occupancy nears the window, so no step ever drops pairs.  The
-        reference sizes its per-cell list statically and aborts on overflow
-        (particle_mesh_threaded.f90:280-284); occupancy grows smoothly as
-        halos collapse, so a probe every few tens of steps catches the
-        growth with wide margin."""
+        `pp_autosize_every` sweeps, probe (a) the max same-fine-cell
+        occupancy and (b) the per-device dense-population, and PREEMPTIVELY
+        rebuild the sweep with a doubled `pp_dense_band` / grown
+        `pp_dense_cap_frac` once either nears its window, so no step ever
+        drops pairs.  (b) matters on multi-device meshes: the dense buffer
+        is sized per device from `max_np`, and the device holding the
+        biggest halo can exhaust it long before occupancy outgrows the
+        band.  The reference sizes its per-cell list statically and aborts
+        on overflow (particle_mesh_threaded.f90:280-284); both quantities
+        grow smoothly as halos collapse, so a probe every few tens of
+        steps catches the growth with wide margin."""
         cfg = self.cfg
         if not (cfg.pp_autosize and cfg.pp):
             return
@@ -302,18 +306,28 @@ class Simulation:
             return
         self._steps_since_occ_probe = 0
         if not hasattr(self, "_occ_probe"):
-            self._occ_probe = step_mod.make_occupancy_probe(cfg, self.mesh)
-        occ = int(self._occ_probe(state.x, state.np_local))
-        if occ <= cfg.pp_autosize_headroom * (cfg.pp_dense_band + 1):
-            return
+            self._occ_probe = step_mod.make_occupancy_probe(
+                cfg, self.mesh, band=self.pp_band)
+        occ, n_dense = (int(v) for v in
+                        self._occ_probe(state.x, state.np_local))
+        head = cfg.pp_autosize_headroom
         new_band = cfg.pp_dense_band
-        while occ > cfg.pp_autosize_headroom * (new_band + 1):
+        while occ > head * (new_band + 1):
             new_band *= 2
+        new_frac = cfg.pp_dense_cap_frac
+        while (n_dense > head * max(64, int(cfg.max_np * new_frac))
+               and new_frac < 1.0):
+            new_frac = min(1.0, new_frac * 2)
+        if new_band == cfg.pp_dense_band and new_frac == cfg.pp_dense_cap_frac:
+            return
         if self.cfg.verbosity >= 1:
-            print(f"pp_autosize: max cell occupancy {occ} -> growing "
-                  f"pp_dense_band {cfg.pp_dense_band} -> {new_band} "
+            print(f"pp_autosize: max cell occupancy {occ}, dense pop "
+                  f"{n_dense}/device -> pp_dense_band "
+                  f"{cfg.pp_dense_band} -> {new_band}, pp_dense_cap_frac "
+                  f"{cfg.pp_dense_cap_frac} -> {new_frac} "
                   f"(recompiling sweep)", flush=True)
-        self.cfg = dataclasses.replace(cfg, pp_dense_band=new_band)
+        self.cfg = dataclasses.replace(cfg, pp_dense_band=new_band,
+                                       pp_dense_cap_frac=new_frac)
         self._rebuild_sweep()
 
     # chunk sizes compiled on demand (device-side dt control between

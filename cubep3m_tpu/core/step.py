@@ -100,16 +100,21 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
         is_leaf=lambda x: isinstance(x, P))
 
 
-def make_occupancy_probe(cfg: SimConfig, mesh: Mesh):
-    """Jitted global max same-fine-cell occupancy: probe(x, np_local) -> ().
+def make_occupancy_probe(cfg: SimConfig, mesh: Mesh, band: int = 0):
+    """Jitted PP sizing probe: probe(x, np_local) -> (max_occ, n_dense_max).
 
-    The driver's `pp_autosize` uses this to grow `pp_dense_band` BEFORE
-    the dense-tail window overflows (the reference instead sizes its
-    per-cell list `max_llf` statically and aborts on overflow,
-    `particle_mesh_threaded.f90:280-284`).  Cost: one argsort + one cummax
-    scan of the local particles — run every few tens of steps, not per
-    sweep.  Occupancy is a per-cell property and cells are wholly owned by
-    one device, so local ranks suffice; the result is pmax-replicated.
+    `max_occ` is the global max same-fine-cell occupancy; `n_dense_max` is
+    the largest PER-DEVICE count of particles living in cells with
+    occupancy > band+1 — i.e. the population the dense-tail compaction
+    buffer must hold (its capacity is per-device, so the max matters, not
+    the sum).  The driver's `pp_autosize` uses both to grow
+    `pp_dense_band` / `pp_dense_cap_frac` BEFORE the dense-tail window or
+    buffer overflows (the reference instead sizes its per-cell list
+    `max_llf` statically and aborts on overflow,
+    `particle_mesh_threaded.f90:280-284`).  Cost: one argsort + two scans
+    of the local particles — run every few tens of steps, not per sweep.
+    Occupancy is a per-cell property and cells are wholly owned by one
+    device, so local ranks suffice; the results are pmax-replicated.
     """
     nf = cfg.nf_physical_node_dim
 
@@ -117,11 +122,14 @@ def make_occupancy_probe(cfg: SimConfig, mesh: Mesh):
         valid = jnp.arange(x.shape[0]) < np_local[0]
         skey = jnp.sort(binning.fine_cell_key(x, valid, nf))
         rank = binning.rank_from_sorted(skey)
-        occ = jnp.max(jnp.where(skey < nf ** 3, rank + 1, 0))
-        return jax.lax.pmax(occ, AXES)
+        real = skey < nf ** 3
+        occ_max = jnp.max(jnp.where(real, rank + 1, 0))
+        occ = pp.cell_occupancy(skey, rank)
+        n_dense = jnp.sum((real & (occ > band + 1)).astype(jnp.int32))
+        return (jax.lax.pmax(occ_max, AXES), jax.lax.pmax(n_dense, AXES))
 
     return jax.jit(shard_map(local, mesh=mesh, in_specs=(P(AXES), P(AXES)),
-                             out_specs=P(), check_vma=False))
+                             out_specs=(P(), P()), check_vma=False))
 
 
 def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):

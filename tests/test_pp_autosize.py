@@ -32,11 +32,13 @@ def test_occupancy_probe_exact():
     cfg = small_config()
     mesh = make_sim_mesh(1)
     st = _state_with_dense_cell(cfg, n_dense=9)
-    probe = step_mod.make_occupancy_probe(cfg, mesh)
-    occ = int(probe(st.x, st.np_local))
+    probe = step_mod.make_occupancy_probe(cfg, mesh, band=4)
+    occ, n_dense = (int(v) for v in probe(st.x, st.np_local))
     # the dense cell holds exactly 9 (background can't exceed that at
     # 16^3 cells with 8^3 particles unless astronomically unlucky)
     assert occ == 9
+    # with band=4 only the crammed cell (occ 9 > 5) is dense
+    assert n_dense == 9
 
 
 def test_occupancy_probe_multidevice():
@@ -50,7 +52,8 @@ def test_occupancy_probe_multidevice():
     st = state_mod.distribute_global(cfg, x, np.zeros_like(x))
     st = step_mod.shard_state(st, mesh)
     probe = step_mod.make_occupancy_probe(cfg, mesh)
-    assert int(probe(st.x, st.np_local)) == 7
+    occ, _ = probe(st.x, st.np_local)
+    assert int(occ) == 7
 
 
 def test_driver_grows_dense_band():
@@ -65,6 +68,24 @@ def test_driver_grows_dense_band():
     assert sim.cfg.pp_dense_band >= 20 / 0.7 - 1
     # the grown band covers the dense cell: the NEXT sweep reports no
     # genuinely dropped pairs
+    st, _ = sim.step(st)
+    assert int(st.pp_overflow) == 0
+
+
+def test_driver_grows_dense_cap():
+    """The dense-tail COMPACTION BUFFER must also grow: its capacity is
+    per-device (max_np * pp_dense_cap_frac), and a device holding a big
+    halo can exhaust it while occupancy still fits the band — exactly the
+    failure seen on the 8-device 64^3 full-history run."""
+    cfg = small_config(z_i=50.0, pp_dense_band=64, pp_autosize=True,
+                      pp_autosize_every=1, pp_dense_cap_frac=0.01,
+                      verbosity=0)
+    # cap = int(8192*0.01) = 81; cram 60 particles into ONE cell so the
+    # dense population (60) exceeds the 0.7*81 headroom line
+    sim = Simulation(cfg)
+    st = _state_with_dense_cell(cfg, n_dense=60)
+    st = sim.run(st, max_steps=2, use_chunks=False)
+    assert sim.cfg.pp_dense_cap_frac > 0.01, "autosize never grew the cap"
     st, _ = sim.step(st)
     assert int(st.pp_overflow) == 0
 
