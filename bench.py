@@ -176,6 +176,11 @@ def main():
                     help="cfg.coarse_gather_pallas: ranked-window Pallas "
                          "coarse force gather (None = auto: on for TPU "
                          "with --coarse-sort)")
+    ap.add_argument("--fft-matmul", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="cfg.fft_matmul: force-solve c2c transforms as "
+                         "MXU matmul DFTs (None = auto: the recorded "
+                         "scripts/fft_matmul_probe.py verdict)")
     ap.add_argument("--chunk", type=int, default=0,
                     help="scan CHUNK fixed-dt sweeps per dispatch "
                          "(amortizes the tunnel's per-dispatch latency; "
@@ -218,6 +223,7 @@ def main():
                     merged_exchange_sort=args.merged_sort,
                     coarse_sort=args.coarse_sort,
                     coarse_gather_pallas=args.gather_pallas,
+                    fft_matmul=args.fft_matmul,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     assert cfg.nf_physical_dim == nf
@@ -261,12 +267,15 @@ def main():
     # program differs with/without the kernel, and the probe verdict file
     # can flip the auto between save and load
     from cubep3m_tpu.ops import gather_pallas as _gp
+    from cubep3m_tpu.ops import dftmm as _dftmm
     gather_resolved = (args.gather_pallas if args.gather_pallas is not None
                        else (_gp.auto_enabled() and args.coarse_sort))
+    fft_mm_resolved = (args.fft_matmul if args.fft_matmul is not None
+                       else _dftmm.auto_enabled())
     exe_key = (_source_key(), jax.__version__, np_dim, args.chunk,
                args.fast, args.buffer, args.corner_deposit, args.staged,
                args.merged_sort, args.coarse_sort, args.gather_pallas,
-               gather_resolved)
+               gather_resolved, args.fft_matmul, fft_mm_resolved)
     compiled = None
     if args.load_exe:
         try:

@@ -181,6 +181,15 @@ class SimConfig:
                                 # for TPU backends when the per-cell counts
                                 # are available, i.e. ngp + coarse_csum).
                                 # Exact vs the XLA gather (test_gather_pallas)
+    fft_matmul: Optional[bool] = None  # run the fine/coarse force-solve
+                                # c2c transforms as MXU matmul DFTs
+                                # (ops/dftmm.py) instead of XLA's VPU FFT
+                                # (~10x off roofline at 288^3 on v5e).
+                                # fp32-equivalent numerics (HIGHEST-
+                                # precision matmuls; tests/test_dftmm.py).
+                                # None = auto: on only where an on-
+                                # hardware A/B probe recorded ok
+                                # (scripts/fft_matmul_probe.py)
     coarse_sort: bool = False  # re-sort particles by coarse base-cell key
                                # before the coarse CIC section: turns the
                                # UNSORTED corner scatter/gather (~3x the

@@ -32,7 +32,7 @@ from jax import shard_map
 
 from ..config import SimConfig, G
 from ..state import SimState
-from ..ops import binning, deposit, fftconv, pp
+from ..ops import binning, deposit, dftmm, fftconv, pp
 from ..ops import gather_pallas as gather_pallas_mod
 from ..parallel import halo as halo_mod
 from ..parallel import exchange as exchange_mod
@@ -149,6 +149,8 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     max_buf = face_buffer_size(cfg)
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
+    use_fft_mm = (cfg.fft_matmul if cfg.fft_matmul is not None
+                  else dftmm.auto_enabled())
     # Pallas segmented coarse deposit: opt-in only (fails Mosaic lowering
     # on real TPUs — dynamic lane-dim column RMW; see config.py)
     use_coarse_pallas = (cfg.coarse_sort and not cfg.coarse_from_fine
@@ -306,15 +308,19 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         if cfg.fine_fft_tiles > 1:
             if cfg.fine_potential:
                 f_fine = fftconv.fine_force_potential_tiled(
-                    rho_halo, kern_f_im, nf_buf, nf, cfg.fine_fft_tiles)
+                    rho_halo, kern_f_im, nf_buf, nf, cfg.fine_fft_tiles,
+                    use_mm=use_fft_mm)
             else:
                 f_fine = fftconv.fine_force_tiled(
-                    rho_halo, kern_f_im, nf_buf, nf, cfg.fine_fft_tiles)
+                    rho_halo, kern_f_im, nf_buf, nf, cfg.fine_fft_tiles,
+                    use_mm=use_fft_mm)
         elif cfg.fine_potential:
             f_fine = fftconv.fine_force_potential(rho_halo, kern_f_im,
-                                                  nf_buf, nf)
+                                                  nf_buf, nf,
+                                                  use_mm=use_fft_mm)
         else:
-            f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf)
+            f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf,
+                                        use_mm=use_fft_mm)
         fmax2_f = jnp.max(jnp.sum(f_fine * f_fine, axis=0))
         if cfg.ngp:
             fp = deposit.ngp_gather(
@@ -462,7 +468,8 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         else:
             # replicated global solve after all_gather (cheap at coarse size)
             rho_c_glob = halo_mod.all_gather_grid(rho_c)
-            f_c_glob = fftconv.coarse_force(rho_c_glob, kern_c_im)
+            f_c_glob = fftconv.coarse_force(rho_c_glob, kern_c_im,
+                                            use_mm=use_fft_mm)
             # my padded block of the global field (coarse_force_buffer role)
             cx, cy, cz = halo_mod.device_coords()
             f_c_wrap = jnp.pad(f_c_glob, ((0, 0), (1, 1), (1, 1), (1, 1)),
@@ -591,6 +598,8 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     max_buf = face_buffer_size(cfg)
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
+    use_fft_mm = (cfg.fft_matmul if cfg.fft_matmul is not None
+                  else dftmm.auto_enabled())
     use_coarse_pallas = (cfg.coarse_sort and not cfg.coarse_from_fine
                          and bool(cfg.coarse_pallas))
     use_coarse_csum = (cfg.coarse_sort and not cfg.coarse_from_fine
@@ -697,9 +706,11 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         tile = jax.lax.dynamic_slice(rho_halo, (sx, sy, sz),
                                      (tpad, tpad, tpad))
         if cfg.fine_potential:
-            ft = fftconv.fine_force_potential(tile, kern_f_im, nf_buf, tp)
+            ft = fftconv.fine_force_potential(tile, kern_f_im, nf_buf, tp,
+                                              use_mm=use_fft_mm)
         else:
-            ft = fftconv.fine_force(tile, kern_f_im, nf_buf, tp)
+            ft = fftconv.fine_force(tile, kern_f_im, nf_buf, tp,
+                                    use_mm=use_fft_mm)
         return jax.lax.dynamic_update_slice(f_fine, ft, (0, sx, sy, sz))
 
     def b3_local(packed, cell, f_fine, a_mid, dt):
@@ -823,7 +834,8 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             f_c_pad = halo_mod.halo_pad(f_c_local, 1)
         else:
             rho_c_glob = halo_mod.all_gather_grid(rho_c)
-            f_c_glob = fftconv.coarse_force(rho_c_glob, kern_c_im)
+            f_c_glob = fftconv.coarse_force(rho_c_glob, kern_c_im,
+                                            use_mm=use_fft_mm)
             cx, cy, cz = halo_mod.device_coords()
             f_c_wrap = jnp.pad(f_c_glob, ((0, 0), (1, 1), (1, 1), (1, 1)),
                                mode="wrap")

@@ -31,39 +31,52 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import dftmm
 
-def force_from_density(rho: jnp.ndarray, kern_im: jnp.ndarray) -> jnp.ndarray:
+
+def _fft_fns(use_mm: bool):
+    """(fftn, ifftn) — XLA's FFT or the MXU matmul DFT (ops/dftmm.py)."""
+    if use_mm:
+        return dftmm.fftn_mm, dftmm.ifftn_mm
+    return jnp.fft.fftn, jnp.fft.ifftn
+
+
+def force_from_density(rho: jnp.ndarray, kern_im: jnp.ndarray,
+                       use_mm: bool = False) -> jnp.ndarray:
     """Convolve density with a 3-component odd force kernel.
 
     rho: (n, n, n) float32.  kern_im: (3, n, n, n) float32 imaginary parts
     of the kernel DFT (full spectrum).  Returns (3, n, n, n) float32 force.
     """
-    rho_k = jnp.fft.fftn(rho.astype(jnp.complex64))
+    fftn, ifftn = _fft_fns(use_mm)
+    rho_k = fftn(rho.astype(jnp.complex64))
     # spectra of the three (real) force components
     fx_k = (1j * kern_im[0]) * rho_k
     fy_k = (1j * kern_im[1]) * rho_k
     fz_k = (1j * kern_im[2]) * rho_k
     # pack x and y into one inverse transform: ifftn(Fx + i*Fy) = fx + i*fy
-    fxy = jnp.fft.ifftn(fx_k + 1j * fy_k)
-    fz = jnp.fft.ifftn(fz_k)
+    fxy = ifftn(fx_k + 1j * fy_k)
+    fz = ifftn(fz_k)
     return jnp.stack([fxy.real, fxy.imag, fz.real]).astype(jnp.float32)
 
 
 def fine_force(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
-               nf_buf: int, nf_node: int) -> jnp.ndarray:
+               nf_buf: int, nf_node: int,
+               use_mm: bool = False) -> jnp.ndarray:
     """Fine-level force on the physical node region.
 
     rho_halo: (nf_node + 2*nf_buf,)^3 density including neighbor halos.
     Returns (3, nf_node, nf_node, nf_node) force over the physical region.
     """
-    f = force_from_density(rho_halo, kern_f_im)
+    f = force_from_density(rho_halo, kern_f_im, use_mm=use_mm)
     return f[:, nf_buf:nf_buf + nf_node,
              nf_buf:nf_buf + nf_node,
              nf_buf:nf_buf + nf_node]
 
 
 def fine_force_potential(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
-                         nf_buf: int, nf_node: int) -> jnp.ndarray:
+                         nf_buf: int, nf_node: int,
+                         use_mm: bool = False) -> jnp.ndarray:
     """Fine force via the potential formulation: ONE scalar solve + central
     differences (the reference's `wg1.ascii` potential-kernel mode,
     kernels/README; `dist_init.f90:1507-1509` differencing convention).
@@ -72,8 +85,9 @@ def fine_force_potential(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
     components (1/3 the kernel memory).  pot_kern: (n, n, n) float32 REAL
     spectrum from `kernels.potential_kernel_fourier`.
     """
-    rho_k = jnp.fft.fftn(rho_halo.astype(jnp.complex64))
-    phi = jnp.fft.ifftn(rho_k * pot_kern).real.astype(jnp.float32)
+    fftn, ifftn = _fft_fns(use_mm)
+    rho_k = fftn(rho_halo.astype(jnp.complex64))
+    phi = ifftn(rho_k * pot_kern).real.astype(jnp.float32)
     lo = nf_buf
     hi = nf_buf + nf_node
 
@@ -90,18 +104,20 @@ def fine_force_potential(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
     return jnp.stack([diff(0), diff(1), diff(2)])
 
 
-def coarse_force(rho_c: jnp.ndarray, kern_c_im: jnp.ndarray) -> jnp.ndarray:
+def coarse_force(rho_c: jnp.ndarray, kern_c_im: jnp.ndarray,
+                 use_mm: bool = False) -> jnp.ndarray:
     """Coarse-level force on the (global, periodic) coarse mesh.
 
     rho_c: (nc, nc, nc) global coarse density.  Returns (3, nc, nc, nc).
     Multi-device: callers shard rho_c and run this under shard_map /
     with sharded FFT (see parallel/pfft.py).
     """
-    return force_from_density(rho_c, kern_c_im)
+    return force_from_density(rho_c, kern_c_im, use_mm=use_mm)
 
 
 def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
-                     nf_buf: int, nf_node: int, tiles: int) -> jnp.ndarray:
+                     nf_buf: int, nf_node: int, tiles: int,
+                     use_mm: bool = False) -> jnp.ndarray:
     """Fine force via tiles^3 overlapping tile FFTs — the reference's
     per-tile strategy (`particle_mesh_threaded.f90:72-628`), used when the
     single padded-node transform exceeds the backend's FFT limits (the
@@ -116,6 +132,7 @@ def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
     tp = nf_node // tiles
     tpad = tp + 2 * nf_buf
     assert kern_f_im.shape[-1] == tpad, (kern_f_im.shape, tpad)
+    fftn, ifftn = _fft_fns(use_mm)
     coords = [(ix, iy, iz) for ix in range(tiles) for iy in range(tiles)
               for iz in range(tiles)]
     t3 = len(coords)
@@ -149,8 +166,8 @@ def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
                                   (tpad, tpad, tpad))
         b = jax.lax.dynamic_slice(rho_halo, (ob[0], ob[1], ob[2]),
                                   (tpad, tpad, tpad))
-        z = jnp.fft.fftn(a + 1j * b)
-        w = jnp.fft.ifftn(
+        z = fftn(a + 1j * b)
+        w = ifftn(
             jnp.stack([(1j * kern_f_im[c]) * z for c in range(3)]),
             axes=(1, 2, 3))[:, sl, sl, sl]
         f = jax.lax.dynamic_update_slice(
@@ -166,10 +183,10 @@ def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
     if t3 % 2:
         # odd tile count: last tile classically (1 fwd + 2 packed inv)
         cl = coords[-1]
-        rho_k = jnp.fft.fftn(tile(cl).astype(jnp.complex64))
-        fxy = jnp.fft.ifftn((1j * kern_f_im[0]) * rho_k
-                            + 1j * ((1j * kern_f_im[1]) * rho_k))
-        fz = jnp.fft.ifftn((1j * kern_f_im[2]) * rho_k)
+        rho_k = fftn(tile(cl).astype(jnp.complex64))
+        fxy = ifftn((1j * kern_f_im[0]) * rho_k
+                    + 1j * ((1j * kern_f_im[1]) * rho_k))
+        fz = ifftn((1j * kern_f_im[2]) * rho_k)
         f_last = jnp.stack([fxy.real, fxy.imag, fz.real]
                            ).astype(jnp.float32)[:, sl, sl, sl]
         f = jax.lax.dynamic_update_slice(
@@ -179,12 +196,14 @@ def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
 
 def fine_force_potential_tiled(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
                                nf_buf: int, nf_node: int,
-                               tiles: int) -> jnp.ndarray:
+                               tiles: int, use_mm: bool = False
+                               ) -> jnp.ndarray:
     """Tiled variant of `fine_force_potential` (2 FFTs per tile + central
     differences inside the tile halo)."""
     tp = nf_node // tiles
     tpad = tp + 2 * nf_buf
     assert pot_kern.shape[-1] == tpad, (pot_kern.shape, tpad)
+    fftn, ifftn = _fft_fns(use_mm)
     coords = [(ix, iy, iz) for ix in range(tiles) for iy in range(tiles)
               for iz in range(tiles)]
     t3 = len(coords)
@@ -225,7 +244,7 @@ def fine_force_potential_tiled(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
                                   (tpad, tpad, tpad))
         b = jax.lax.dynamic_slice(rho_halo, (ob[0], ob[1], ob[2]),
                                   (tpad, tpad, tpad))
-        z = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(a + 1j * b))
+        z = ifftn(pot_kern * fftn(a + 1j * b))
         f = jax.lax.dynamic_update_slice(
             f, grad(z.real.astype(jnp.float32)), (0, oa[0], oa[1], oa[2]))
         f = jax.lax.dynamic_update_slice(
@@ -238,8 +257,7 @@ def fine_force_potential_tiled(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
         f = f0  # single tile: offs would be shape-(0,); only the odd tail runs
     if t3 % 2:
         cl = coords[-1]
-        zl = jnp.fft.ifftn(pot_kern * jnp.fft.fftn(
-            tile(cl).astype(jnp.complex64)))
+        zl = ifftn(pot_kern * fftn(tile(cl).astype(jnp.complex64)))
         f = jax.lax.dynamic_update_slice(
             f, grad(zl.real.astype(jnp.float32)),
             (0, cl[0] * tp, cl[1] * tp, cl[2] * tp))

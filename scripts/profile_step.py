@@ -157,6 +157,17 @@ def main():
             name = "fine pad+FFT force"
         if want("fine"):
             timeit(name, ff, rho, kern_f)
+        if want("finemm"):
+            t = cfg.fine_fft_tiles
+            if t > 1:
+                fmm = jax.jit(lambda r, kf: fftconv.fine_force_tiled(
+                    jnp.pad(r, cfg.nf_buf, mode="wrap"), kf, cfg.nf_buf,
+                    nf, t, use_mm=True))
+            else:
+                fmm = jax.jit(lambda r, kf: fftconv.fine_force(
+                    jnp.pad(r, cfg.nf_buf, mode="wrap"), kf, cfg.nf_buf,
+                    nf, use_mm=True))
+            timeit("fine force (matmul DFT)", fmm, rho, kern_f)
         if want("gather"):
             f_fine = ff(rho, kern_f)
             del rho

@@ -71,6 +71,9 @@ else
     run_step gather-xla 1500 python scripts/gather_probe.py --only xla || true
 fi
 
+# -- 3b. MXU matmul DFT vs XLA FFT A/B (records the fft_matmul auto verdict)
+run_step fft-matmul 2400 python scripts/fft_matmul_probe.py || true
+
 # -- 4. refresh the serialized bench executable at HEAD --------------------
 # (the driver's round-end `python bench.py` tries this file first; a stale
 # source key would force a ~20 min remote compile inside its budget)
