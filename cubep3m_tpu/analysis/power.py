@@ -174,14 +174,22 @@ def gas_profile(cfg: SimConfig, gas_u: np.ndarray, center: np.ndarray,
 def power_on_device(cfg: SimConfig, x: jnp.ndarray, n_valid,
                     ngrid: Optional[int] = None,
                     assignment: str = "cic",
-                    subtract_shot: bool = False) -> PowerSpectrum:
+                    subtract_shot: bool = False,
+                    use_mm: Optional[bool] = None) -> PowerSpectrum:
     """Device-resident P(k): deposit, FFT, window deconvolution and shell
     binning all run on device; only the binned spectra (a few KB) move to
     host.  For tunneled TPUs where pulling the particle array would cost
-    minutes (single-device state layouts).
+    minutes (single-device state layouts).  use_mm (None = probe-verdict
+    auto) runs the transform as an MXU matmul DFT (ops/dftmm.py) — no
+    backend c2c size limit.
     """
     import jax
     import math
+
+    from ..ops import dftmm
+    if use_mm is None:
+        use_mm = dftmm.auto_enabled()
+    _fftn = dftmm.fftn_mm if use_mm else jnp.fft.fftn
 
     ngrid = ngrid or cfg.nf_physical_dim
     scale = cfg.nf_physical_dim / ngrid
@@ -201,7 +209,7 @@ def power_on_device(cfg: SimConfig, x: jnp.ndarray, n_valid,
             from ..core.step import fold_pads
             grid = fold_pads(g, 1)
         delta = grid - jnp.sum(grid) / ngrid ** 3
-        dk = jnp.fft.fftn(delta.astype(jnp.complex64)) / ngrid ** 3
+        dk = _fftn(delta.astype(jnp.complex64)) / ngrid ** 3
         p3d = jnp.abs(dk) ** 2
         k = jnp.fft.fftfreq(ngrid) * ngrid
         kx = k[:, None, None]

@@ -33,6 +33,7 @@ import numpy as np
 from ..config import SimConfig
 from ..state import SimState, distribute_global, particles_ic
 from . import transfer as transfer_mod
+from ..ops import dftmm
 
 
 def vfactor(a: float, c) -> float:
@@ -127,7 +128,8 @@ def gaussian_delta_k(nf: int, pk_grid, key) -> jnp.ndarray:
 def zeldovich_ic(cfg: SimConfig, seed: int = 0,
                  transfer_file: Optional[str] = None,
                  return_delta: bool = False,
-                 host_fft: bool = False):
+                 host_fft: bool = False,
+                 use_mm: Optional[bool] = None):
     """Generate a SimState with Zel'dovich ICs at cfg.z_i.
 
     Single global-field generation (host+device); distributed over the
@@ -139,7 +141,16 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
     nf^3 (the axon TPU backend reports UNIMPLEMENTED for 576^3 c2c; at a
     256^3 box nf = 512).  Same spectra/physics; a different white-noise
     realization than the device RNG stream for the same seed.
+
+    use_mm (None = probe-verdict auto, ops/dftmm.py) runs the device
+    transforms as MXU matmul DFTs instead — same realization as the
+    default device path, no backend c2c size limit, and faster where the
+    on-hardware A/B says so.
     """
+    if use_mm is None:
+        use_mm = dftmm.auto_enabled()
+    _fftn = dftmm.fftn_mm if use_mm else jnp.fft.fftn
+    _ifftn = dftmm.ifftn_mm if use_mm else jnp.fft.ifftn
     c = cfg.cosmo
     nf = cfg.nf_physical_dim
     a_i = cfg.a_i
@@ -189,12 +200,12 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
     @jax.jit
     def _make(key, amp_d, inv_kd2_d):
         noise = jax.random.normal(key, (nf, nf, nf), dtype=jnp.float32)
-        delta_k = jnp.fft.fftn(noise.astype(jnp.complex64)) * amp_d
+        delta_k = _fftn(noise.astype(jnp.complex64)) * amp_d
         psi = []
         for axis in range(3):
             grad = jnp.asarray(sin_g.reshape(shapes[axis]))
             psi_k = 1j * grad * delta_k * inv_kd2_d
-            psi.append(jnp.fft.ifftn(psi_k).real.astype(jnp.float32))
+            psi.append(_ifftn(psi_k).real.astype(jnp.float32))
         psi = jnp.stack(psi)
 
         # particles at centers of every 2nd cell, displaced by psi at the
@@ -287,7 +298,7 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
             # delta_k is a host numpy array here; transform on host
             return jnp.asarray(np.fft.ifftn(delta_k).real.astype(
                 np.float32))
-        return jnp.fft.ifftn(delta_k).real.astype(jnp.float32)
+        return _ifftn(delta_k).real.astype(jnp.float32)
 
     if cfg.mhd and cfg.gas_from_delta:
         st = dataclasses.replace(st, gas_u=gas_ic_from_delta(

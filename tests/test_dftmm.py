@@ -85,6 +85,36 @@ def test_fine_force_potential_tiled_equal():
     assert np.max(np.abs(f0 - f1)) < 2e-5 * max(np.max(np.abs(f0)), 1e-6)
 
 
+def test_zeldovich_ic_use_mm_same_realization():
+    """use_mm=True keeps the same device RNG stream: identical ICs up to
+    fp32 transform noise (unlike host_fft, which re-draws on host)."""
+    from cubep3m_tpu import small_config
+    from cubep3m_tpu.ic import zeldovich as zl
+
+    cfg = small_config(z_i=50.0)
+    st0 = zl.zeldovich_ic(cfg, seed=5, use_mm=False)
+    st1 = zl.zeldovich_ic(cfg, seed=5, use_mm=True)
+    n = int(st0.np_local[0])
+    assert n == int(st1.np_local[0])
+    np.testing.assert_allclose(np.asarray(st1.x)[:n], np.asarray(st0.x)[:n],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st1.v)[:n], np.asarray(st0.v)[:n],
+                               atol=1e-4)
+
+
+def test_power_on_device_use_mm_equal():
+    from cubep3m_tpu import small_config
+    from cubep3m_tpu.analysis import power as pw
+
+    cfg = small_config()
+    n = 500
+    x = jnp.asarray(RNG.uniform(0, cfg.nf_physical_dim, (n, 3))
+                    .astype(np.float32))
+    p0 = pw.power_on_device(cfg, x, jnp.asarray(n), use_mm=False)
+    p1 = pw.power_on_device(cfg, x, jnp.asarray(n), use_mm=True)
+    np.testing.assert_allclose(p1.pk, p0.pk, rtol=1e-4)
+
+
 def test_sweep_with_fft_matmul_matches():
     """Full sweeps with fft_matmul=True vs False: same trajectories to
     fp32 FFT-noise tolerance (pattern of tests/test_coarse_sort.py)."""
