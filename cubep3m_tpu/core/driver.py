@@ -37,6 +37,7 @@ class StepLog:
     limits: tuple
     wall_s: float
     pp_overflow: int = 0
+    exchange_overflow: int = 0
     bucket_overflow: int = 0
     clamp_count: int = 0
 
@@ -171,6 +172,7 @@ class Simulation:
                     "nts": l.nts, "a": l.a, "a_mid": l.a_mid, "dt": l.dt,
                     "limits": list(l.limits), "wall_s": l.wall_s,
                     "pp_overflow": l.pp_overflow,
+                    "exchange_overflow": l.exchange_overflow,
                     "bucket_overflow": l.bucket_overflow,
                     "clamp_count": l.clamp_count}) + "\n")
 
@@ -197,6 +199,7 @@ class Simulation:
             nts=int(state.nts), a=dec.a_new, a_mid=dec.a_mid, dt=dec.dt,
             limits=dec.limits, wall_s=wall,
             pp_overflow=int(state.pp_overflow),
+            exchange_overflow=int(state.exchange_overflow),
             bucket_overflow=int(state.bucket_overflow),
             clamp_count=int(state.clamp_count)))
         if self.cfg.verbosity >= 2:
@@ -206,13 +209,15 @@ class Simulation:
                   f"wall={l.wall_s:.3f}s")
         l = self.logs[-1]
         if self.cfg.verbosity >= 1 and (l.pp_overflow or l.bucket_overflow
+                                        or l.exchange_overflow
                                         or l.clamp_count):
             # the reference mpi_aborts on any such invariant break; we
             # count, surface loudly, and keep going
             print(f"WARNING sweep {l.nts}: pp_overflow={l.pp_overflow} "
+                  f"exchange_overflow={l.exchange_overflow} "
                   f"bucket_overflow={l.bucket_overflow} "
                   f"clamp_count={l.clamp_count} — raise pp_dense_band / "
-                  f"pp_coarse_capacity / check dt")
+                  f"pp_coarse_capacity / buffers / check dt")
 
         if cfg.coarse_ps:
             self._record_coarse_ps(state)
@@ -285,24 +290,45 @@ class Simulation:
         if hasattr(self, "_staged_stepper"):
             del self._staged_stepper
 
-    def pp_autosize_check(self, state: SimState, steps: int = 1) -> None:
+    def pp_autosize_check(self, state: SimState, steps: int = 1,
+                          overflowed: bool = False,
+                          bucket_overflowed: bool = False) -> None:
         """Adaptive dense-tail sizing (cfg.pp_autosize): every
-        `pp_autosize_every` sweeps, probe (a) the max same-fine-cell
-        occupancy and (b) the per-device dense-population, and PREEMPTIVELY
-        rebuild the sweep with a doubled `pp_dense_band` / grown
-        `pp_dense_cap_frac` once either nears its window, so no step ever
-        drops pairs.  (b) matters on multi-device meshes: the dense buffer
-        is sized per device from `max_np`, and the device holding the
-        biggest halo can exhaust it long before occupancy outgrows the
-        band.  The reference sizes its per-cell list statically and aborts
-        on overflow (particle_mesh_threaded.f90:280-284); both quantities
-        grow smoothly as halos collapse, so a probe every few tens of
-        steps catches the growth with wide margin."""
+        `pp_autosize_every` sweeps, probe (a) a shake-invariant bound on
+        the max same-fine-cell occupancy and (b) a bound on the
+        per-device dense-population, and PREEMPTIVELY rebuild the sweep
+        with a doubled `pp_dense_band` / grown `pp_dense_cap_frac` once
+        either nears its window, so no step ever drops pairs.  (b)
+        matters on multi-device meshes: the dense buffer is sized per
+        device from `max_np`, and the device holding the biggest halo
+        can exhaust it long before occupancy outgrows the band.  The
+        reference sizes its per-cell list statically and aborts on
+        overflow (particle_mesh_threaded.f90:280-284).
+
+        `overflowed=True` (reactive backstop, set by run() whenever a
+        sweep actually reported pp_overflow > 0) forces an immediate
+        probe; if the bounds say the current sizing already suffices —
+        i.e. drift between probes outran the bound — both knobs are
+        grown anyway.  Drops are then confined to the one sweep that
+        surfaced them instead of persisting a whole probe period."""
         cfg = self.cfg
         if not (cfg.pp_autosize and cfg.pp):
             return
+        if bucket_overflowed and cfg.pp_ext:
+            # reactive PP_EXT bucket growth (the reference aborts when a
+            # coarse-cell list overflows; our bucket build drops and
+            # counts instead — double the capacity and rebuild)
+            newcap = cfg.pp_coarse_capacity * 2
+            if self.cfg.verbosity >= 1:
+                print(f"pp_autosize: bucket overflow -> pp_coarse_capacity "
+                      f"{cfg.pp_coarse_capacity} -> {newcap} "
+                      f"(recompiling sweep)", flush=True)
+            self.cfg = cfg = dataclasses.replace(
+                cfg, pp_coarse_capacity=newcap)
+            self._rebuild_sweep()
         self._steps_since_occ_probe += steps
-        if self._steps_since_occ_probe < cfg.pp_autosize_every:
+        if (not overflowed
+                and self._steps_since_occ_probe < cfg.pp_autosize_every):
             return
         self._steps_since_occ_probe = 0
         if not hasattr(self, "_occ_probe"):
@@ -319,10 +345,17 @@ class Simulation:
                and new_frac < 1.0):
             new_frac = min(1.0, new_frac * 2)
         if new_band == cfg.pp_dense_band and new_frac == cfg.pp_dense_cap_frac:
-            return
+            if not overflowed:
+                return
+            new_band = min(cfg.pp_dense_band * 2, cfg.max_np)
+            new_frac = min(1.0, cfg.pp_dense_cap_frac * 2)
+            if (new_band == cfg.pp_dense_band
+                    and new_frac == cfg.pp_dense_cap_frac):
+                return  # both already at their ceilings
         if self.cfg.verbosity >= 1:
-            print(f"pp_autosize: max cell occupancy {occ}, dense pop "
-                  f"{n_dense}/device -> pp_dense_band "
+            print(f"pp_autosize: occupancy bound {occ}, dense-pop bound "
+                  f"{n_dense}/device{' (reactive)' if overflowed else ''}"
+                  f" -> pp_dense_band "
                   f"{cfg.pp_dense_band} -> {new_band}, pp_dense_cap_frac "
                   f"{cfg.pp_dense_cap_frac} -> {new_frac} "
                   f"(recompiling sweep)", flush=True)
@@ -405,10 +438,17 @@ class Simulation:
                           f"wall={time.time() - t0:.3f}s "
                           f"({(time.time() - t0) / size * 1e3:.1f} "
                           f"ms/sweep)")
+                # chunk counters are in-chunk high-water marks
+                ovf = cfg.pp_autosize and int(state.pp_overflow) > 0
+                bovf = (cfg.pp_autosize and cfg.pp_ext
+                        and int(state.bucket_overflow) > 0)
             else:
                 state, dec = self.step(state)
                 steps_done += 1
-            self.pp_autosize_check(state, steps=size or 1)
+                ovf = bool(self.logs and self.logs[-1].pp_overflow)
+                bovf = bool(self.logs and self.logs[-1].bucket_overflow)
+            self.pp_autosize_check(state, steps=size or 1, overflowed=ovf,
+                                   bucket_overflowed=bovf)
             # wall-clock kill checkpoint applies to chunked stepping too
             # (cubepm_kill.f90:231-258; long runs spend most steps chunked)
             if self.kill_time_s is not None and self.on_kill and (

@@ -87,7 +87,8 @@ def state_specs(mhd: bool = False) -> SimState:
         a=r, tau=r, t=r, dt_old=r, nts=r,
         dt_f_acc=r, dt_pp_acc=r, dt_pp_ext_acc=r, dt_c_acc=r,
         dt_gas_acc=r,
-        shake_offset=r, pp_overflow=r, bucket_overflow=r, clamp_count=r,
+        shake_offset=r, pp_overflow=r, exchange_overflow=r,
+        bucket_overflow=r, clamp_count=r,
         rng=r, gas_u=gas, gas_b=gas)
 
 
@@ -101,32 +102,63 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
 
 
 def make_occupancy_probe(cfg: SimConfig, mesh: Mesh, band: int = 0):
-    """Jitted PP sizing probe: probe(x, np_local) -> (max_occ, n_dense_max).
+    """Jitted PP sizing probe: probe(x, np_local) -> (occ_bound,
+    n_dense_bound) — SHAKE-INVARIANT upper bounds.
 
-    `max_occ` is the global max same-fine-cell occupancy; `n_dense_max` is
-    the largest PER-DEVICE count of particles living in cells with
-    occupancy > band+1 — i.e. the population the dense-tail compaction
-    buffer must hold (its capacity is per-device, so the max matters, not
-    the sum).  The driver's `pp_autosize` uses both to grow
-    `pp_dense_band` / `pp_dense_cap_frac` BEFORE the dense-tail window or
-    buffer overflows (the reference instead sizes its per-cell list
-    `max_llf` statically and aborts on overflow,
-    `particle_mesh_threaded.f90:280-284`).  Cost: one argsort + two scans
-    of the local particles — run every few tens of steps, not per sweep.
-    Occupancy is a per-cell property and cells are wholly owned by one
-    device, so local ranks suffice; the results are pmax-replicated.
+    `occ_bound` bounds the max same-fine-cell occupancy at ANY grid
+    alignment; `n_dense_bound` bounds the largest PER-DEVICE count of
+    particles living in cells with occupancy > band+1 — i.e. the
+    population the dense-tail compaction buffer must hold (its capacity
+    is per-device, so the max matters, not the sum).  The driver's
+    `pp_autosize` uses both to grow `pp_dense_band` /
+    `pp_dense_cap_frac` BEFORE the dense-tail window or buffer overflows
+    (the reference instead sizes its per-cell list `max_llf` statically
+    and aborts on overflow, `particle_mesh_threaded.f90:280-284`).
+
+    Why bounds and not the current occupancy: the per-sweep DISP_MESH
+    shake re-aligns the grid by a random continuous offset, so a dense
+    clump's single-cell occupancy swings several-fold sweep to sweep —
+    a point sample at the probe sweep's alignment undershoots the worst
+    alignment of the next probe period and the autosize reacts a whole
+    period late (observed: a 64^3 validation dropped pairs across ~80
+    sweeps while 4 probes in a row sampled lucky alignments).  Any unit
+    cell at any alignment is contained in an axis-aligned 2-cell block
+    at one of the 8 parities, so the max 2^3-block particle count over
+    all parities bounds every alignment's occupancy; blocks straddling
+    device faces are completed with one halo fold+pad round.  Cost: 8
+    small scatter/gather passes over the local particles — run every few
+    tens of steps, not per sweep.
     """
     nf = cfg.nf_physical_node_dim
+    nb = nf // 2  # block grid (blocks of 2^3 fine cells)
 
     def local(x, np_local):
         valid = jnp.arange(x.shape[0]) < np_local[0]
-        skey = jnp.sort(binning.fine_cell_key(x, valid, nf))
-        rank = binning.rank_from_sorted(skey)
-        real = skey < nf ** 3
-        occ_max = jnp.max(jnp.where(real, rank + 1, 0))
-        occ = pp.cell_occupancy(skey, rank)
-        n_dense = jnp.sum((real & (occ > band + 1)).astype(jnp.int32))
-        return (jax.lax.pmax(occ_max, AXES), jax.lax.pmax(n_dense, AXES))
+        ci = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nf - 1)
+        occ_bound = jnp.asarray(0, jnp.int32)
+        n_dense_bound = jnp.asarray(0, jnp.int32)
+        npd = nb + 2  # +1-block halo each side (face-straddling blocks)
+        for ox in (0, 1):
+            for oy in (0, 1):
+                for oz in (0, 1):
+                    b = (ci + jnp.array([[ox, oy, oz]], jnp.int32)) >> 1
+                    key = (((b[:, 0] + 1) * npd + (b[:, 1] + 1)) * npd
+                           + (b[:, 2] + 1))
+                    key = jnp.where(valid, key, npd ** 3)  # dump slot
+                    cnt = jnp.zeros((npd ** 3 + 1,), jnp.int32
+                                    ).at[key].add(1)
+                    folded = halo_mod.halo_fold(
+                        cnt[:-1].reshape(npd, npd, npd), 1)
+                    occ_bound = jnp.maximum(occ_bound, jnp.max(folded))
+                    # per-particle completed block count (straddling
+                    # blocks live on the neighbor after the fold)
+                    full = halo_mod.halo_pad(folded, 1).reshape(-1)
+                    pc = full[jnp.where(valid, key, 0)]
+                    nd = jnp.sum((valid & (pc > band + 1))
+                                 .astype(jnp.int32))
+                    n_dense_bound = jnp.maximum(n_dense_bound, nd)
+        return (jax.lax.pmax(occ_bound, AXES),
+                jax.lax.pmax(n_dense_bound, AXES))
 
     return jax.jit(shard_map(local, mesh=mesh, in_specs=(P(AXES), P(AXES)),
                              out_specs=(P(), P()), check_vma=False))
@@ -256,7 +288,10 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             # it — a nonzero clamp_count means a particle crossed more
             # than one node width in a step, which the single-hop
             # exchange cannot route)
-            out_of_range = valid & jnp.any((x < 0.0) | (x >= nf), axis=-1)
+            # strict > nf: a sub-ulp negative coordinate wraps to exactly
+            # nf in fp32 (inexact xT + nf); that is a representation
+            # artifact for the clip, not a multi-hop mover
+            out_of_range = valid & jnp.any((x < 0.0) | (x > nf), axis=-1)
             clamp_count = jax.lax.psum(
                 jnp.sum(out_of_range.astype(jnp.int32)), AXES)
             x = jnp.clip(x, 0.0, nf - 1e-4)
@@ -537,7 +572,8 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             dt_c_acc=dt_c_acc.astype(jnp.float32),
             dt_gas_acc=dt_gas_acc.astype(jnp.float32),
             shake_offset=shake_offset,
-            pp_overflow=pp_overflow + exchange_overflow,
+            pp_overflow=pp_overflow,
+            exchange_overflow=exchange_overflow,
             bucket_overflow=bucket_overflow,
             clamp_count=clamp_count,
             rng=rng,
@@ -652,7 +688,8 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             xT, state.v.T, state.pid, valid, nf, max_buf,
             compact=False, soa=True)
         xT, vT, pid, valid = ex.x, ex.v, ex.pid, ex.valid
-        out_of_range = valid & jnp.any((xT < 0.0) | (xT >= nf), axis=0)
+        # strict > nf: see the fused path's sub-ulp wrap note
+        out_of_range = valid & jnp.any((xT < 0.0) | (xT > nf), axis=0)
         clamp_count = jax.lax.psum(
             jnp.sum(out_of_range.astype(jnp.int32)), AXES)
         xT = jnp.clip(xT, 0.0, nf - 1e-4)
@@ -1013,7 +1050,8 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             dt_pp_ext_acc=dt_pp_ext_acc, dt_c_acc=dt_c_acc,
             dt_gas_acc=jnp.asarray(1000.0, jnp.float32),
             shake_offset=shake_offset,
-            pp_overflow=pp_overflow + exchange_overflow,
+            pp_overflow=pp_overflow,
+            exchange_overflow=exchange_overflow,
             bucket_overflow=bucket_overflow, clamp_count=clamp_count,
             rng=rng, gas_u=state.gas_u, gas_b=state.gas_b)
 
@@ -1065,6 +1103,14 @@ def make_chunked_sweep(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
     import dataclasses as _dc
 
     def chunk_local(state: SimState, kern_f_im, kern_c_im) -> SimState:
+        # counters restart each chunk: the high-water marks below must
+        # reflect THIS chunk only (a stale nonzero value carried in from
+        # an earlier sweep would re-trigger the driver's reactive
+        # pp_autosize forever)
+        z = jnp.asarray(0, jnp.int32)
+        state = _dc.replace(state, pp_overflow=z, exchange_overflow=z,
+                            bucket_overflow=z, clamp_count=z)
+
         def body(st, _):
             limits = (st.dt_f_acc, st.dt_pp_acc, st.dt_pp_ext_acc,
                       st.dt_c_acc, st.dt_gas_acc)
@@ -1076,6 +1122,8 @@ def make_chunked_sweep(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
             st2 = _dc.replace(
                 st2,
                 pp_overflow=jnp.maximum(st2.pp_overflow, st.pp_overflow),
+                exchange_overflow=jnp.maximum(st2.exchange_overflow,
+                                              st.exchange_overflow),
                 bucket_overflow=jnp.maximum(st2.bucket_overflow,
                                             st.bucket_overflow),
                 clamp_count=jnp.maximum(st2.clamp_count, st.clamp_count))
@@ -1105,6 +1153,9 @@ def make_fixed_chunk(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
 
     def chunk_local(state: SimState, kern_f_im, kern_c_im, dt) -> SimState:
         one = jnp.float32(1.0)
+        z = jnp.asarray(0, jnp.int32)
+        state = _dc.replace(state, pp_overflow=z, exchange_overflow=z,
+                            bucket_overflow=z, clamp_count=z)
 
         def body(st, _):
             st2 = sweep_local(st, kern_f_im, kern_c_im, one, dt, one,
@@ -1112,6 +1163,8 @@ def make_fixed_chunk(cfg: SimConfig, mesh: Mesh, sweep, chunk: int):
             st2 = _dc.replace(
                 st2,
                 pp_overflow=jnp.maximum(st2.pp_overflow, st.pp_overflow),
+                exchange_overflow=jnp.maximum(st2.exchange_overflow,
+                                              st.exchange_overflow),
                 bucket_overflow=jnp.maximum(st2.bucket_overflow,
                                             st.bucket_overflow),
                 clamp_count=jnp.maximum(st2.clamp_count, st.clamp_count))

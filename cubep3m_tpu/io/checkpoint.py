@@ -167,7 +167,12 @@ def load_native(path: str, cfg: SimConfig) -> Tuple[SimState, Cursors]:
             kw[name] = jnp.asarray(full)
     for f in dataclasses.fields(SimState):
         if f.name not in kw:
-            kw[f.name] = jnp.asarray(data[f.name])
+            if f.name not in data:
+                # field added after the checkpoint was written (e.g.
+                # exchange_overflow): scalar diagnostics default to 0
+                kw[f.name] = jnp.asarray(0, jnp.int32)
+            else:
+                kw[f.name] = jnp.asarray(data[f.name])
     cur = data["__cursors"]
     return SimState(**kw), Cursors(checkpoint=int(cur[0]),
                                    projection=int(cur[1]),
@@ -333,6 +338,7 @@ def read_reference_checkpoint(outdir: str, cfg: SimConfig, z: float,
         dt_gas_acc=f32(1000.0),
         shake_offset=jnp.zeros(3, jnp.float32),
         pp_overflow=jnp.asarray(0, jnp.int32),
+        exchange_overflow=jnp.asarray(0, jnp.int32),
         bucket_overflow=jnp.asarray(0, jnp.int32),
         clamp_count=jnp.asarray(0, jnp.int32),
         rng=jax.random.PRNGKey(int(hdr["nts"])),

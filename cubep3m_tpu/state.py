@@ -48,7 +48,10 @@ class SimState:
     shake_offset: jnp.ndarray  # (3,) f32
 
     # overflow diagnostics (reference aborts; we count and surface)
-    pp_overflow: jnp.ndarray   # () int32
+    pp_overflow: jnp.ndarray   # () int32: PP pairs dropped (dense window
+                               # or dense buffer exhausted)
+    exchange_overflow: jnp.ndarray  # () int32: particles dropped by the
+                               # ghost exchange (buffer or capacity)
     bucket_overflow: jnp.ndarray  # () int32
     clamp_count: jnp.ndarray   # () int32: particles position-clamped after
                                # the ownership exchange (should stay 0; a
@@ -98,6 +101,7 @@ def _base_state(cfg: SimConfig, x: np.ndarray, v: np.ndarray,
         dt_gas_acc=f32(1000.0),
         shake_offset=jnp.zeros(3, jnp.float32),
         pp_overflow=jnp.asarray(0, jnp.int32),
+        exchange_overflow=jnp.asarray(0, jnp.int32),
         bucket_overflow=jnp.asarray(0, jnp.int32),
         clamp_count=jnp.asarray(0, jnp.int32),
         rng=jax.random.PRNGKey(seed),
@@ -225,6 +229,7 @@ def distribute_global(cfg: SimConfig, x_global: np.ndarray,
         dt_gas_acc=f32(1000.0),
         shake_offset=jnp.zeros(3, jnp.float32),
         pp_overflow=jnp.asarray(0, jnp.int32),
+        exchange_overflow=jnp.asarray(0, jnp.int32),
         bucket_overflow=jnp.asarray(0, jnp.int32),
         clamp_count=jnp.asarray(0, jnp.int32),
         rng=jax.random.PRNGKey(seed),

@@ -89,6 +89,7 @@ def main():
         print(f"# sweep {i}: wall={dt_wall:.1f}s ({rate / 1e6:.2f}M "
               f"p-steps/s on the CPU mesh) np={nloc.sum():,} "
               f"pp_ovfl={int(st.pp_overflow)} "
+              f"ex_ovfl={int(st.exchange_overflow)} "
               f"clamp={int(st.clamp_count)}", flush=True)
         assert int(nloc.sum()) == n0, "particle count not conserved"
 

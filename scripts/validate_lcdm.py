@@ -200,7 +200,8 @@ def main():
     n_steps = int(st.nts)
     # cumulative over the whole run (the final-state field is the LAST
     # sweep's count and can hide transient late-time drops)
-    cum_ovfl = sum(l.pp_overflow + l.bucket_overflow for l in sim.logs)
+    cum_ovfl = sum(l.pp_overflow + l.bucket_overflow + l.exchange_overflow
+                   for l in sim.logs)
     print(f"# evolved {n_steps} steps in {time.time() - t0:.1f}s "
           f"ppovfl={int(st.pp_overflow)} cum_ovfl={cum_ovfl}", flush=True)
     final = final if final is not None else st

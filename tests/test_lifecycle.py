@@ -194,3 +194,43 @@ def test_schedule_from_reference_input_dir(tmp_path):
                                sorted([1/13.0, 1/4.0, 1.0]))
     np.testing.assert_allclose(s.halofinds, [1/4.0])
     assert s.projections == []
+
+
+def test_subulp_wrap_not_counted_as_clamp():
+    """A sub-ulp negative coordinate wraps to exactly nf in fp32 after the
+    exchange's +nf shift (the shift is inexact on the negative side) —
+    that representation artifact must be CLIPPED but NOT counted as a
+    multi-hop clamp (it produced false WARNING lines every few dozen
+    sweeps of the 64^3 validation)."""
+    import jax.numpy as jnp
+    from cubep3m_tpu.parallel import exchange as ex_mod
+
+    cfg = small_config(pp=False, single_node_wrap=False)
+    nf = cfg.nf_physical_node_dim
+    tiny = np.float32(-1e-8)
+    assert np.float32(tiny + nf) == np.float32(nf)  # the artifact exists
+
+    x = np.full((4, 3), nf / 2.0, np.float32)
+    x[1] = [tiny, nf / 2.0, nf / 2.0]      # sub-ulp: artifact, no clamp
+    x[2] = [-1.5 * nf, nf / 2.0, nf / 2.0]  # genuine multi-hop: clamp
+    valid = np.array([True, True, True, False])
+    pid = np.arange(1, 5, dtype=np.int32)
+
+    ex = ex_mod.exchange_particles(
+        jnp.asarray(x), jnp.zeros((4, 3), jnp.float32), jnp.asarray(pid),
+        jnp.asarray(valid), nf, max_buf=8, compact=False)
+    xr = np.asarray(ex.x)[np.asarray(ex.valid)]
+    # single-device wrap: all 3 remain valid; the sub-ulp one sits at
+    # exactly nf (clipped by the caller), the multi-hop one is off by
+    # half a node width
+    assert xr.shape[0] == 3
+    # only the genuine multi-hop mover is left out of range (at -nf/2,
+    # after its one-hop +nf wrap); the sub-ulp one sits at exactly nf
+    assert np.sum(np.any((xr < 0) | (xr > nf), axis=-1)) == 1
+    assert np.sum(np.any(xr == nf, axis=-1)) == 1
+
+    res = ex_mod.exchange_cell_sorted(
+        jnp.asarray(x), jnp.zeros((4, 3), jnp.float32),
+        jnp.asarray(pid), jnp.asarray(valid), nf, max_buf=8)
+    assert int(res.clamp_count) == 1      # the genuine multi-hop only
+    assert int(res.n_valid) == 3
