@@ -32,24 +32,35 @@ import jax.numpy as jnp
 
 @functools.lru_cache(maxsize=None)
 def _dft_mats_np(n: int, inverse: bool):
-    """(cos, sin) of the n x n DFT angle matrix, float32."""
+    """(Wr, Wi, Wr+Wi, Wi-Wr) of the n x n DFT matrix, float32.
+
+    The two sum matrices feed the 3-multiplication complex product below;
+    they are formed in float64 BEFORE the float32 cast so they carry no
+    extra rounding."""
     k = np.arange(n, dtype=np.float64)
     sign = 1.0 if inverse else -1.0
     ang = (sign * 2.0 * np.pi / n) * np.outer(k, k)
-    return (np.cos(ang).astype(np.float32),
-            np.sin(ang).astype(np.float32))
+    wr, wi = np.cos(ang), np.sin(ang)
+    return (wr.astype(np.float32), wi.astype(np.float32),
+            (wr + wi).astype(np.float32), (wi - wr).astype(np.float32))
 
 
 def _axis_mm(re, im, n: int, axis: int, inverse: bool):
     """Complex contraction of `axis` with the n-point DFT matrix.
 
-    re/im: float32 arrays.  4 real matmuls at HIGHEST precision; the
-    (B, n) x (n, n) shapes tile the MXU directly.  `im=None` marks a
-    purely real input (first transformed axis of a real field): 2
-    matmuls instead of 4.
+    re/im: float32 arrays; the (B, n) x (n, n) shapes tile the MXU
+    directly at HIGHEST precision.  Complex x complex uses the
+    3-multiplication (Karatsuba) form — m1=(re+im)@Wr, m2=im@(Wr+Wi),
+    m3=re@(Wi-Wr); out = (m1-m2) + i(m1+m3) — 3 real matmuls instead of
+    4 (25% fewer MXU FLOPs; the extra (B, n) adds ride the VPU).  The
+    error bound grows by a small constant over the 4-matmul form and
+    stays ~1e-6 relative at n=288 (pinned by tests/test_dftmm.py and
+    re-checked on hardware by scripts/fft_matmul_probe.py).  `im=None`
+    marks a purely real input (first transformed axis of a real field):
+    2 matmuls.
     """
     P = jax.lax.Precision.HIGHEST
-    Wr, Wi = (jnp.asarray(m) for m in _dft_mats_np(n, inverse))
+    Wr, Wi, Wrpi, Wimr = (jnp.asarray(m) for m in _dft_mats_np(n, inverse))
     sh = jnp.moveaxis(re, axis, -1).shape
 
     def to2d(a):
@@ -64,10 +75,11 @@ def _axis_mm(re, im, n: int, axis: int, inverse: bool):
         outi = jnp.dot(rr, Wi, precision=P)
     else:
         ii = to2d(im)
-        outr = (jnp.dot(rr, Wr, precision=P)
-                - jnp.dot(ii, Wi, precision=P))
-        outi = (jnp.dot(rr, Wi, precision=P)
-                + jnp.dot(ii, Wr, precision=P))
+        m1 = jnp.dot(rr + ii, Wr, precision=P)
+        m2 = jnp.dot(ii, Wrpi, precision=P)
+        m3 = jnp.dot(rr, Wimr, precision=P)
+        outr = m1 - m2
+        outi = m1 + m3
     return back(outr), back(outi)
 
 

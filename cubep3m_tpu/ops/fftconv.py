@@ -49,7 +49,10 @@ def force_from_density(rho: jnp.ndarray, kern_im: jnp.ndarray,
     of the kernel DFT (full spectrum).  Returns (3, n, n, n) float32 force.
     """
     fftn, ifftn = _fft_fns(use_mm)
-    rho_k = fftn(rho.astype(jnp.complex64))
+    # pass the REAL density through: jnp.fft casts internally, and
+    # fftn_mm's real-input path does 2 matmuls instead of 4 on the
+    # first transformed axis
+    rho_k = fftn(rho)
     # spectra of the three (real) force components
     fx_k = (1j * kern_im[0]) * rho_k
     fy_k = (1j * kern_im[1]) * rho_k
@@ -86,7 +89,7 @@ def fine_force_potential(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
     spectrum from `kernels.potential_kernel_fourier`.
     """
     fftn, ifftn = _fft_fns(use_mm)
-    rho_k = fftn(rho_halo.astype(jnp.complex64))
+    rho_k = fftn(rho_halo)          # real input: see force_from_density
     phi = ifftn(rho_k * pot_kern).real.astype(jnp.float32)
     lo = nf_buf
     hi = nf_buf + nf_node
@@ -183,7 +186,7 @@ def fine_force_tiled(rho_halo: jnp.ndarray, kern_f_im: jnp.ndarray,
     if t3 % 2:
         # odd tile count: last tile classically (1 fwd + 2 packed inv)
         cl = coords[-1]
-        rho_k = fftn(tile(cl).astype(jnp.complex64))
+        rho_k = fftn(tile(cl))
         fxy = ifftn((1j * kern_f_im[0]) * rho_k
                     + 1j * ((1j * kern_f_im[1]) * rho_k))
         fz = ifftn((1j * kern_f_im[2]) * rho_k)
@@ -257,7 +260,7 @@ def fine_force_potential_tiled(rho_halo: jnp.ndarray, pot_kern: jnp.ndarray,
         f = f0  # single tile: offs would be shape-(0,); only the odd tail runs
     if t3 % 2:
         cl = coords[-1]
-        zl = ifftn(pot_kern * fftn(tile(cl).astype(jnp.complex64)))
+        zl = ifftn(pot_kern * fftn(tile(cl)))
         f = jax.lax.dynamic_update_slice(
             f, grad(zl.real.astype(jnp.float32)),
             (0, cl[0] * tp, cl[1] * tp, cl[2] * tp))

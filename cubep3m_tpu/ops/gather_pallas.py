@@ -18,9 +18,12 @@ ranks and two C-aligned windows (C = B) are ALWAYS sufficient — no
 overflow fallback needed.  The table is compacted to occupied columns
 once per solve (one ~n_occ-index 24-wide gather, n_occ <= min(ncells, N)).
 
-Selection is exact: each one-hot row has a single 1.0 and Mosaic's f32
-dot reproduces the selected f32 table entry bit-exactly (pinned by
-tests/test_gather_pallas.py against the XLA corner gather).
+Selection is exact: each one-hot row has a single 1.0, and at
+Precision.HIGHEST the dot reproduces the selected f32 table entry to
+f32 (pinned by tests/test_gather_pallas.py against the XLA corner
+gather, and on hardware by scripts/gather_probe.py's host-reference
+check — the MXU's default-precision pass would quantize the table
+operand to bf16).
 
 Reference role: coarse_velocity.f90's per-particle CIC force
 interpolation; the windowed-streaming idea mirrors the reference's
@@ -115,12 +118,19 @@ def _gather_kernel(m_ref, rank_ref, px_ref, py_ref, pz_ref,
         # one-hot selection via MXU: (24, C) @ (C, 128) -> (24, 128)
         oh0 = (iota == lr).astype(jnp.float32)        # cols in window 0
         oh1 = (iota == (lr - _B)).astype(jnp.float32)
+        # HIGHEST precision is required for exact selection: the MXU's
+        # default pass quantizes the f32 table operand to bf16 (~0.4%
+        # rel error, measured 1.3e-2 max abs on an O(1) field at 17.6M
+        # particles); the one-hot operand is exact either way.  The
+        # matmuls are far from MXU-bound here (DMA-bound kernel), so the
+        # extra passes cost little.
+        P = jax.lax.Precision.HIGHEST
         v = (jax.lax.dot_general(
                 t0_ref[:, :], oh0, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=P)
              + jax.lax.dot_general(
                 t1_ref[:, :], oh1, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))  # (24, 128)
+                preferred_element_type=jnp.float32, precision=P))  # (24, 128)
         # (8, 128) corner weights, corner-major to match the table rows
         wx1 = fx[r:r + 1, :]
         wy1 = fy[r:r + 1, :]

@@ -99,10 +99,39 @@ def main():
         try:
             t_probe = time.time()
             got = timeit("PALLAS ranked gather", gp, fld, xt, keys, counts)
+            ms_pallas = (time.time() - t_probe) * 1e3
+            # EXACTNESS gate against a float64 host reference: the
+            # verdict drives unattended runs (bench exe + validation),
+            # so a kernel that lowers but rounds (e.g. a default-
+            # precision MXU pass quantizing the f32 table to bf16,
+            # 1.3e-2 max abs measured 2026-08-18) must record FAILED.
+            g = np.asarray(jax.device_get(got))[:, vs]
+            xs_v = xs[vs].astype(np.float64)
+            t = xs_v / ms - 0.5
+            c0 = np.clip(np.floor(t).astype(np.int64) + 1, 0, ncp - 2)
+            fr = t - np.floor(t)
+            ref = np.zeros((3, len(xs_v)))
+            f64 = field.astype(np.float64)
+            for dx in (0, 1):
+                wx = fr[:, 0] if dx else 1.0 - fr[:, 0]
+                for dy in (0, 1):
+                    wy = fr[:, 1] if dy else 1.0 - fr[:, 1]
+                    for dz in (0, 1):
+                        wz = fr[:, 2] if dz else 1.0 - fr[:, 2]
+                        ref += (wx * wy * wz) * f64[
+                            :, c0[:, 0] + dx, c0[:, 1] + dy, c0[:, 2] + dz]
+            err_ref = float(np.max(np.abs(g - ref)))
+            scale_ref = float(np.max(np.abs(ref)))
+            exact = err_ref <= 1e-5 * max(scale_ref, 1.0)
+            print(f"# pallas vs float64 host ref: max abs diff "
+                  f"{err_ref:.3e} (field scale {scale_ref:.2f}) -> "
+                  f"{'EXACT' if exact else 'INEXACT'}", flush=True)
             if args.record:
-                record_probe_verdict(backend, True,
-                                     ms=(time.time() - t_probe) * 1e3)
-                print("# recorded ok verdict for backend "
+                record_probe_verdict(
+                    backend, exact, ms=ms_pallas,
+                    error="" if exact else
+                    f"inexact: max abs diff {err_ref:.3e}")
+                print(f"# recorded ok={exact} verdict for backend "
                       f"{backend}", file=sys.stderr, flush=True)
         except Exception as e:
             if args.record:
@@ -114,7 +143,7 @@ def main():
         w = np.asarray(jax.device_get(want))[:, vs]
         g = np.asarray(jax.device_get(got))[:, vs]
         err = np.max(np.abs(w - g))
-        print(f"# max abs diff (valid slots): {err:.3e}", flush=True)
+        print(f"# max abs diff vs XLA (valid slots): {err:.3e}", flush=True)
 
 
 if __name__ == "__main__":
