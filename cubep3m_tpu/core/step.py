@@ -617,14 +617,14 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
       B5  PP_EXT bucket build + neighborhood scan + kick (if cfg.pp_ext)
       C1  coarse CIC deposit + fold + global FFT force + dt_c
       C2  coarse CIC gather + kick
+      G1-G3 (cfg.mhd) first gas TVD pass / fine gravity kick on gas /
+          coarse gas kick + second pass + CFL — the fused sweep's three
+          coupling points (cubepm.f90:113-165) as stencil-only modules
 
     Returns staged_sweep(state, kern_f_im, kern_c_im, a_mid, dt, a_new,
     tau_new, t_new) -> state, like make_sweep.
     """
     cfg.validate()
-    if cfg.mhd:
-        raise NotImplementedError("staged sweep covers non-MHD configs; "
-                                  "MHD runs use the fused make_sweep")
     nf = cfg.nf_physical_node_dim
     nf_buf = cfg.nf_buf
     nc = cfg.nc_node_dim
@@ -632,6 +632,11 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     mass_p = cfg.mass_p
     ncells_fine = nf ** 3
     max_buf = face_buffer_size(cfg)
+    # MHD coupling constants (same as make_sweep: dark matter carries
+    # (1 - omega_b/omega_m) of the mass, particle_mesh_threaded.f90:108-115)
+    fb = cfg.cosmo.omega_b / cfg.cosmo.omega_m if cfg.mhd else 0.0
+    mass_dm = mass_p * (1.0 - fb)
+    gas_pad = 8  # TVD stencil reach over a fwd+bwd pass
     use_pp_pallas = (cfg.pp_pallas if cfg.pp_pallas is not None
                      else jax.default_backend() == "tpu")
     use_fft_mm = (cfg.fft_matmul if cfg.fft_matmul is not None
@@ -716,12 +721,14 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     tp = nf // cfg.fine_fft_tiles       # physical tile size
     tpad = tp + 2 * nf_buf              # FFT size per tile
 
-    def b1_local(packed, cell):
+    def b1_local(packed, cell, *gas):
         """Fine deposit + density halo; allocates the f_fine buffer that
-        the B2 tile program fills in place."""
+        the B2 tile program fills in place.  MHD runs pass gas_u and the
+        baryon density joins the source (particle_mesh_threaded.f90's
+        rho += omega_b/omega_m gas branch)."""
         xT = packed[0:3]
         valid = cell < ncells_fine
-        w = jnp.where(valid, jnp.float32(mass_p), 0.0)
+        w = jnp.where(valid, jnp.float32(mass_dm), 0.0)
         if cfg.ngp:
             rho = deposit.ngp_deposit_t(xT, w, (nf, nf, nf),
                                         sorted_cells=True)
@@ -729,6 +736,8 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             rho = halo_mod.halo_fold(deposit.cic_deposit_t(
                 xT, w, (nf + 2, nf + 2, nf + 2), scale=1.0, offset=-0.5,
                 pad=1), 1)
+        if cfg.mhd:
+            rho = rho + jnp.float32(fb) * gas[0][0]
         rho_halo = halo_mod.halo_pad(rho, nf_buf)
         f_fine = jnp.zeros((3, nf, nf, nf), jnp.float32)
         # rho itself is only consumed by the coarse_from_fine stencil path;
@@ -777,7 +786,7 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         valid = cell < ncells_fine
         dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
         res = pp.ppint_force_t(xT, cell, rank, ncells_fine, pp_band,
-                               cfg.pp_dense_band, dense_cap, mass_p,
+                               cfg.pp_dense_band, dense_cap, mass_dm,
                                cfg.rsoft, cfg.pp_bias,
                                use_pallas=use_pp_pallas)
         vT = vT + jnp.where(valid[None, :], res.force * kick, 0.0)
@@ -798,7 +807,7 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         buckets = pp.bucket_by_coarse_cell_t(xT, valid, nc, ms,
                                              cfg.pp_coarse_capacity)
         res = pp.pp_ext_force_t(xT, buckets, nc, ms, cfg.pp_range,
-                                cfg.nf_cutoff, mass_p, cfg.rsoft,
+                                cfg.nf_cutoff, mass_dm, cfg.rsoft,
                                 cfg.pp_bias)
         vT = vT + jnp.where(valid[None, :], res.force * kick, 0.0)
         fmax_ppe = jax.lax.pmax(res.fmax, AXES)
@@ -828,14 +837,16 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         big = jnp.concatenate([packed, vT2], axis=0)[:, corder]
         return big[0:7], big[7:10]
 
-    def c1_local(packed, cell, rho, kern_c_im, a_mid):
+    def c1_local(packed, cell, rho, kern_c_im, a_mid, *gas):
         """Coarse deposit + fold + global FFT force + dt_c limiter.
         With cfg.coarse_sort, `cell` is the SORTED coarse base key from
-        c0a (validity sentinel ncp^3); otherwise the fine cell key."""
+        c0a (validity sentinel ncp^3); otherwise the fine cell key.
+        MHD runs pass gas_u: the sum-pooled baryon mass joins the coarse
+        density (coarse_mass.f90:67-78)."""
         a_mid = jnp.asarray(a_mid, jnp.float32)
         xT = packed[0:3]
         valid = cell < (ncp_cells if csort else ncells_fine)
-        w = jnp.where(valid, jnp.float32(mass_p), 0.0)
+        w = jnp.where(valid, jnp.float32(mass_dm), 0.0)
         ncp = nc + 2
         if cfg.coarse_from_fine:
             from ..ops import coarse_stencil as cst
@@ -865,6 +876,11 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             # in fine-cell sort order (see the fused-path note)
             rho_c = halo_mod.halo_fold(deposit.cic_deposit_t(
                 xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
+        if cfg.mhd and not cfg.coarse_from_fine:
+            # gas mass: sum-pool mesh_scale^3 gas cells (coarse_mass.f90;
+            # the coarse_from_fine stencil already sees gas via b1's rho)
+            rho_c = rho_c + jnp.float32(fb) * deposit.sum_pool3(
+                gas[0][0], ms)
         if cfg.coarse_pencil_fft:
             from ..parallel import pfft as pfft_mod
             f_c_local = pfft_mod.coarse_force_pencil(rho_c, kern_c_im, nc)
@@ -913,12 +929,64 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                                                offset=-0.5, pad=1)
         return vT + jnp.where(valid[None, :], fcpT * kick, 0.0)
 
+    # ---- MHD gas stages (cubepm.f90:113-165 coupling points; each is a
+    # small stencil-dominated compile unit like the particle stages) ----
+    if cfg.mhd:
+        from ..mhd import tvd as tvd_mod
+
+        def _gas_halfstep(u, b, dt):
+            """Forward+backward TVD pass over halo-padded fields (sweep +
+            comm_bufferupdate roles)."""
+            up = halo_mod.halo_pad(u, gas_pad)
+            bp = halo_mod.halo_pad(b, gas_pad)
+            up, bp = tvd_mod.gas_step(up, bp, dt / 4.0,
+                                      gamma=cfg.gas_gamma)
+            sl = (slice(None),) + (slice(gas_pad, -gas_pad),) * 3
+            return up[sl], bp[sl]
+
+        def g1_local(gas_u, gas_b, dt):
+            """First gas pass (fwd xyz + bwd zyx, dt/4 each sweep)."""
+            return _gas_halfstep(gas_u, gas_b,
+                                 jnp.asarray(dt, jnp.float32))
+
+        def g2_local(gas_u, f_fine, a_mid, dt):
+            """Fine gravity kick on the gas (fine_velocity.f90:75-92):
+            dv = a_mid G dt F; E += (m + rho dv/2) dv."""
+            kick = (jnp.asarray(a_mid, jnp.float32) * G
+                    * jnp.asarray(dt, jnp.float32))
+            dv = kick * f_fine
+            mom = gas_u[1:4]
+            de = jnp.sum((mom + 0.5 * gas_u[0] * dv) * dv, axis=0)
+            gas_u = gas_u.at[1:4].add(gas_u[0] * dv)
+            return gas_u.at[4].add(de)
+
+        def g3_local(gas_u, gas_b, f_c_pad, a_mid, dt):
+            """Coarse gravity kick on the gas (coarse_velocity.f90 MHD
+            branch) + second gas pass + CFL limiter (calcfl role)."""
+            kick = (jnp.asarray(a_mid, jnp.float32) * G
+                    * jnp.asarray(dt, jnp.float32))
+            ncp = nc + 2
+            f_c_fine = jax.image.resize(
+                f_c_pad, (3, ncp * ms, ncp * ms, ncp * ms),
+                method="linear")
+            sl = (slice(None),) + (slice(ms, ms + nf),) * 3
+            dvc = kick * f_c_fine[sl]
+            mom = gas_u[1:4]
+            de = jnp.sum((mom + 0.5 * gas_u[0] * dvc) * dvc, axis=0)
+            gas_u = gas_u.at[1:4].add(gas_u[0] * dvc)
+            gas_u = gas_u.at[4].add(de)
+            gas_u, gas_b = _gas_halfstep(gas_u, gas_b,
+                                         jnp.asarray(dt, jnp.float32))
+            dt_gas_acc = 4.0 * jax.lax.pmin(
+                tvd_mod.calcfl(gas_u, gas_b, gamma=cfg.gas_gamma), AXES)
+            return gas_u, gas_b, dt_gas_acc.astype(jnp.float32)
+
     pa = P(AXES)
     r = P()
     grid_spec = P(*AXES)
     grid4_spec = P(None, *AXES)
     prow = P(None, AXES)       # SoA (k, N) arrays: particles on dim 1
-    specs = state_specs(mhd=False)
+    specs = state_specs(mhd=cfg.mhd)
     a1_jit = jax.jit(shard_map(
         a1_local, mesh=mesh, in_specs=(specs, r, r),
         out_specs=(prow, prow, pa, pa, r, r, r, r), check_vma=False))
@@ -929,7 +997,8 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         a2b_local, mesh=mesh, in_specs=(prow, prow, pa, pa),
         out_specs=prow, check_vma=False))
     b1_jit = jax.jit(shard_map(
-        b1_local, mesh=mesh, in_specs=(prow, pa),
+        b1_local, mesh=mesh,
+        in_specs=((prow, pa, grid4_spec) if cfg.mhd else (prow, pa)),
         out_specs=(grid_spec, grid_spec, grid4_spec), check_vma=False))
     b2_jit = jax.jit(shard_map(
         b2_local, mesh=mesh,
@@ -951,8 +1020,11 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         c0b_local, mesh=mesh, in_specs=(prow, prow, pa),
         out_specs=(prow, prow), check_vma=False))
     counts_thread = use_gather_pallas and use_coarse_csum
+    c1_in = (prow, pa, grid_spec, r, r)
+    if cfg.mhd:
+        c1_in = c1_in + (grid4_spec,)
     c1_jit = jax.jit(shard_map(
-        c1_local, mesh=mesh, in_specs=(prow, pa, grid_spec, r, r),
+        c1_local, mesh=mesh, in_specs=c1_in,
         out_specs=((grid4_spec, r, pa) if counts_thread
                    else (grid4_spec, r)), check_vma=False))
     c2_jit = jax.jit(shard_map(
@@ -960,6 +1032,18 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         in_specs=((prow, pa, prow, grid4_spec, r, r, pa) if counts_thread
                   else (prow, pa, prow, grid4_spec, r, r)),
         out_specs=prow, check_vma=False))
+    if cfg.mhd:
+        g1_jit = jax.jit(shard_map(
+            g1_local, mesh=mesh, in_specs=(grid4_spec, grid4_spec, r),
+            out_specs=(grid4_spec, grid4_spec), check_vma=False))
+        g2_jit = jax.jit(shard_map(
+            g2_local, mesh=mesh,
+            in_specs=(grid4_spec, grid4_spec, r, r),
+            out_specs=grid4_spec, check_vma=False))
+        g3_jit = jax.jit(shard_map(
+            g3_local, mesh=mesh,
+            in_specs=(grid4_spec, grid4_spec, grid4_spec, r, r),
+            out_specs=(grid4_spec, grid4_spec, r), check_vma=False))
     # the ONLY (N, 3) materializations: the final state arrays, produced
     # by a transpose-only module whose output layout is pinned column-major
     # (same bytes as the SoA input -> a relayout, never a padded copy)
@@ -996,6 +1080,10 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         c0b_jit = _logged("c0b", c0b_jit)
         c1_jit = _logged("c1", c1_jit)
         c2_jit = _logged("c2", c2_jit)
+        if cfg.mhd:
+            g1_jit = _logged("g1", g1_jit)
+            g2_jit = _logged("g2", g2_jit)
+            g3_jit = _logged("g3", g3_jit)
 
     # static tile-start schedule: the SAME b2 program runs at every offset
     tile_starts = [(jnp.int32(ix * tp), jnp.int32(iy * tp),
@@ -1008,14 +1096,24 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                      a_new, tau_new, t_new) -> SimState:
         (xT, vT, pide, valide, rng, shake_offset, clamp_count,
          ex_overflow) = a1_jit(state, a_mid, dt)
+        gas_u, gas_b = state.gas_u, state.gas_b
+        dt_gas_acc = jnp.asarray(1000.0, jnp.float32)
+        if cfg.mhd:
+            # first gas pass before the fine source build (cubepm.f90:113)
+            gas_u, gas_b = g1_jit(gas_u, gas_b, dt)
         (order, cell, rank, np_local,
          capacity_drop) = a2a_jit(xT, valide)
         packed = a2b_jit(xT, vT, pide, order)
         exchange_overflow = ex_overflow + capacity_drop
-        rho, rho_halo, f_fine = b1_jit(packed, cell)
+        if cfg.mhd:
+            rho, rho_halo, f_fine = b1_jit(packed, cell, gas_u)
+        else:
+            rho, rho_halo, f_fine = b1_jit(packed, cell)
         for sx, sy, sz in tile_starts:
             f_fine = b2_jit(f_fine, rho_halo, kern_f_im, sx, sy, sz)
         vT2, dt_f_acc = b3_jit(packed, cell, f_fine, a_mid, dt)
+        if cfg.mhd:
+            gas_u = g2_jit(gas_u, f_fine, a_mid, dt)
         dt_pp_acc = jnp.asarray(1000.0, jnp.float32)
         dt_pp_ext_acc = jnp.asarray(1000.0, jnp.float32)
         pp_overflow = jnp.asarray(0, jnp.int32)
@@ -1029,14 +1127,18 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         if csort:
             corder, cell = c0a_jit(packed, cell)
             packed, vT2 = c0b_jit(packed, vT2, corder)
+        c1_extra = (gas_u,) if cfg.mhd else ()
         if counts_thread:
             f_c_pad, dt_c_acc, ccnt = c1_jit(packed, cell, rho, kern_c_im,
-                                             a_mid)
+                                             a_mid, *c1_extra)
             vT3 = c2_jit(packed, cell, vT2, f_c_pad, a_mid, dt, ccnt)
         else:
             f_c_pad, dt_c_acc = c1_jit(packed, cell, rho, kern_c_im,
-                                       a_mid)
+                                       a_mid, *c1_extra)
             vT3 = c2_jit(packed, cell, vT2, f_c_pad, a_mid, dt)
+        if cfg.mhd:
+            gas_u, gas_b, dt_gas_acc = g3_jit(gas_u, gas_b, f_c_pad,
+                                              a_mid, dt)
         x = to_rows(packed[0:3])
         v = to_rows(vT3)
         pid = exchange_mod.pid_from_f32(packed[6])
@@ -1048,18 +1150,21 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             dt_old=jnp.asarray(dt, jnp.float32), nts=state.nts + 1,
             dt_f_acc=dt_f_acc, dt_pp_acc=dt_pp_acc,
             dt_pp_ext_acc=dt_pp_ext_acc, dt_c_acc=dt_c_acc,
-            dt_gas_acc=jnp.asarray(1000.0, jnp.float32),
+            dt_gas_acc=dt_gas_acc,
             shake_offset=shake_offset,
             pp_overflow=pp_overflow,
             exchange_overflow=exchange_overflow,
             bucket_overflow=bucket_overflow, clamp_count=clamp_count,
-            rng=rng, gas_u=state.gas_u, gas_b=state.gas_b)
+            rng=rng, gas_u=gas_u, gas_b=gas_b)
 
     staged_sweep._stages = {
         "a1": a1_jit, "a2a": a2a_jit, "a2b": a2b_jit, "b1": b1_jit,
         "b2": b2_jit, "b3": b3_jit, "b4": b4_jit, "b5": b5_jit,
         "c0a": c0a_jit, "c0b": c0b_jit,
         "c1": c1_jit, "c2": c2_jit}   # for probes / precompile campaigns
+    if cfg.mhd:
+        staged_sweep._stages.update(
+            {"g1": g1_jit, "g2": g2_jit, "g3": g3_jit})
     return staged_sweep
 
 

@@ -77,6 +77,49 @@ def test_staged_pp_ext_matches_fused():
             err_msg=name)
 
 
+def test_staged_mhd_matches_fused():
+    """MHD in the staged path (G1-G3 gas stages at the fused sweep's
+    three coupling points, cubepm.f90:113-165) matches the fused sweep:
+    identical particle trajectories AND gas fields."""
+    cfg = small_config(shake=False, cosmo_expansion=False, mhd=True,
+                       gas_p_init=1e-6)
+    mesh = make_sim_mesh(1)
+    fused = step_mod.make_sweep(cfg, mesh)
+    staged = step_mod.make_staged_sweep(cfg, mesh)
+    st_f = _run(cfg, fused, steps=2)
+    st_s = _run(cfg, staged, steps=2)
+    for name in ("x", "v", "dt_f_acc", "dt_c_acc", "dt_gas_acc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_f, name)),
+            np.asarray(getattr(st_s, name)), rtol=1e-4, atol=1e-4,
+            err_msg=name)
+    np.testing.assert_allclose(np.asarray(st_f.gas_u),
+                               np.asarray(st_s.gas_u),
+                               rtol=1e-5, atol=1e-6, err_msg="gas_u")
+    np.testing.assert_allclose(np.asarray(st_f.gas_b),
+                               np.asarray(st_s.gas_b),
+                               rtol=1e-5, atol=1e-6, err_msg="gas_b")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_staged_mhd_multidevice_matches_fused():
+    """Staged MHD on a 2^3 mesh: gas halo pads cross devices in the G
+    stages exactly as in the fused sweep."""
+    cfg = small_config(nodes_dim=2, tiles_node_dim=2, shake=False,
+                       cosmo_expansion=False, mhd=True, gas_p_init=1e-6)
+    mesh = make_sim_mesh(cfg.nodes_dim)
+    fused = step_mod.make_sweep(cfg, mesh)
+    staged = step_mod.make_staged_sweep(cfg, mesh)
+    st_f = _run(cfg, fused, steps=2)
+    st_s = _run(cfg, staged, steps=2)
+    assert int(st_f.np_local.sum()) == int(st_s.np_local.sum())
+    np.testing.assert_allclose(np.asarray(st_f.gas_u),
+                               np.asarray(st_s.gas_u),
+                               rtol=1e-5, atol=1e-6, err_msg="gas_u")
+    np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_s.v),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_staged_tiled_fine_solve_matches_fused():
     """fine_fft_tiles > 1 in the staged path runs ONE compiled tile
     program at tiles^3 dynamic offsets (stage B2); must equal the fused
