@@ -1,0 +1,82 @@
+#!/bin/bash
+# Session campaign (round-3 continuation): the environment snapshot wiped
+# bench_cache/ (gitignored), losing the on-hardware probe verdicts and the
+# serialized 256^3 executable that back the driver's unattended round-end
+# bench.  Regenerate them, then spend the remaining TPU window on the
+# 256^3 z=0 validation with a CLEAN kill-after exit (a timeout-killed TPU
+# client wedges the remote worker for minutes; the round-end bench must
+# find the worker idle).
+#
+# Run inside tmux:  CAMPAIGN_END=<epoch s> bash scripts/campaign_r3b.sh
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench_logs bench_cache
+LOG=bench_logs/campaign_r3b.log
+exec > >(tee -a "$LOG") 2>&1
+
+say() { echo "=== $(date '+%F %T') $*"; }
+
+run_step() {
+    local name="$1" budget="$2"; shift 2
+    say "step $name: $*"
+    local t0=$SECONDS
+    timeout "$budget" "$@"
+    local rc=$?
+    say "step $name: rc=$rc in $((SECONDS - t0))s"
+    if [ $rc -ne 0 ]; then
+        say "step $name failed; waiting 330s for TPU worker recovery"
+        sleep 330
+    else
+        sleep 20
+    fi
+    return $rc
+}
+
+# default: 45 min of TPU window from launch
+END=${CAMPAIGN_END:-$(( $(date +%s) + 2700 ))}
+
+# 1. Pallas ranked-gather probe at HEAD (the exactness-gated verdict the
+#    sweep's auto decision and the bench exe key consult).
+run_step gather-pallas 600 python scripts/gather_probe.py --only pallas
+
+# 2. Restore the fft-matmul A/B verdict measured TODAY on this backend
+#    (runbook_r3.log 12:53-13:28: XLA FFT 101.59 ms vs MXU DFT 60.51 ms,
+#    max rel diff 5.179e-07, recorded ok=True).  The full A/B costs ~30
+#    min of TPU (304 s XLA FFT compile alone); exactness at HEAD is
+#    pinned by tests vs jnp.fft, and the validation run below exercises
+#    the kernel end-to-end.
+python - <<'EOF'
+from cubep3m_tpu.ops import dftmm
+dftmm.record_probe_verdict("tpu", True, ms_mm=60.51, ms_fft=101.59,
+                           max_rel_err=5.179e-07)
+print("# restored fft_matmul verdict (measured 2026-08-18 12:53-13:28, "
+      "bench_logs/runbook_r3.log)")
+EOF
+
+# 3. Re-serialize the 256^3 fused executable at HEAD so the round-end
+#    `python bench.py` skips the remote compile (~170 s vs ~20 min).
+run_step bench-exe 1500 python bench.py --np-dim 256 --steps 10 \
+    --chunk 5 --coarse-sort \
+    --save-exe bench_cache/fused256_chunk5_csort.exe
+
+# 4. 256^3 z=0 validation on the remaining window, chunked device
+#    stepping (8-sweep scans amortize the tunnel's per-dispatch latency),
+#    clean kill-after exit 7 min before the window closes.
+REMAIN=$(( END - $(date +%s) ))
+if [ "$REMAIN" -gt 700 ]; then
+    KILL=$(( REMAIN - 420 ))
+    say "validate256: window ${REMAIN}s, kill-after ${KILL}s"
+    RESUME=""
+    if [ -f bench_logs/vck256/ckpt_kill.npz ]; then
+        RESUME="--resume-from bench_logs/vck256/ckpt_kill.npz"
+    fi
+    run_step validate256 "$REMAIN" python scripts/validate_lcdm.py \
+        --np-dim 256 --bench-geom --coarse-sort --chunks \
+        --ic-host --pk-grid 256 \
+        --ckpt-dir bench_logs/vck256 \
+        --out bench_logs/validate_lcdm_256_r3.npz \
+        --kill-after "$KILL" $RESUME
+else
+    say "validate256: window too small (${REMAIN}s), skipping"
+fi
+say "campaign done"

@@ -67,6 +67,13 @@ def main():
                     help="measurement grid for the final P(k) (default "
                          "nf; use 256 on backends that cannot transform "
                          "512^3)")
+    ap.add_argument("--kill-after", type=float, default=None,
+                    help="wall-clock budget (s): past it the driver writes "
+                         "a kill checkpoint (requires --ckpt-dir) and this "
+                         "script exits CLEANLY without the z=0 "
+                         "measurements — a timeout-killed TPU client "
+                         "wedges the remote worker for minutes, a clean "
+                         "exit does not; resume with --resume-from")
     ap.add_argument("--pp-dense-band", type=int, default=4096,
                     help="dense-tail pair window: must exceed the max "
                          "same-fine-cell occupancy at z=0 (cluster cores "
@@ -127,7 +134,10 @@ def main():
         ckpts = [10.0, 5.0, 3.0, 2.0, 1.0, 0.5, 0.0]
     sched = OutputSchedule.from_redshifts(checkpoints=ckpts,
                                           halofinds=[0.0])
-    sim = Simulation(cfg, schedule=sched)
+    if args.kill_after is not None and not args.ckpt_dir:
+        ap.error("--kill-after requires --ckpt-dir (the kill checkpoint "
+                 "is what makes the early exit resumable)")
+    sim = Simulation(cfg, schedule=sched, kill_time_s=args.kill_after)
 
     t0 = time.time()
     if args.resume_from:
@@ -198,6 +208,12 @@ def main():
     sim.step = _step
     st = sim.run(st, max_steps=args.max_steps, use_chunks=args.chunks)
     n_steps = int(st.nts)
+    if args.kill_after is not None and float(st.a) < 0.999:
+        print(f"# kill-after budget hit at a={float(st.a):.5f} "
+              f"(nts={n_steps}, wall={time.time() - t0:.0f}s); kill "
+              f"checkpoint in {args.ckpt_dir} — resume with "
+              f"--resume-from {args.ckpt_dir}/ckpt_kill.npz", flush=True)
+        return
     # cumulative over the whole run (the final-state field is the LAST
     # sweep's count and can hide transient late-time drops)
     cum_ovfl = sum(l.pp_overflow + l.bucket_overflow + l.exchange_overflow
