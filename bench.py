@@ -93,8 +93,8 @@ def auto_main():
                 "bench auto: TPU tunnel relay is down (all axon relay "
                 "ports connection-refused; the relay process exited and "
                 "cannot be restarted from inside the container).  Last "
-                "measured result: 7.09M particle-steps/s/chip at 256^3 "
-                "(80.5x), bench_logs/bench256_csort2_r3.log.")
+                "measured result: 10.25M particle-steps/s/chip at 256^3 "
+                "(116.5x), bench_logs/runbook_r3.log 13:28.")
     out = None
     # pre-serialized executables: deserialization + first-run warmup is
     # ~2 min vs ~20 min remote compile, so try these first with a tight
