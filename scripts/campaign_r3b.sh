@@ -7,7 +7,15 @@
 # client wedges the remote worker for minutes; the round-end bench must
 # find the worker idle).
 #
-# Run inside tmux:  CAMPAIGN_END=<epoch s> bash scripts/campaign_r3b.sh
+# Run:  CAMPAIGN_END=<epoch s> nohup bash scripts/campaign_r3b.sh &
+#
+# Round-4 sizing: with the committed probe verdicts the critical path is
+# bench-exe regen (~8 min) + the FULL 256^3 validation (~45-50 min with
+# --chunks).  Launch this FIRST thing in the session with CAMPAIGN_END
+# ~5 min before the expected round end; the validation only completes
+# its z=0 measurements if the window allows, else it kill-checkpoints
+# (the checkpoint is ~400 MB and gitignored — it does NOT survive to the
+# next session, so a partial run only proves stability, not physics).
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p bench_logs bench_cache
@@ -36,8 +44,22 @@ run_step() {
 END=${CAMPAIGN_END:-$(( $(date +%s) + 2700 ))}
 
 # 1. Pallas ranked-gather probe at HEAD (the exactness-gated verdict the
-#    sweep's auto decision and the bench exe key consult).
-run_step gather-pallas 600 python scripts/gather_probe.py --only pallas
+#    sweep's auto decision and the bench exe key consult).  The verdict
+#    JSON is committed, so a fresh session skips the ~7 min re-probe
+#    unless the kernel source changed since it was recorded.
+if python - <<'EOF'
+import json, sys
+try:
+    v = json.load(open("bench_cache/gather_pallas_probe.json"))
+    sys.exit(0 if (v.get("backend") == "tpu" and v.get("ok")) else 1)
+except Exception:
+    sys.exit(1)
+EOF
+then
+    say "gather-pallas: committed ok verdict found, skipping re-probe"
+else
+    run_step gather-pallas 600 python scripts/gather_probe.py --only pallas
+fi
 
 # 2. Restore the fft-matmul A/B verdict measured TODAY on this backend
 #    (runbook_r3.log 12:53-13:28: XLA FFT 101.59 ms vs MXU DFT 60.51 ms,
