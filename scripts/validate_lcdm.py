@@ -22,6 +22,12 @@ def main():
     ap.add_argument("--np-dim", type=int, default=128)
     ap.add_argument("--box", type=float, default=100.0)
     ap.add_argument("--z-i", type=float, default=100.0)
+    ap.add_argument("--z-final", type=float, default=0.0,
+                    help="stop + measure at this redshift instead of z=0 "
+                         "(P(k) is compared to linear theory at the same "
+                         "a) — lets a 256^3 acceptance run COMPLETE "
+                         "inside one bounded TPU window, e.g. z=1 in "
+                         "~35 min vs z=0 in ~60")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="/tmp/validate_lcdm.npz")
     ap.add_argument("--max-steps", type=int, default=1200)
@@ -128,12 +134,18 @@ def main():
     cfg.validate()
     print(f"# {cfg.summary()}", flush=True)
 
-    ckpts = [0.0]
+    # z_final > 0 truncates the schedule so the driver's final_step fires
+    # there (the last scheduled checkpoint, timestep.py:137) and the z=z_f
+    # measurements below still complete inside a bounded TPU window.
+    zf = args.z_final
+    a_target = 1.0 / (1.0 + zf)
+    ckpts = [zf]
     if args.ckpt_dir:
         os.makedirs(args.ckpt_dir, exist_ok=True)
-        ckpts = [10.0, 5.0, 3.0, 2.0, 1.0, 0.5, 0.0]
+        ckpts = [z for z in (10.0, 5.0, 3.0, 2.0, 1.0, 0.5)
+                 if z > zf + 1e-9] + [zf]
     sched = OutputSchedule.from_redshifts(checkpoints=ckpts,
-                                          halofinds=[0.0])
+                                          halofinds=[zf])
     if args.kill_after is not None and not args.ckpt_dir:
         ap.error("--kill-after requires --ckpt-dir (the kill checkpoint "
                  "is what makes the early exit resumable)")
@@ -208,7 +220,7 @@ def main():
     sim.step = _step
     st = sim.run(st, max_steps=args.max_steps, use_chunks=args.chunks)
     n_steps = int(st.nts)
-    if args.kill_after is not None and float(st.a) < 0.999:
+    if args.kill_after is not None and float(st.a) < a_target - 1e-3:
         print(f"# kill-after budget hit at a={float(st.a):.5f} "
               f"(nts={n_steps}, wall={time.time() - t0:.0f}s); kill "
               f"checkpoint in {args.ckpt_dir} — resume with "
@@ -226,7 +238,7 @@ def main():
     # layout-aware — sharded states fold per-device blocks over the mesh)
     ps = pw.power_of_state(cfg, final, mesh=sim.mesh, ngrid=args.pk_grid,
                            assignment="cic", subtract_shot=True)
-    lin = tr.linear_power(cfg.cosmo, 1.0)
+    lin = tr.linear_power(cfg.cosmo, min(float(final.a), a_target))
 
     refine_used = args.halo_refine
     try:
