@@ -67,6 +67,20 @@ class Cursors:
     projection: int = 0
     halofind: int = 0
 
+    @classmethod
+    def for_resume(cls, schedule: "OutputSchedule", a: float,
+                   eps: float = 1e-9) -> "Cursors":
+        """Cursors consistent with `schedule` at scale factor `a`: each
+        cursor counts the entries already passed.  Use when resuming a
+        checkpoint under a DIFFERENT schedule than the one that wrote it
+        (e.g. a two-leg campaign whose leg 2 truncates the lists) — the
+        saved cursors index the old lists and can overflow or skip
+        triggers in the new one."""
+        done = lambda lst: sum(1 for x in lst if x <= a + eps)
+        return cls(checkpoint=done(schedule.checkpoints),
+                   projection=done(schedule.projections),
+                   halofind=done(schedule.halofinds))
+
 
 @dataclasses.dataclass
 class StepDecision:

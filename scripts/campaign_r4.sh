@@ -48,15 +48,21 @@ END=${CAMPAIGN_END:-$(( $(date +%s) + 3000 ))}
 
 # Leg 1: complete z=1 acceptance run (kill-after still set as a backstop
 # against a slower-than-expected window; ~2200 s expected).
+# --pp-cap-frac 0.5 pre-sizes the dense-tail buffer from the r3 history
+# (pp_autosize grew 0.25 -> 0.5 at a=0.47, a ~160 s mid-run recompile).
 REMAIN=$(( END - $(date +%s) ))
+if [ "$REMAIN" -le 700 ]; then
+    say "validate256-z1: window too small (${REMAIN}s); skipping leg 1"
+else
 KILL=$(( REMAIN - 420 ))
 say "validate256-z1: window ${REMAIN}s, kill-after ${KILL}s"
 run_step validate256-z1 "$REMAIN" python scripts/validate_lcdm.py \
     --np-dim 256 --z-final 1.0 --bench-geom --coarse-sort --chunks \
-    --ic-host --pk-grid 256 \
+    --ic-host --pk-grid 256 --pp-cap-frac 0.5 \
     --ckpt-dir bench_logs/vck256 \
     --out bench_logs/validate_lcdm_256_z1_r4.npz \
     --kill-after "$KILL"
+fi
 
 # Leg 2: continue toward z=0 from the z=1 checkpoint if the window allows.
 REMAIN=$(( END - $(date +%s) ))
@@ -65,7 +71,7 @@ if [ "$REMAIN" -gt 700 ] && [ -f bench_logs/vck256/ckpt_1.000.npz ]; then
     say "validate256-z0: window ${REMAIN}s, kill-after ${KILL}s"
     run_step validate256-z0 "$REMAIN" python scripts/validate_lcdm.py \
         --np-dim 256 --bench-geom --coarse-sort --chunks \
-        --ic-host --pk-grid 256 \
+        --ic-host --pk-grid 256 --pp-cap-frac 0.75 \
         --ckpt-dir bench_logs/vck256 \
         --out bench_logs/validate_lcdm_256_r4.npz \
         --kill-after "$KILL" \

@@ -14,14 +14,24 @@ import argparse
 import numpy as np
 
 
-def mass_function(mass, nbins=8):
-    """Simple log-binned halo counts (grid mass units)."""
-    m = np.asarray(mass, dtype=np.float64)
+def shared_edges(mass_a, mass_b, nbins=8):
+    """Shared log-mass edges over the combined range of both catalogs, so
+    side-by-side rows compare counts over the SAME mass bins."""
+    m = np.concatenate([np.asarray(mass_a, dtype=np.float64).ravel(),
+                        np.asarray(mass_b, dtype=np.float64).ravel()])
     m = m[m > 0]
     if m.size == 0:
-        return np.zeros(0), np.zeros(0, dtype=int)
+        return np.zeros(0)
     lo, hi = np.log10(m.min()), np.log10(m.max()) + 1e-6
-    edges = np.logspace(lo, hi, nbins + 1)
+    return np.logspace(lo, hi, nbins + 1)
+
+
+def mass_function(mass, edges):
+    """Log-binned halo counts (grid mass units) on the given shared edges."""
+    m = np.asarray(mass, dtype=np.float64)
+    m = m[m > 0]
+    if edges.size == 0:
+        return np.zeros(0), np.zeros(0, dtype=int)
     counts, _ = np.histogram(m, bins=edges)
     centers = np.sqrt(edges[:-1] * edges[1:])
     return centers, counts
@@ -55,21 +65,29 @@ def main():
               f"{'nmodes':>7}")
         # ~10 representative rows, log-spaced over the populated bins
         idx = np.where(ok)[0]
-        for i in idx[np.unique(np.geomspace(1, idx.size, 12).astype(int) - 1)]:
-            print(f"{ka[i]:8.3f} {d2a[i]:10.4g} {d2b[i]:10.4g} "
-                  f"{d2b[i] / d2a[i]:7.3f} {int(nm[i]):7d}")
+        if idx.size:
+            for i in idx[np.unique(
+                    np.geomspace(1, idx.size, 12).astype(int) - 1)]:
+                print(f"{ka[i]:8.3f} {d2a[i]:10.4g} {d2b[i]:10.4g} "
+                      f"{d2b[i] / d2a[i]:7.3f} {int(nm[i]):7d}")
+        else:
+            print("# (no common populated bins)")
         for kmax, name in [(0.3, "quasi-linear k<0.3"),
                            (1.0, "k<1"), (np.inf, "all k")]:
             s = ok & (ka < kmax)
+            if not s.any():
+                print(f"# weighted mean ratio ({name}): no bins")
+                continue
             r = np.average(d2b[s] / d2a[s], weights=da["nmodes"][s])
             print(f"# weighted mean ratio ({name}): {r:.4f}")
     else:
         print("# k grids differ; skipping P(k) ratio")
 
-    # --- halo mass function --------------------------------------------
-    ca, na = mass_function(da["halo_mass"])
-    cb, nb_ = mass_function(db["halo_mass"])
-    print(f"\n# halo mass function (grid-mass log bins, counts)")
+    # --- halo mass function (shared bins — counts are comparable) ------
+    edges = shared_edges(da["halo_mass"], db["halo_mass"])
+    ca, na = mass_function(da["halo_mass"], edges)
+    cb, nb_ = mass_function(db["halo_mass"], edges)
+    print(f"\n# halo mass function (shared grid-mass log bins, counts)")
     print(f"{'M_' + la:>10} {'N_' + la:>6}    {'M_' + lb:>10} {'N_' + lb:>6}")
     for i in range(max(len(na), len(nb_))):
         sa = f"{ca[i]:10.3g} {na[i]:6d}" if i < len(na) else " " * 17

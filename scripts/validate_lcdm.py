@@ -80,6 +80,12 @@ def main():
                          "measurements — a timeout-killed TPU client "
                          "wedges the remote worker for minutes, a clean "
                          "exit does not; resume with --resume-from")
+    ap.add_argument("--pp-cap-frac", type=float, default=0.25,
+                    help="dense-tail buffer capacity as a fraction of "
+                         "max_np: pre-size from run history to avoid the "
+                         "~160 s mid-run pp_autosize recompile (the r3 "
+                         "256^3 run grew 0.25 -> 0.5 at a=0.47; start "
+                         "legs that pass a=0.47 at 0.5+)")
     ap.add_argument("--pp-dense-band", type=int, default=4096,
                     help="dense-tail pair window: must exceed the max "
                          "same-fine-cell occupancy at z=0 (cluster cores "
@@ -121,6 +127,7 @@ def main():
                     density_buffer=1.15 if args.bench_geom else 1.3,
                     shake=True, pid=False,
                     pp_dense_band=args.pp_dense_band,
+                    pp_dense_cap_frac=args.pp_cap_frac,
                     # realization-dependent cluster cores can exceed any
                     # static dense band (a 64^3/100Mpc box packs >4096
                     # particles into one fine cell by z=0); let the driver
@@ -154,10 +161,16 @@ def main():
     t0 = time.time()
     if args.resume_from:
         from cubep3m_tpu.io import checkpoint as ck
+        from cubep3m_tpu.core.timestep import Cursors
         st, cur = ck.load_native(args.resume_from, cfg)
-        sim.cursors = cur
+        # the saved cursors index the WRITING leg's schedule; this leg's
+        # lists are truncated (z_final moved), so recompute them from the
+        # resumed scale factor (ADVICE r3: a stale halofind cursor can
+        # overflow a shorter list and silently skip the z_final trigger)
+        sim.cursors = Cursors.for_resume(sched, float(st.a))
         print(f"# resumed from {args.resume_from}: a={float(st.a):.5f} "
-              f"nts={int(st.nts)} cursors={cur}", flush=True)
+              f"nts={int(st.nts)} saved cursors={cur} -> "
+              f"{sim.cursors}", flush=True)
     elif args.nodes_dim > 1:
         st = zl.zeldovich_ic_distributed(cfg, sim.mesh, seed=42)
         print(f"# distributed ICs generated in {time.time() - t0:.1f}s",
