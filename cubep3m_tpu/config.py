@@ -138,6 +138,27 @@ class SimConfig:
     pp_autosize_headroom: float = 0.7  # grow when occ > headroom*(band+1)
     pp_cell_capacity: int = 32   # max particles per fine cell for pp bucketing
     pp_coarse_capacity: int = 256  # max particles per coarse cell (pp bucket)
+    pp_ext_impl: str = "lattice"  # "lattice": 8 shifted super-cell sorts,
+                                  # O(N) memory at any clustering
+                                  # (ops/pp_lattice.py) — the production
+                                  # path; "bucket": dense coarse-cell
+                                  # position grids (ops/pp.py) — memory
+                                  # scales as capacity * nc^3 and OOMs at
+                                  # >= 128^3 once halos collapse
+    pp_ext_band: int = 0         # lattice PP_EXT same-super-cell pair
+                                 # window (super cell = 2*pp_range fine
+                                 # cells; mean occupancy is (2*pp_range)^3
+                                 # x the mean fine-cell occupancy); denser
+                                 # super cells fall through to the shared
+                                 # dense-tail pass (pp_dense_band window).
+                                 # 0 = auto: 4x the mean super-cell
+                                 # occupancy (pp_ext_band_eff) — a flat
+                                 # band below the MEAN occupancy would
+                                 # classify half the box "dense" and swamp
+                                 # the tail buffer
+    pp_ext_ghost_cap: int = 0    # lattice PP_EXT per-face ghost-copy
+                                 # buffer; 0 = auto from the face-skin
+                                 # volume with 4x clustering headroom
     pp_pallas: Optional[bool] = None  # PPINT band pass as the fused Pallas
                                       # TPU kernel (ops/pp_pallas.py);
                                       # None = auto (on when backend is TPU)
@@ -309,6 +330,25 @@ class SimConfig:
     def mass_p(self) -> float:
         """Particle mass in grid units: nf**3 / np_total = 8 at standard loading."""
         return float(self.nf_physical_dim) ** 3 / float(self.np_total)
+
+    @property
+    def pp_ext_band_eff(self) -> int:
+        """Resolved lattice PP_EXT band: explicit `pp_ext_band`, or 4x the
+        mean super-cell occupancy ((2*pp_range)^3 fine cells each), rounded
+        up to a multiple of 32.  At standard loading (1 particle / 8 fine
+        cells) and pp_range=2 the mean is 8 and the floor of 64 governs."""
+        if self.pp_ext_band:
+            return self.pp_ext_band
+        mean = ((2 * self.pp_range) ** 3 * float(self.np_total)
+                / float(self.nf_physical_dim) ** 3)
+        return max(64, int(-(-4.0 * mean // 32)) * 32)
+
+    def pp_ext_ghost_cap_auto(self) -> int:
+        """Per-face ghost buffer for the lattice PP_EXT: the mean
+        population of a pp_range-deep face skin, with 4x clustering
+        headroom (overflow is counted and pp_autosize doubles it)."""
+        nf = self.nf_physical_node_dim
+        return max(256, int(4.0 * self.max_np * self.pp_range / nf))
 
     @property
     def a_i(self) -> float:

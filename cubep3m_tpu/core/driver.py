@@ -315,16 +315,38 @@ class Simulation:
         if not (cfg.pp_autosize and cfg.pp):
             return
         if bucket_overflowed and cfg.pp_ext:
-            # reactive PP_EXT bucket growth (the reference aborts when a
-            # coarse-cell list overflows; our bucket build drops and
-            # counts instead — double the capacity and rebuild)
-            newcap = cfg.pp_coarse_capacity * 2
-            if self.cfg.verbosity >= 1:
-                print(f"pp_autosize: bucket overflow -> pp_coarse_capacity "
-                      f"{cfg.pp_coarse_capacity} -> {newcap} "
-                      f"(recompiling sweep)", flush=True)
-            self.cfg = cfg = dataclasses.replace(
-                cfg, pp_coarse_capacity=newcap)
+            # reactive PP_EXT growth (the reference aborts when a
+            # coarse-cell list overflows; our builds drop and count
+            # instead — double the binding capacity and rebuild)
+            if cfg.pp_ext_impl == "lattice":
+                # overflow mixes ghost-buffer drops and dense-tail
+                # residuals; grow both (cheap: the ghost skin is thin and
+                # the band only pays where super cells are actually dense)
+                newband = cfg.pp_ext_band_eff * 2
+                # the tail window must stay AHEAD of the band (a tail
+                # narrower than the band silently covers nothing; the
+                # lattice counts but cannot absorb the residual)
+                newdense = max(cfg.pp_dense_band, 2 * newband)
+                newghost = (cfg.pp_ext_ghost_cap
+                            or cfg.pp_ext_ghost_cap_auto()) * 2
+                if self.cfg.verbosity >= 1:
+                    print(f"pp_autosize: lattice pp_ext overflow -> "
+                          f"pp_ext_band {cfg.pp_ext_band_eff} -> {newband}, "
+                          f"pp_dense_band -> {newdense}, "
+                          f"pp_ext_ghost_cap -> {newghost} "
+                          f"(recompiling sweep)", flush=True)
+                self.cfg = cfg = dataclasses.replace(
+                    cfg, pp_ext_band=newband, pp_dense_band=newdense,
+                    pp_ext_ghost_cap=newghost)
+            else:
+                newcap = cfg.pp_coarse_capacity * 2
+                if self.cfg.verbosity >= 1:
+                    print(f"pp_autosize: bucket overflow -> "
+                          f"pp_coarse_capacity "
+                          f"{cfg.pp_coarse_capacity} -> {newcap} "
+                          f"(recompiling sweep)", flush=True)
+                self.cfg = cfg = dataclasses.replace(
+                    cfg, pp_coarse_capacity=newcap)
             self._rebuild_sweep()
         self._steps_since_occ_probe += steps
         if (not overflowed

@@ -32,7 +32,7 @@ from jax import shard_map
 
 from ..config import SimConfig, G
 from ..state import SimState
-from ..ops import binning, deposit, dftmm, fftconv, pp
+from ..ops import binning, deposit, dftmm, fftconv, pp, pp_lattice
 from ..ops import gather_pallas as gather_pallas_mod
 from ..parallel import halo as halo_mod
 from ..parallel import exchange as exchange_mod
@@ -402,11 +402,21 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                          / jnp.maximum(jnp.sqrt(fmax_pp * a_mid * G), 1e-3))
             pp_overflow = jax.lax.psum(res.overflow, AXES)
         if cfg.pp_ext:
-            buckets = pp.bucket_by_coarse_cell(x, valid, nc, ms,
-                                               cfg.pp_coarse_capacity)
-            res = pp.pp_ext_force(x, buckets, nc, ms, cfg.pp_range,
-                                  cfg.nf_cutoff, mass_pp, cfg.rsoft,
-                                  cfg.pp_bias)
+            if cfg.pp_ext_impl == "lattice":
+                dense_cap = max(64, int(cfg.max_np
+                                        * cfg.pp_dense_cap_frac))
+                ghost_cap = (cfg.pp_ext_ghost_cap
+                             or cfg.pp_ext_ghost_cap_auto())
+                res = pp_lattice.pp_ext_lattice_force(
+                    x, valid, nf, cfg.pp_range, cfg.nf_cutoff, mass_pp,
+                    cfg.rsoft, cfg.pp_bias, cfg.pp_ext_band_eff,
+                    cfg.pp_dense_band, dense_cap, ghost_cap)
+            else:
+                buckets = pp.bucket_by_coarse_cell(x, valid, nc, ms,
+                                                   cfg.pp_coarse_capacity)
+                res = pp.pp_ext_force(x, buckets, nc, ms, cfg.pp_range,
+                                      cfg.nf_cutoff, mass_pp, cfg.rsoft,
+                                      cfg.pp_bias)
             v = v + jnp.where(valid[:, None], res.force * kick, 0.0)
             fmax_ppe = jax.lax.pmax(res.fmax, AXES)
             dt_pp_ext_acc = (jnp.sqrt(cfg.dt_pp_ext_scale * cfg.rsoft)
@@ -797,18 +807,28 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                 jax.lax.psum(res.overflow, AXES))
 
     def b5_local(packed, cell, vT, a_mid, dt):
-        """PP_EXT bucket build + 3^3-neighborhood scan + kick (SoA; the
-        reference's extended-range pair loop,
-        particle_mesh_threaded.f90:488-615)."""
+        """PP_EXT extended-range pair force + kick (SoA; the reference's
+        extended-range pair loop,
+        particle_mesh_threaded.f90:488-615) — lattice-shift sorts
+        (production) or the dense bucket scan (small boxes)."""
         a_mid = jnp.asarray(a_mid, jnp.float32)
         kick = a_mid * G * jnp.asarray(dt, jnp.float32)
         xT = packed[0:3]
         valid = cell < ncells_fine
-        buckets = pp.bucket_by_coarse_cell_t(xT, valid, nc, ms,
-                                             cfg.pp_coarse_capacity)
-        res = pp.pp_ext_force_t(xT, buckets, nc, ms, cfg.pp_range,
-                                cfg.nf_cutoff, mass_dm, cfg.rsoft,
-                                cfg.pp_bias)
+        if cfg.pp_ext_impl == "lattice":
+            dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
+            ghost_cap = (cfg.pp_ext_ghost_cap
+                         or cfg.pp_ext_ghost_cap_auto())
+            res = pp_lattice.pp_ext_lattice_force_t(
+                xT, valid, nf, cfg.pp_range, cfg.nf_cutoff, mass_dm,
+                cfg.rsoft, cfg.pp_bias, cfg.pp_ext_band_eff,
+                cfg.pp_dense_band, dense_cap, ghost_cap)
+        else:
+            buckets = pp.bucket_by_coarse_cell_t(xT, valid, nc, ms,
+                                                 cfg.pp_coarse_capacity)
+            res = pp.pp_ext_force_t(xT, buckets, nc, ms, cfg.pp_range,
+                                    cfg.nf_cutoff, mass_dm, cfg.rsoft,
+                                    cfg.pp_bias)
         vT = vT + jnp.where(valid[None, :], res.force * kick, 0.0)
         fmax_ppe = jax.lax.pmax(res.fmax, AXES)
         dt_pp_ext_acc = (jnp.sqrt(cfg.dt_pp_ext_scale * cfg.rsoft)
@@ -1339,10 +1359,20 @@ def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,
                              mass_p, cfg.rsoft, cfg.pp_bias)
         force = force + res.force[inv]
     if cfg.pp_ext:
-        buckets = pp.bucket_by_coarse_cell(x, valid, nc, ms,
-                                           cfg.pp_coarse_capacity)
-        res = pp.pp_ext_force(x, buckets, nc, ms, cfg.pp_range,
-                              cfg.nf_cutoff, mass_p, cfg.rsoft, cfg.pp_bias)
+        if cfg.pp_ext_impl == "lattice":
+            dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
+            ghost_cap = (cfg.pp_ext_ghost_cap
+                         or cfg.pp_ext_ghost_cap_auto())
+            res = pp_lattice.pp_ext_lattice_force(
+                x, valid, nf, cfg.pp_range, cfg.nf_cutoff, mass_p,
+                cfg.rsoft, cfg.pp_bias, cfg.pp_ext_band_eff,
+                cfg.pp_dense_band, dense_cap, ghost_cap)
+        else:
+            buckets = pp.bucket_by_coarse_cell(x, valid, nc, ms,
+                                               cfg.pp_coarse_capacity)
+            res = pp.pp_ext_force(x, buckets, nc, ms, cfg.pp_range,
+                                  cfg.nf_cutoff, mass_p, cfg.rsoft,
+                                  cfg.pp_bias)
         force = force + res.force
 
     ncp = nc + 2

@@ -1,0 +1,304 @@
+"""Lattice-shift PP_EXT: extended pair forces without dense bucket grids.
+
+The bucket implementation (ops/pp.py `pp_ext_force_t`) stores a dense
+`(cap, nc, nc, nc)` position grid per component plus a one-layer halo —
+at production sizes the grid alone is `cap * (nc+2)^3 * 12` bytes, and
+`cap` must cover the MAX coarse-cell occupancy, which grows to thousands
+in collapsed cluster cores.  The representation, not the pair count, is
+what OOMs (round-3 campaign: `f32[256,64,64,64]` temps at 128^3).
+
+This module keeps everything O(N): pairs within `pp_range` fine cells are
+found by **eight shifted super-cell sorts**.  With super cells of edge
+`s = 2*pp_range` fine cells and per-axis shifts {0, pp_range}, any two
+particles within Chebyshev distance `pp_range` share a super cell in at
+least one of the 2^3 shifted lattices (two points within s/2 along an
+axis are co-celled at shift 0 or s/2).  Each shifted lattice is then
+exactly the same-cell banded-pair problem PPINT already solves on TPU
+(`ops/pp._band_pass_cols`): sort by super-cell key, sweep sorted-order
+offsets 1..band, compact over-occupied cells into a dense tail and sweep
+offsets band+1..dense_band there.  A pair co-celled in m of the 8
+lattices contributes with weight 1/m — m is computed pointwise from the
+two positions, so the de-duplication is exact, not statistical.
+
+Pair force matches the reference PP_EXT convention
+(`source_threads/particle_mesh_threaded.f90:488-615`): same-fine-cell
+pairs are EXCLUDED (plain PPINT covers them, untapered), the force is
+`-(x1-x2) mass_p / (r*pp_bias)^3` times the force-matching taper
+`1 - 7/4 s^3 + 3/4 s^5`, `s = r*pp_bias/nf_cutoff`, applied for
+`r <= nf_cutoff + sqrt(3)`.
+
+Cross-device pairs use GHOST PARTICLE COPIES built by three sequential
+axis passes (`ghost_copies_t`) — a one-hop ppermute per face, corners
+and edges covered by re-passing received ghosts, the same scheme the
+reference's particle_pass.f90 uses for its buffer layer (but shipping
+only the `pp_range`-deep skin, not the nf_buf ghost zone).  On a single
+device the permute degenerates to the periodic wrap.  Each device
+accumulates force only into its resident slots; the mirrored pair on the
+neighbor device updates the mirror copy, so nothing is double-counted.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .pp import PPResult, cell_occupancy
+from ..parallel.mesh import AXES
+from ..parallel.exchange import _mesh_perm
+
+
+def ghost_copies_t(pos_t: jnp.ndarray, valid: jnp.ndarray, nf_node: int,
+                   layer: int, cap: int, axis_names=AXES):
+    """Collect ghost copies of particles within `layer` fine cells of any
+    node face, shifted into the local frame ([-layer, 0) and
+    [nf_node, nf_node+layer) coordinates).
+
+    Three sequential axis passes (x, then y over x+ghosts, then z) cover
+    faces, edges and corners with two fixed `cap`-slot buffers per axis.
+    Returns (gpos (3, 6*cap), gvalid (6*cap,), overflow ()).
+    Must run inside shard_map (or with a trivial 1^3 mesh, where the
+    permute is the periodic wrap).
+    """
+    try:
+        dims = tuple(jax.lax.axis_size(n) for n in axis_names)
+    except NameError:
+        dims = (1, 1, 1)
+    multi = any(s > 1 for s in dims)
+
+    lanes = [pos_t[0], pos_t[1], pos_t[2]]
+    val = valid
+    overflow = jnp.asarray(0, jnp.int32)
+    n0 = pos_t.shape[1]
+
+    for axis in range(3):
+        n = lanes[0].shape[0]
+        coord = lanes[axis]
+        # pad once so the fill_value index reads zeros
+        padded = [jnp.concatenate([l, jnp.zeros(1, l.dtype)]) for l in lanes]
+        outs = []
+        for d in (-1, +1):
+            mask = val & ((coord < layer) if d < 0
+                          else (coord >= nf_node - layer))
+            cnt = jnp.sum(mask.astype(jnp.int32))
+            overflow = overflow + jnp.maximum(cnt - cap, 0)
+            idx = jnp.nonzero(mask, size=cap, fill_value=n)[0]
+            ok = idx < n
+            seg = [p[idx] for p in padded]
+            # shift into the receiving neighbor's frame: low-face copies
+            # appear ABOVE the -1 neighbor's domain (+nf), high-face
+            # copies BELOW the +1 neighbor's (-nf)
+            seg[axis] = seg[axis] - float(d) * float(nf_node)
+            pkt = jnp.stack(seg + [ok.astype(jnp.float32)])   # (4, cap)
+            if multi:
+                dd = tuple(d if a == axis else 0 for a in range(3))
+                pkt = jax.lax.ppermute(pkt, axis_names,
+                                       _mesh_perm(dims, dd))
+            outs.append(pkt)
+        lanes = [jnp.concatenate([lanes[i]] + [o[i] for o in outs])
+                 for i in range(3)]
+        val = jnp.concatenate([val] + [o[3] > 0.0 for o in outs])
+
+    gpos = jnp.stack([l[n0:] for l in lanes])
+    return gpos, val[n0:], overflow
+
+
+def _ext_band_pass_cols(cx, cy, cz, cell: jnp.ndarray, lo: int, hi: int,
+                        pp_range: int, nf_cutoff: int, mass_p: float,
+                        rsoft: float, pp_bias: float) -> jnp.ndarray:
+    """Same-super-cell EXT pair forces for sorted-order offsets in
+    [lo, hi], returning SoA (3, N) force.
+
+    Like `ops.pp._band_pass_cols` but with the PP_EXT pair term: pairs in
+    the SAME fine cell are excluded, pairs beyond `pp_range` fine cells
+    (Chebyshev, from floor coords) are excluded, the force carries the
+    force-matching taper, and each pair is weighted by 1/m where m is the
+    number of the 8 shifted lattices in which the two particles share a
+    super cell (exact de-duplication across shifts).
+    """
+    n = cx.shape[0]
+    px = jnp.concatenate([cx, jnp.zeros(hi, cx.dtype)])
+    py = jnp.concatenate([cy, jnp.zeros(hi, cy.dtype)])
+    pz = jnp.concatenate([cz, jnp.zeros(hi, cz.dtype)])
+    cl = jnp.concatenate([cell, jnp.full((hi,), -1, cell.dtype)])
+    # fine-cell floors, precomputed once per pass
+    fx = jnp.floor(px)
+    fy = jnp.floor(py)
+    fz = jnp.floor(pz)
+    rsoft2 = rsoft * rsoft
+    bias3 = pp_bias ** 3
+    h = float(pp_range)
+    s = 2.0 * h
+    taper_cut = nf_cutoff + float(np.sqrt(3.0))
+    tscale = pp_bias / nf_cutoff
+
+    def maxis(f1, f2):
+        """Per-axis count of shifts {0, h} where the two fine coords are
+        co-celled in super cells of edge s."""
+        return ((jnp.floor(f1 / s) == jnp.floor(f2 / s)).astype(jnp.float32)
+                + (jnp.floor((f1 - h) / s)
+                   == jnp.floor((f2 - h) / s)).astype(jnp.float32))
+
+    def body(d, acc):
+        fxm, fym, fzm, fxp, fyp, fzp = acc
+        cj = jax.lax.dynamic_slice(cl, (d,), (n,))
+        xj = jax.lax.dynamic_slice(px, (d,), (n,))
+        yj = jax.lax.dynamic_slice(py, (d,), (n,))
+        zj = jax.lax.dynamic_slice(pz, (d,), (n,))
+        fxj = jax.lax.dynamic_slice(fx, (d,), (n,))
+        fyj = jax.lax.dynamic_slice(fy, (d,), (n,))
+        fzj = jax.lax.dynamic_slice(fz, (d,), (n,))
+        dx = px[:n] - xj
+        dy = py[:n] - yj
+        dz = pz[:n] - zj
+        r2 = dx * dx + dy * dy + dz * dz
+        dcx = jnp.abs(fx[:n] - fxj)
+        dcy = jnp.abs(fy[:n] - fyj)
+        dcz = jnp.abs(fz[:n] - fzj)
+        dcm = jnp.maximum(jnp.maximum(dcx, dcy), dcz)
+        near = (dcm <= h) & (dcm > 0.0)
+        ok = (cl[:n] == cj) & near & (r2 > rsoft2)
+        m = jnp.maximum(maxis(fx[:n], fxj) * maxis(fy[:n], fyj)
+                        * maxis(fz[:n], fzj), 1.0)
+        rmag = jnp.sqrt(r2)
+        ts = rmag * tscale
+        taper = jnp.where(rmag <= taper_cut,
+                          1.0 - 1.75 * ts ** 3 + 0.75 * ts ** 5, 1.0)
+        inv = jnp.where(
+            ok, mass_p * taper
+            / (m * bias3 * jnp.where(ok, r2, 1.0) ** 1.5), 0.0)
+        gx, gy, gz = dx * inv, dy * inv, dz * inv
+        fxm += gx
+        fym += gy
+        fzm += gz
+        fxp = jax.lax.dynamic_update_slice(
+            fxp, jax.lax.dynamic_slice(fxp, (d,), (n,)) + gx, (d,))
+        fyp = jax.lax.dynamic_update_slice(
+            fyp, jax.lax.dynamic_slice(fyp, (d,), (n,)) + gy, (d,))
+        fzp = jax.lax.dynamic_update_slice(
+            fzp, jax.lax.dynamic_slice(fzp, (d,), (n,)) + gz, (d,))
+        return fxm, fym, fzm, fxp, fyp, fzp
+
+    zero_n = jnp.zeros((n,), cx.dtype)
+    zero_p = jnp.zeros((n + hi,), cx.dtype)
+    fxm, fym, fzm, fxp, fyp, fzp = jax.lax.fori_loop(
+        lo, hi + 1, body, (zero_n, zero_n, zero_n, zero_p, zero_p, zero_p))
+    return jnp.stack([fxp[:n] - fxm, fyp[:n] - fym, fzp[:n] - fzm])
+
+
+def pp_ext_lattice_force_t(pos_t: jnp.ndarray, valid: jnp.ndarray,
+                           nf_node: int, pp_range: int, nf_cutoff: int,
+                           mass_p: float, rsoft: float, pp_bias: float,
+                           band: int, dense_band: int, dense_cap: int,
+                           ghost_cap: int, axis_names=AXES) -> PPResult:
+    """Extended pp force over the pp_range fine-cell neighborhood via 8
+    shifted super-cell sorts, on SoA (3, N) positions, returning SoA
+    (3, N) force for the resident slots.
+
+    Memory is O(N + 6*ghost_cap) regardless of clustering; over-occupied
+    super cells (collapsed halos) spill into the same dense-tail scheme
+    as PPINT, so no pair is dropped up to `dense_band` occupancy.
+    Overflow counts ghost-buffer drops plus (max over shifts) dense-tail
+    residuals.
+    """
+    n = pos_t.shape[1]
+    h = pp_range
+    s = 2 * pp_range
+    # Contract: resident positions live in [0, nf_node) — the sweep wraps
+    # (1 device) or exchanges (multi-device) before forces.  Wrap anyway:
+    # it is the identity for in-contract input, makes the single-device
+    # path exact for ANY periodic input (e.g. compute_forces on raw user
+    # positions, where a particle at y=-0.45 needs partners one cell
+    # deeper than the pp_range ghost skin), and guards the f32 mod edge
+    # where -eps wraps to exactly nf.
+    nff = float(nf_node)
+    xw = jnp.mod(pos_t, nff)
+    xw = jnp.where(xw >= nff, xw - nff, xw)
+    pos_t = jnp.where(valid[None, :], xw, 0.0)
+    gpos, gval, g_ovfl = ghost_copies_t(pos_t, valid, nf_node, h,
+                                        ghost_cap, axis_names)
+    ax = jnp.concatenate([pos_t, gpos], axis=1)          # (3, M)
+    aval = jnp.concatenate([valid, gval])
+    m_tot = ax.shape[1]
+    # super-cell key domain covers [-h, nf_node + h) shifted by up to h,
+    # re-based by one super cell of padding
+    pad = float(s)
+    ncs = (nf_node + 2 * s) // s + 1
+    sentinel = ncs ** 3
+
+    force = jnp.zeros((3, m_tot), jnp.float32)
+    tail_ovfl = jnp.asarray(0, jnp.int32)
+    from .binning import rank_from_sorted
+
+    for sx in (0.0, float(h)):
+        for sy in (0.0, float(h)):
+            for sz in (0.0, float(h)):
+                kx = jnp.floor((ax[0] + pad - sx) / s).astype(jnp.int32)
+                ky = jnp.floor((ax[1] + pad - sy) / s).astype(jnp.int32)
+                kz = jnp.floor((ax[2] + pad - sz) / s).astype(jnp.int32)
+                key = jnp.where(aval, (kx * ncs + ky) * ncs + kz,
+                                sentinel)
+                order = jnp.argsort(key)
+                cl = key[order]
+                cx, cy, cz = ax[0][order], ax[1][order], ax[2][order]
+                f = _ext_band_pass_cols(cx, cy, cz, cl, 1, band, pp_range,
+                                        nf_cutoff, mass_p, rsoft, pp_bias)
+                if dense_band <= band:
+                    # no tail: pairs beyond the band are dropped — count
+                    # them so pp_autosize can react (never drop silently)
+                    rank = rank_from_sorted(cl)
+                    tail_ovfl = jnp.maximum(
+                        tail_ovfl,
+                        jnp.sum(((rank > band) & (cl < sentinel))
+                                .astype(jnp.int32)))
+                if dense_band > band:
+                    rank = rank_from_sorted(cl)
+                    occ = cell_occupancy(cl, rank)
+                    dense = (cl < sentinel) & (occ > band + 1)
+                    n_dense = jnp.sum(dense.astype(jnp.int32))
+
+                    def run(_):
+                        idx = jnp.nonzero(dense, size=dense_cap,
+                                          fill_value=m_tot)[0]
+                        cx_p = jnp.concatenate([cx, jnp.zeros(1)])
+                        cy_p = jnp.concatenate([cy, jnp.zeros(1)])
+                        cz_p = jnp.concatenate([cz, jnp.zeros(1)])
+                        cl_p = jnp.concatenate(
+                            [cl, jnp.full((1,), sentinel + 1, cl.dtype)])
+                        fc = _ext_band_pass_cols(
+                            cx_p[idx], cy_p[idx], cz_p[idx], cl_p[idx],
+                            band + 1, dense_band, pp_range, nf_cutoff,
+                            mass_p, rsoft, pp_bias)
+                        fc = jnp.where((idx < m_tot)[None, :], fc, 0.0)
+                        return jnp.zeros((3, m_tot), jnp.float32).at[
+                            :, jnp.clip(idx, 0, m_tot - 1)].add(fc)
+
+                    f = f + jax.lax.cond(
+                        n_dense > 0, run,
+                        lambda _: jnp.zeros((3, m_tot), jnp.float32), None)
+                    tail_ovfl = jnp.maximum(
+                        tail_ovfl,
+                        jnp.maximum(n_dense - dense_cap, 0)
+                        + jnp.sum(((rank > dense_band) & (cl < sentinel))
+                                  .astype(jnp.int32)))
+                # undo the sort (order is a permutation: scatter-set)
+                force = force.at[:, order].add(f)
+
+    force = force[:, :n]
+    force = jnp.where(valid[None, :], force, 0.0)
+    fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=0)))
+    return PPResult(force=force, fmax=fmax,
+                    overflow=g_ovfl + tail_ovfl)
+
+
+def pp_ext_lattice_force(pos: jnp.ndarray, valid: jnp.ndarray,
+                         nf_node: int, pp_range: int, nf_cutoff: int,
+                         mass_p: float, rsoft: float, pp_bias: float,
+                         band: int, dense_band: int, dense_cap: int,
+                         ghost_cap: int, axis_names=AXES) -> PPResult:
+    """(N, 3) wrapper over `pp_ext_lattice_force_t`."""
+    res = pp_ext_lattice_force_t(pos.T, valid, nf_node, pp_range,
+                                 nf_cutoff, mass_p, rsoft, pp_bias, band,
+                                 dense_band, dense_cap, ghost_cap,
+                                 axis_names)
+    return PPResult(force=res.force.T, fmax=res.fmax,
+                    overflow=res.overflow)

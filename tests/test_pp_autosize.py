@@ -162,13 +162,33 @@ def test_reactive_bucket_growth_pp_ext():
     """PP_EXT coarse-cell buckets: an observed bucket_overflow doubles
     pp_coarse_capacity and rebuilds (the reference aborts when a
     coarse-cell list overflows; our bucket build drops + counts)."""
-    cfg = small_config(z_i=50.0, pp_ext=True, pp_coarse_capacity=16,
+    cfg = small_config(z_i=50.0, pp_ext=True, pp_ext_impl="bucket",
+                      pp_coarse_capacity=16,
                       pp_autosize=True, pp_autosize_every=10 ** 6,
                       verbosity=0)
     sim = Simulation(cfg)
     st = _state_with_dense_cell(cfg, n_dense=40)  # one coarse cell > 16
     st = sim.run(st, max_steps=2, use_chunks=False)
     assert sim.cfg.pp_coarse_capacity > 16, "bucket autosize never fired"
+    assert any(l.bucket_overflow for l in sim.logs[:1])
+    st, _ = sim.step(st)
+    assert int(st.bucket_overflow) == 0
+
+
+def test_reactive_lattice_growth_pp_ext():
+    """Lattice PP_EXT: an observed bucket_overflow (ghost drops or dense
+    residuals) doubles pp_ext_band + pp_ext_ghost_cap and rebuilds; the
+    rebuilt sweep absorbs the same state with zero overflow."""
+    cfg = small_config(z_i=50.0, pp_ext=True, pp_ext_band=8,
+                      pp_dense_band=8,  # dense tail can't absorb either
+                      pp_autosize=True, pp_autosize_every=10 ** 6,
+                      verbosity=0)
+    assert cfg.pp_ext_impl == "lattice"
+    sim = Simulation(cfg)
+    st = _state_with_dense_cell(cfg, n_dense=40)  # one fine cell > band
+    st = sim.run(st, max_steps=2, use_chunks=False)
+    assert sim.cfg.pp_ext_band_eff > 8, "lattice autosize never fired"
+    assert sim.cfg.pp_ext_ghost_cap > 0
     assert any(l.bucket_overflow for l in sim.logs[:1])
     st, _ = sim.step(st)
     assert int(st.bucket_overflow) == 0
