@@ -13,7 +13,11 @@ Two formats:
   cur_projection,cur_halofind,mass_p` followed by xv(6) per particle with
   the shake offset subtracted (checkpoint.f90:73-95).  This lets reference
   post-processing tools (`cic_power`, `halofind`, `recompose`) consume our
-  snapshots and vice versa.
+  snapshots and vice versa.  An `{z}xvaux.npz` sidecar carries the
+  integrator state the Fortran header omits (dt_old, dt_pp_ext_acc,
+  dt_gas_acc, shake offset, rng) so OUR reader restarts bit-faithfully;
+  without it (a genuine Fortran snapshot) the restart re-primes those
+  exactly like the reference does (variable_initialization.f90:27).
 
 Wall-clock kill checkpoints (`cubepm_kill.f90:231-258`) reuse the same
 writers with the `xvres` prefix via `kill=True`.
@@ -235,6 +239,20 @@ def write_reference_checkpoint(outdir: str, cfg: SimConfig, state: SimState,
                 # reference PIDs are integer(8)
                 f.write(pid[sl].astype("<i8").tobytes())
             files.append(fn_pid)
+    # integrator-state sidecar: the reference header (checkpoint.f90:73-78)
+    # does NOT carry dt_old, dt_pp_ext_acc, dt_gas_acc, the shake offset or
+    # the RNG — the Fortran restart re-primes them
+    # (variable_initialization.f90:27), so a header-only restart is
+    # reference-faithful but not bit-faithful to the interrupted run.  The
+    # sidecar closes that gap for OUR reader; foreign tools ignore it.
+    fn_aux = os.path.join(outdir, f"{prefix}{tag}aux.npz")
+    with open(fn_aux, "wb") as f:
+        np.savez(f, dt_old=np.float32(state.dt_old),
+                 dt_pp_ext_acc=np.float32(state.dt_pp_ext_acc),
+                 dt_gas_acc=np.float32(state.dt_gas_acc),
+                 shake_offset=shake.astype(np.float32),
+                 rng=np.asarray(state.rng))
+    files.append(fn_aux)
     return files
 
 
@@ -327,21 +345,49 @@ def read_reference_checkpoint(outdir: str, cfg: SimConfig, z: float,
         # gas restart rides along when the files exist
         # (mpi_tvd_mhd_restart role)
         _dg = read_reference_gas(outdir, cfg, z)
+    # integrator-state sidecar (see write_reference_checkpoint): restores
+    # the fields the reference header omits, making the round trip
+    # bit-faithful.  WITHOUT it (a genuine Fortran-produced snapshot) the
+    # restart matches the reference's own semantics instead: dt_old=0,
+    # dt_pp_ext_acc/dt_gas_acc re-primed to 1000
+    # (variable_initialization.f90:27), shake offset zero (positions were
+    # written shake-subtracted, so the zero offset is CONSISTENT — only
+    # the next shake delta differs from the uninterrupted run).
     f32 = lambda v_: jnp.asarray(float(v_), jnp.float32)
+    fn_aux = os.path.join(outdir, f"{prefix}{tag}aux.npz")
+    if os.path.exists(fn_aux):
+        aux = np.load(fn_aux)
+        dt_old = f32(aux["dt_old"])
+        dt_pp_ext_acc = f32(aux["dt_pp_ext_acc"])
+        dt_gas_acc = f32(aux["dt_gas_acc"])
+        shake = aux["shake_offset"].astype(np.float32)
+        rng = jnp.asarray(aux["rng"])
+        # positions in the file are shake-subtracted; re-add the offset so
+        # the resumed state is identical to the writer's
+        for rank in range(nodes):
+            n = int(counts[rank])
+            xs[rank * cap:rank * cap + n] += shake[None, :]
+        shake_offset = jnp.asarray(shake)
+    else:
+        dt_old = f32(0.0)
+        dt_pp_ext_acc = f32(1000.0)
+        dt_gas_acc = f32(1000.0)
+        shake_offset = jnp.zeros(3, jnp.float32)
+        rng = jax.random.PRNGKey(int(hdr["nts"]))
     state = SS(
         x=jnp.asarray(xs), v=jnp.asarray(vs), pid=jnp.asarray(pids),
         np_local=jnp.asarray(counts),
         a=f32(hdr["a"]), tau=f32(hdr["tau"]), t=f32(hdr["t"]),
-        dt_old=f32(0.0), nts=jnp.asarray(int(hdr["nts"]), jnp.int32),
+        dt_old=dt_old, nts=jnp.asarray(int(hdr["nts"]), jnp.int32),
         dt_f_acc=f32(hdr["dt_f_acc"]), dt_pp_acc=f32(hdr["dt_pp_acc"]),
-        dt_pp_ext_acc=f32(1000.0), dt_c_acc=f32(hdr["dt_c_acc"]),
-        dt_gas_acc=f32(1000.0),
-        shake_offset=jnp.zeros(3, jnp.float32),
+        dt_pp_ext_acc=dt_pp_ext_acc, dt_c_acc=f32(hdr["dt_c_acc"]),
+        dt_gas_acc=dt_gas_acc,
+        shake_offset=shake_offset,
         pp_overflow=jnp.asarray(0, jnp.int32),
         exchange_overflow=jnp.asarray(0, jnp.int32),
         bucket_overflow=jnp.asarray(0, jnp.int32),
         clamp_count=jnp.asarray(0, jnp.int32),
-        rng=jax.random.PRNGKey(int(hdr["nts"])),
+        rng=rng,
         gas_u=_dg[0], gas_b=_dg[1],
     )
     cursors = Cursors(checkpoint=int(hdr["cur_checkpoint"]),

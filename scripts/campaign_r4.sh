@@ -50,6 +50,9 @@ END=${CAMPAIGN_END:-$(( $(date +%s) + 3000 ))}
 # against a slower-than-expected window; ~2200 s expected).
 # --pp-cap-frac 0.5 pre-sizes the dense-tail buffer from the r3 history
 # (pp_autosize grew 0.25 -> 0.5 at a=0.47, a ~160 s mid-run recompile).
+# ADVICE r3: guard leg 1 like leg 2 — with REMAIN below ~700 s the
+# kill-after would go negative/tiny and burn the step on an immediate
+# failure plus the 330 s recovery sleep
 REMAIN=$(( END - $(date +%s) ))
 if [ "$REMAIN" -le 700 ]; then
     say "validate256-z1: window too small (${REMAIN}s); skipping leg 1"

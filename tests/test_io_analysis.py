@@ -35,7 +35,7 @@ def test_reference_checkpoint_roundtrip(tmp_path, cfg):
     st = state_mod.random_ic(cfg, seed=10)
     cur = Cursors()
     files = ckpt.write_reference_checkpoint(str(tmp_path), cfg, st, cur)
-    assert len(files) == 2  # xv + PID for the single rank
+    assert len(files) == 3  # xv + PID for the single rank + aux sidecar
     z = 1.0 / float(st.a) - 1.0
     st2, cur2 = ckpt.read_reference_checkpoint(str(tmp_path), cfg, z)
     n = int(st.np_local[0])
@@ -48,6 +48,47 @@ def test_reference_checkpoint_roundtrip(tmp_path, cfg):
                                   np.asarray(st.pid)[:n])
     # callers pass post-trigger cursors; a direct write round-trips as-is
     assert cur2.checkpoint == 0
+
+
+def test_reference_restart_bit_faithful(tmp_path):
+    """VERDICT r3 Weak #5: a reference-format checkpoint written MID-RUN
+    (nonzero shake offset + primed dt accumulators) must restart to the
+    exact same trajectory as the uninterrupted run.  The aux sidecar
+    carries the state the Fortran header omits (dt_old, dt_pp_ext_acc,
+    dt_gas_acc, shake, rng; checkpoint.f90:73-78 vs
+    variable_initialization.f90:27); positions round-trip through the
+    shake subtraction."""
+    from cubep3m_tpu.core.driver import Simulation
+
+    cfg2 = small_config(pid=True, z_i=50.0, shake=True, pp_ext=True,
+                        pp_range=2)
+    sim = Simulation(cfg2)
+    st = state_mod.random_ic(cfg2, seed=12)
+    for _ in range(3):
+        st, _ = sim.step(st)
+    assert float(np.abs(np.asarray(st.shake_offset)).max()) > 0
+    cur = Cursors(checkpoint=1)
+    ckpt.write_reference_checkpoint(str(tmp_path), cfg2, st, cur)
+    z = 1.0 / float(st.a) - 1.0
+    st2, cur2 = ckpt.read_reference_checkpoint(str(tmp_path), cfg2, z)
+    assert cur2.checkpoint == 1
+    n = int(st.np_local[0])
+    # full integrator state restored, not just the header fields
+    for name in ("a", "t", "tau", "dt_old", "dt_f_acc", "dt_pp_acc",
+                 "dt_pp_ext_acc", "dt_c_acc"):
+        assert float(getattr(st2, name)) == float(getattr(st, name)), name
+    np.testing.assert_array_equal(np.asarray(st2.shake_offset),
+                                  np.asarray(st.shake_offset))
+    np.testing.assert_allclose(np.asarray(st2.x)[:n],
+                               np.asarray(st.x)[:n], atol=1e-5)
+    # ... and the NEXT step matches the uninterrupted run (the shake
+    # delta + drift both depend on the restored fields)
+    st_a, _ = sim.step(st)
+    st_b, _ = Simulation(cfg2).step(st2)
+    np.testing.assert_allclose(np.asarray(st_b.x)[:n],
+                               np.asarray(st_a.x)[:n], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_b.v)[:n],
+                               np.asarray(st_a.v)[:n], atol=2e-5)
 
 
 def test_reference_checkpoint_golden_file(tmp_path, cfg):
