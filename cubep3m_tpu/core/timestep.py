@@ -69,13 +69,20 @@ class Cursors:
 
     @classmethod
     def for_resume(cls, schedule: "OutputSchedule", a: float,
-                   eps: float = 1e-9) -> "Cursors":
+                   eps: float = 1e-5) -> "Cursors":
         """Cursors consistent with `schedule` at scale factor `a`: each
         cursor counts the entries already passed.  Use when resuming a
         checkpoint under a DIFFERENT schedule than the one that wrote it
         (e.g. a two-leg campaign whose leg 2 truncates the lists) — the
         saved cursors index the old lists and can overflow or skip
-        triggers in the new one."""
+        triggers in the new one.
+
+        `eps` must swallow f32 landing error: the driver clamps dt to LAND
+        on a trigger, but the landed `state.a` is f32 and can sit a few
+        ulp BELOW the f64 schedule entry — with a too-tight eps the resume
+        re-fires the trigger it resumed from (the r4 256^3 leg re-wrote
+        its 470 MB z=10 checkpoint).  Schedule entries are >=0.07 apart in
+        a, so 1e-5 cannot skip a genuinely-pending trigger."""
         done = lambda lst: sum(1 for x in lst if x <= a + eps)
         return cls(checkpoint=done(schedule.checkpoints),
                    projection=done(schedule.projections),

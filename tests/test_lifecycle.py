@@ -234,3 +234,27 @@ def test_subulp_wrap_not_counted_as_clamp():
         jnp.asarray(pid), jnp.asarray(valid), nf, max_buf=8)
     assert int(res.clamp_count) == 1      # the genuine multi-hop only
     assert int(res.n_valid) == 3
+
+
+def test_resume_cursors_f32_landing_eps():
+    """A resumed f32 scale factor sits a few ulp BELOW the f64 schedule
+    entry it landed on (the driver clamps dt to hit the trigger, then
+    stores a in f32).  for_resume must count that entry as done or the
+    resumed run re-fires the trigger it resumed from (the r4 256^3 leg
+    re-wrote its 470 MB z=10 checkpoint)."""
+    from cubep3m_tpu.core.timestep import Cursors
+
+    sched = OutputSchedule.from_redshifts(
+        checkpoints=[10.0, 5.0, 3.0, 2.0, 1.0], halofinds=[1.0])
+    # the actual landed value from the r4 256^3 run's z=10 checkpoint:
+    # the on-device f32 dt clamp stops a couple of ulp short
+    a_landed = 0.09090907871723175
+    assert a_landed < 1.0 / 11.0
+    cur = Cursors.for_resume(sched, a_landed)
+    assert cur.checkpoint == 1        # z=10 done, z=5 pending
+    assert cur.halofind == 0
+    # mid-interval resume (a kill checkpoint) counts only passed entries
+    cur2 = Cursors.for_resume(sched, 0.12)
+    assert cur2.checkpoint == 1
+    cur3 = Cursors.for_resume(sched, float(np.float32(0.5)))
+    assert cur3.checkpoint == 5 and cur3.halofind == 1
