@@ -85,6 +85,64 @@ def density_device(cfg: SimConfig, state: SimState,
     return jax.jit(fn)(state.x, state.np_local, state.shake_offset, weights)
 
 
+def density_blocks_padded(cfg: SimConfig, state: SimState,
+                          mesh: Optional[Mesh] = None, refine: int = 1,
+                          pad: int = 0, remove_shake: bool = True):
+    """Per-device halo-padded density blocks for tile-local halo growth
+    (the reference's per-tile scheme, halofind.f90:564-777).
+
+    Like `density_device`, but each device's block is additionally
+    halo-padded by `pad` REFINED cells of neighbor density, so a sphere
+    grown from any peak in the device's physical region stays in-block up
+    to radius `pad`.  Yields (origin, block) pairs on host, one device at
+    a time — only per-device blocks cross the link, never the global
+    grid (the 512^3-refine-2 global pull is 4 GiB; a padded block is
+    1/nodes of that plus skin).
+
+    origin: (3,) int64, the block's [0,0,0] cell in REFINED GLOBAL
+    coordinates (i.e. device_offset*nf_node*r - pad; negative/wrapped
+    coordinates follow periodic wrapping).
+    """
+    mesh = _mesh_for(cfg, mesh)
+    r = max(1, int(refine))
+    nf = cfg.nf_physical_node_dim
+    pad = int(pad)
+    if pad > nf * r:
+        raise ValueError(f"pad {pad} exceeds the device block {nf * r}")
+    spad = _shake_pad(cfg) if remove_shake else 0
+    npad = (nf + 2 * spad) * r
+
+    def local(x, np_local, shake, w):
+        n_slots = x.shape[0]
+        valid = jnp.arange(n_slots) < np_local[0]
+        xs = x - shake[None, :] if remove_shake else x
+        wv = jnp.where(valid, w, 0.0)
+        grid = ngp_deposit(xs * r, wv, (npad, npad, npad),
+                           offset=float(spad * r))
+        if spad:
+            grid = halo_mod.halo_fold(grid, spad * r)
+        if pad:
+            grid = halo_mod.halo_pad(grid, pad)
+        ox, oy, oz = halo_mod.device_coords()
+        origin = (jnp.stack([ox, oy, oz]).astype(jnp.int64) * (nf * r)
+                  - pad)
+        return grid, origin[None, :]
+
+    pa = P(AXES)
+    weights = jnp.full((state.x.shape[0],),
+                       jnp.float32(cfg.mass_p * r ** 3))
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(pa, pa, P(), pa),
+                   out_specs=(P(AXES), P(AXES)), check_vma=False)
+    blocks, origins = jax.jit(fn)(state.x, state.np_local,
+                                  state.shake_offset, weights)
+    origins = np.asarray(origins)          # (ndev, 3), tiny
+    blk = nf * r + 2 * pad
+    for shard in blocks.addressable_shards:
+        k = shard.index[0].start // blk if shard.index[0].start else 0
+        yield origins[k], np.array(shard.data)
+
+
 def peaks_device(cfg: SimConfig, rho: jax.Array,
                  mesh: Optional[Mesh] = None, cutoff: float = 100.0,
                  cap_per_device: int = 1 << 17

@@ -65,6 +65,16 @@ class HalofindParams:
     refine: int = 1                # density-mesh refinement (finer-grid var.)
     tis_rescale: bool = True       # TIS M(Delta) mass correction
     n_bound: int = 50              # most-bound PIDs stored (N_p)
+    per_device: Optional[bool] = None
+    # per_device: grow halos on per-device halo-padded density blocks
+    # (the reference's per-tile scheme, halofind.f90:564-777) instead of
+    # pulling the GLOBAL grid to host.  Only per-device blocks cross the
+    # link — required once the refined global grid outgrows the host pull
+    # (512^3 refine 2 = 4 GiB at ~50 MB/s).  Mass exclusivity is then
+    # per-device like the reference's per-tile growth: two halos on
+    # different devices can both consume the same pad-region mass (the
+    # global path serializes them).  None = auto: per-device when the
+    # global grid exceeds 2 GiB.
 
 
 _TIS_TABLE = None
@@ -213,6 +223,63 @@ def _para_interp(rho: np.ndarray, ijk: np.ndarray) -> np.ndarray:
     return pos
 
 
+def _block_local_maxima(blk: np.ndarray, pad: int, cutoff: float
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """26-neighborhood local maxima of the INTERIOR of a halo-padded
+    block, host-side, matching `peaks_device`'s >= tie rule.  Returns
+    (K, 3) padded-block indices + values, density-descending."""
+    n = blk.shape[0] - 2 * pad
+    inter = blk[pad:pad + n, pad:pad + n, pad:pad + n]
+    neigh = None
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                if dx == dy == dz == 1:
+                    continue
+                s = blk[pad - 1 + dx:pad - 1 + dx + n,
+                        pad - 1 + dy:pad - 1 + dy + n,
+                        pad - 1 + dz:pad - 1 + dz + n]
+                neigh = s if neigh is None else np.maximum(neigh, s)
+    is_peak = (inter >= neigh) & (inter > cutoff)
+    idx = np.argwhere(is_peak) + pad
+    vals = blk[tuple(idx.T)]
+    order = np.argsort(-vals)
+    return idx[order].astype(np.int64), vals[order]
+
+
+def _grow_numpy(rho: np.ndarray, peaks: np.ndarray, offsets: np.ndarray,
+                rdist: np.ndarray, odc: float, min_mass: float) -> list:
+    """Exclusive sphere growth, numpy fallback (native/halo_growth.cpp
+    mirror): returns [(peak_index, mass, radius, ncells)], zeroing
+    consumed cells of `rho` in place.  Periodic in rho's own size (a
+    halo-padded block keeps every reachable cell in range, so the wrap
+    never fires there)."""
+    n = rho.shape[0]
+    halos = []
+    for h in range(peaks.shape[0]):
+        c = peaks[h]
+        if rho[tuple(c)] <= 0:   # consumed by a previous halo
+            continue
+        cells = (c[None, :] + offsets) % n
+        dens = rho[cells[:, 0], cells[:, 1], cells[:, 2]]
+        csum = np.cumsum(dens)
+        # mean overdensity = enclosed mass / consumed cell volume
+        ncells = np.arange(1, dens.size + 1, dtype=np.float64)
+        mean_od = csum / ncells
+        below = np.where(mean_od < odc)[0]
+        stop = below[0] if below.size else dens.size
+        if stop < 1:
+            stop = 1
+        mass = float(csum[stop - 1])
+        radius = float(rdist[stop - 1]) if stop > 1 else 1.0
+        if mass < min_mass:
+            continue
+        used = cells[:stop]
+        rho[used[:, 0], used[:, 1], used[:, 2]] = 0.0
+        halos.append((h, mass, radius, stop))
+    return halos
+
+
 def _sorted_candidates(cfg: SimConfig, state: SimState,
                        centers: np.ndarray, radii: np.ndarray, mesh=None):
     """Pull only particles in coarse cells near any (center, radius) and
@@ -268,69 +335,88 @@ def find_halos(cfg: SimConfig, state: SimState,
     catalog quantities stay in fine-cell/grid-mass units.
     """
     from . import device_fields as dv
+    from .. import native as native_mod
 
     p = params or HalofindParams()
     nf = cfg.nf_physical_dim
     r = max(1, int(p.refine))
     nf_r = nf * r
-
-    rho_dev = dv.density_device(cfg, state, mesh=mesh, refine=r)
-    cap = 1 << 17
-    while True:
-        try:
-            peaks, peak_vals = dv.peaks_device(cfg, rho_dev, mesh=mesh,
-                                               cutoff=p.den_peak_cutoff,
-                                               cap_per_device=cap)
-            break
-        except RuntimeError:
-            # unusually peak-rich box: retry with a larger device buffer
-            cap *= 4
-            if cap > nf_r ** 3:
-                raise
-    rho = np.array(rho_dev)  # writable: growth zeroes consumed mass
-
-    if peaks.shape[0] == 0:
-        return np.zeros(0, dtype=CATALOG_DTYPE)
-
-    peak_pos = _para_interp(rho, peaks)
-    offsets, rdist = _shell_offsets(min(p.nc_halo_max * r, nf_r // 4))
     min_mass = p.min_halo_particles * cfg.mass_p * r ** 3
+    per_device = p.per_device
+    if per_device is None:
+        # auto: per-device once the refined global grid outgrows a sane
+        # host pull (512^3 refine 2 = 4 GiB over a ~50 MB/s device link)
+        per_device = nf_r ** 3 * 4 > (2 << 30)
 
-    # --- exclusive sphere growth (sequential over density-ranked peaks) ---
-    # native C++ loop when available (cubep3m_tpu/native); numpy fallback
-    from .. import native as native_mod
-    res = native_mod.grow_halos(rho, peaks, offsets, rdist,
-                                p.halo_odc, min_mass)
-    halos = []
-    if res is not None:
-        rho, mass_arr, radius_arr, kept, ncells_arr = res
-        halos = [(h, float(mass_arr[h]), float(radius_arr[h]),
-                  int(ncells_arr[h])) for h in np.where(kept)[0]]
+    if per_device:
+        # --- per-device growth on halo-padded blocks (the reference's
+        # per-tile scheme, halofind.f90:564-777): only per-device blocks
+        # ever cross the link; exclusivity is per-device like the
+        # reference's per-tile growth ---------------------------------
+        rmax = min(p.nc_halo_max * r, nf_r // 4,
+                   cfg.nf_physical_node_dim * r)
+        offsets, rdist = _shell_offsets(rmax)
+        rows = []   # (peak_pos(3) refined-global, val, mass, radius, nc)
+        for origin, blk in dv.density_blocks_padded(cfg, state, mesh=mesh,
+                                                    refine=r, pad=rmax):
+            pk, pk_vals = _block_local_maxima(blk, rmax,
+                                              p.den_peak_cutoff)
+            if pk.shape[0] == 0:
+                continue
+            ppos = _para_interp(blk, pk)       # before growth zeroes blk
+            res = native_mod.grow_halos(blk, pk, offsets, rdist,
+                                        p.halo_odc, min_mass)
+            if res is not None:
+                _, mass_arr, radius_arr, kept, ncells_arr = res
+                found = [(h, float(mass_arr[h]), float(radius_arr[h]),
+                          int(ncells_arr[h])) for h in np.where(kept)[0]]
+            else:
+                found = _grow_numpy(blk, pk, offsets, rdist, p.halo_odc,
+                                    min_mass)
+            for h, mass, radius, nc in found:
+                gpos = np.mod(ppos[h] + origin, nf_r)
+                rows.append((gpos, float(pk_vals[h]), mass, radius, nc))
+        if not rows:
+            return np.zeros(0, dtype=CATALOG_DTYPE)
+        # density-descending across devices, matching the global path's
+        # catalog order when no cross-device mass competition occurred
+        rows.sort(key=lambda t: -t[1])
+        peak_pos = np.array([t[0] for t in rows])
+        peak_vals = np.array([t[1] for t in rows])
+        halos = [(i, t[2], t[3], t[4]) for i, t in enumerate(rows)]
     else:
-        odc = p.halo_odc
-        for h in range(peaks.shape[0]):
-            c = peaks[h]
-            if rho[tuple(c)] <= 0:   # consumed by a previous halo
-                continue
-            cells = (c[None, :] + offsets) % nf_r
-            dens = rho[cells[:, 0], cells[:, 1], cells[:, 2]]
-            csum = np.cumsum(dens)
-            # mean overdensity = enclosed mass / consumed cell volume
-            # (mean density is 1; cell-count volume is consistent with the
-            # cell-by-cell growth, -> 4/3 pi r^3 at large radii)
-            ncells = np.arange(1, dens.size + 1, dtype=np.float64)
-            mean_od = csum / ncells
-            below = np.where(mean_od < odc)[0]
-            stop = below[0] if below.size else dens.size
-            if stop < 1:
-                stop = 1
-            mass = float(csum[stop - 1])
-            radius = float(rdist[stop - 1]) if stop > 1 else 1.0
-            if mass < min_mass:
-                continue
-            used = cells[:stop]
-            rho[used[:, 0], used[:, 1], used[:, 2]] = 0.0
-            halos.append((h, mass, radius, stop))
+        rho_dev = dv.density_device(cfg, state, mesh=mesh, refine=r)
+        cap = 1 << 17
+        while True:
+            try:
+                peaks, peak_vals = dv.peaks_device(
+                    cfg, rho_dev, mesh=mesh, cutoff=p.den_peak_cutoff,
+                    cap_per_device=cap)
+                break
+            except RuntimeError:
+                # unusually peak-rich box: retry with a larger buffer
+                cap *= 4
+                if cap > nf_r ** 3:
+                    raise
+        rho = np.array(rho_dev)  # writable: growth zeroes consumed mass
+
+        if peaks.shape[0] == 0:
+            return np.zeros(0, dtype=CATALOG_DTYPE)
+
+        peak_pos = _para_interp(rho, peaks)
+        offsets, rdist = _shell_offsets(min(p.nc_halo_max * r, nf_r // 4))
+
+        # --- exclusive sphere growth (sequential over density-ranked
+        # peaks): native C++ loop when available, numpy fallback --------
+        res = native_mod.grow_halos(rho, peaks, offsets, rdist,
+                                    p.halo_odc, min_mass)
+        if res is not None:
+            rho, mass_arr, radius_arr, kept, ncells_arr = res
+            halos = [(h, float(mass_arr[h]), float(radius_arr[h]),
+                      int(ncells_arr[h])) for h in np.where(kept)[0]]
+        else:
+            halos = _grow_numpy(rho, peaks, offsets, rdist, p.halo_odc,
+                                min_mass)
 
     if not halos:
         return np.zeros(0, dtype=CATALOG_DTYPE)
