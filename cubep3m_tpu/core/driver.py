@@ -424,6 +424,21 @@ class Simulation:
         return max(0, int(math.log(next_a / a)
                           / -math.log(1.0 - self.cfg.ra_max)) - 2)
 
+    def presize_from_state(self, state: SimState) -> None:
+        """Probe `state`'s occupancy ONCE and apply the pp_autosize growth
+        rule BEFORE the first sweep compile.
+
+        Call after loading a mid-run checkpoint: a resumed late-time state
+        can already exceed the default dense-tail sizing, and letting the
+        reactive path discover that mid-run costs a ~160 s sweep recompile
+        while ~GBs of state are resident (the r4 256^3 leg's TPU worker
+        died exactly there, bench_logs/campaign_r4c.log).  Pre-sizing
+        moves the rebuild to t=0 where the sweep has not been compiled
+        yet, so growth is free.  No-op when pp_autosize is off or the
+        probed bounds fit the current windows."""
+        self._steps_since_occ_probe = 0
+        self.pp_autosize_check(state, steps=self.cfg.pp_autosize_every)
+
     def run(self, state: SimState, max_steps: Optional[int] = None,
             use_chunks: bool = True) -> SimState:
         """Evolve until the final checkpoint, a > 1, or max_nts

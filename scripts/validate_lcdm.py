@@ -171,6 +171,12 @@ def main():
         print(f"# resumed from {args.resume_from}: a={float(st.a):.5f} "
               f"nts={int(st.nts)} saved cursors={cur} -> "
               f"{sim.cursors}", flush=True)
+        # a late-time state can already outgrow the default dense-tail
+        # sizing; grow it NOW, before the first sweep compile, instead of
+        # paying a mid-run recompile (the r4c leg-1 TPU worker crashed in
+        # exactly that rebuild at a=0.33)
+        st = step_mod.shard_state(st, sim.mesh)
+        sim.presize_from_state(st)
     elif args.nodes_dim > 1:
         st = zl.zeldovich_ic_distributed(cfg, sim.mesh, seed=42)
         print(f"# distributed ICs generated in {time.time() - t0:.1f}s",

@@ -192,3 +192,31 @@ def test_reactive_lattice_growth_pp_ext():
     assert any(l.bucket_overflow for l in sim.logs[:1])
     st, _ = sim.step(st)
     assert int(st.bucket_overflow) == 0
+
+
+def test_presize_from_state_grows_before_first_sweep():
+    """Resume path: a loaded late-time state that already exceeds the
+    dense-tail sizing must grow the band at t=0, not via a mid-run
+    rebuild (the r4c 256^3 leg's TPU worker died in exactly that
+    mid-run recompile, bench_logs/campaign_r4c.log)."""
+    cfg = small_config(z_i=50.0, pp_dense_band=8, pp_autosize=True,
+                       verbosity=0)
+    sim = Simulation(cfg)
+    st = _state_with_dense_cell(cfg, n_dense=20)  # occ 20 > 0.7*(8+1)
+    sim.presize_from_state(st)
+    assert sim.cfg.pp_dense_band > 8, "presize never grew the band"
+    # and the pre-sized run then steps without dropping pairs
+    st = sim.run(st, max_steps=1, use_chunks=False)
+    assert int(st.pp_overflow) == 0
+
+
+def test_presize_noop_when_sparse():
+    cfg = small_config(z_i=50.0, pp_dense_band=64, pp_autosize=True,
+                       verbosity=0)
+    sim = Simulation(cfg)
+    rng = np.random.default_rng(5)
+    nf = cfg.nf_physical_dim
+    x = rng.uniform(0, nf, (cfg.np_total, 3)).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, np.zeros_like(x))
+    sim.presize_from_state(st)
+    assert sim.cfg.pp_dense_band == 64
