@@ -18,30 +18,45 @@ magnetized Riemann structure, with quantitative tolerances:
   point symmetry, (d) grid self-convergence of the density field
   (first-order-or-better L1 convergence through shock formation).
 """
+import functools
+
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from cubep3m_tpu.mhd import tvd
 
 
 def run_to(u, b, t_end, gamma, cfl=0.6):
+    """March to t_end with CFL steps.  gas_step/calcfl are jitted ONCE
+    per shape with dt as a traced argument — the unjitted loop retraced
+    hundreds of compiles, and the old `(t_end - t)/2` cap (gas_step
+    advances 2*dt_gas, so the TOTAL advance is capped at the remainder,
+    not half of it) made the tail approach t_end geometrically."""
+    step = jax.jit(functools.partial(tvd.gas_step, gamma=gamma))
+    fl = jax.jit(functools.partial(tvd.calcfl, cfl=cfl, gamma=gamma))
     t = 0.0
-    while t < t_end:
-        dt = min(float(tvd.calcfl(u, b, cfl=cfl, gamma=gamma)),
-                 (t_end - t) / 2)
-        u, b = tvd.gas_step(u, b, dt_gas=dt / 2, gamma=gamma)
+    while t < t_end * (1.0 - 1e-9):
+        dt = min(float(fl(u, b)), t_end - t)
+        u, b = step(u, b, dt_gas=dt / 2)
         t += dt
     return u, b
 
 
 def test_brio_wu_shock_tube():
+    # PERIODIC box caveat: the wrap-around jump at x=0 launches a second
+    # (mirrored) Riemann fan whose fast wave moves at c_f ~ 3.75 in the
+    # light right state (~96 cells by t=0.1*256).  A 512-cell box with
+    # the standard jump spacing keeps windows of both far fields clean
+    # at the published output time (in a 256 box NO cell keeps By=-1).
     gamma = 2.0
-    n = 256
+    n = 512
+    n2 = n // 2
     u, b = tvd.uniform_gas((n, 1, 1), rho=1.0, p=1.0, gamma=gamma)
     x = np.arange(n)
-    right = (x >= n // 2)
+    right = (x >= n2)
     rho = np.where(right, 0.125, 1.0).astype(np.float32)
     p = np.where(right, 0.1, 1.0).astype(np.float32)
     by = np.where(right, -1.0, 1.0).astype(np.float32)
@@ -55,34 +70,40 @@ def test_brio_wu_shock_tube():
     u = u.at[4].set(jnp.asarray(e[:, None, None]))
 
     tot0 = np.asarray(u).sum(axis=(1, 2, 3))
-    # t=0.1 on a unit box = 0.1*n in cell units
-    u, b = run_to(u, b, 0.1 * n, gamma)
+    # published output time t=0.1 on a unit box of the jump spacing n2
+    u, b = run_to(u, b, 0.1 * n2, gamma)
     prof = np.asarray(u[0][:, 0, 0])
     byf = np.asarray(b[1][:, 0, 0])
     assert np.all(np.isfinite(prof)) and np.all(np.isfinite(byf))
 
-    # conservation (periodic box: the outer halves stay at the initial
-    # states; waves from the two discontinuities must not yet collide)
+    # conservation on the periodic box
     tot1 = np.asarray(u).sum(axis=(1, 2, 3))
     np.testing.assert_allclose(tot1, tot0, rtol=1e-4, atol=1e-4)
 
-    # density bounded by the initial extremes (TVD: no over/undershoot
-    # beyond a few %)
-    assert prof.max() < 1.03 and prof.min() > 0.11
+    # density bounded near the solution extremes: the max never exceeds
+    # the left state, and the min is the ~0.11 inter-wave state between
+    # the slow shock and the right fast rarefaction (Athena fig. 22 dips
+    # to ~0.109 there; we measure 0.107 at this resolution) — NOT the
+    # 0.125 ambient right state
+    assert prof.max() < 1.03 and prof.min() > 0.095
 
     # published plateau structure at t=0.1 (Brio & Wu 1988 fig. 2;
     # Athena fig. 22): a >=4-cell plateau near 0.68 left of the contact
-    # and near 0.26 right of it, in the waves' spread region
-    mid = prof[n // 4: 3 * n // 4]
+    # and near 0.26 right of it, in the Brio-Wu fan (spread < 64 cells
+    # each way from the n2 jump at this time)
+    mid = prof[n2 - 64: n2 + 64]
     plateau_a = mid[(mid > 0.62) & (mid < 0.73)]
     plateau_b = mid[(mid > 0.22) & (mid < 0.31)]
     assert plateau_a.size >= 4, f"no ~0.68 plateau: {np.round(mid, 3)}"
     assert plateau_b.size >= 4, f"no ~0.26 plateau: {np.round(mid, 3)}"
 
-    # By flips sign through the compound wave / contact region and the
-    # far fields keep their initial values
-    assert byf[: n // 8].mean() > 0.95 and byf[-n // 8:].mean() < -0.95
-    flip = np.where(np.diff(np.sign(byf[n // 4: 3 * n // 4])) != 0)[0]
+    # By flips sign through the compound wave / contact region, and the
+    # windows untouched by EITHER fan (Brio-Wu's at n2, the mirrored
+    # wrap-around fan at 0: heads ~48 cells in the heavy medium, ~96 in
+    # the light one by this time) keep their initial values
+    assert byf[60:n2 - 56].mean() > 0.95
+    assert byf[n2 + 104: n - 104].mean() < -0.95
+    flip = np.where(np.diff(np.sign(byf[n2 - 64: n2 + 64])) != 0)[0]
     assert flip.size >= 1, "By never crosses zero in the wave fan"
 
     # Bx is exactly conserved (1-D: no x-flux for the x-face field)
