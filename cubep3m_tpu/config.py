@@ -202,6 +202,18 @@ class SimConfig:
                                 # for TPU backends when the per-cell counts
                                 # are available, i.e. ngp + coarse_csum).
                                 # Exact vs the XLA gather (test_gather_pallas)
+    fine_pallas: Optional[bool] = None  # with ngp: run the fine NGP
+                                # deposit AND force gather as ranked
+                                # streaming-window Pallas kernels
+                                # (ops/fine_pallas.py): per-rank one-hot
+                                # MXU sums + sequential grid-window
+                                # expansion replace the last two
+                                # ~185 ms N-index ops in the 256^3 step.
+                                # None = auto: on only where an
+                                # on-hardware probe recorded ok
+                                # (scripts/fine_probe.py).  Bit-equal to
+                                # the scatter deposit for power-of-two
+                                # masses; gather exact (test_fine_pallas)
     fft_matmul: Optional[bool] = None  # run the fine/coarse force-solve
                                 # c2c transforms as MXU matmul DFTs
                                 # (ops/dftmm.py) instead of XLA's VPU FFT

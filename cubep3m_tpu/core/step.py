@@ -33,6 +33,7 @@ from jax import shard_map
 from ..config import SimConfig, G
 from ..state import SimState
 from ..ops import binning, deposit, dftmm, fftconv, pp, pp_lattice
+from ..ops import fine_pallas as fine_pallas_mod
 from ..ops import gather_pallas as gather_pallas_mod
 from ..parallel import halo as halo_mod
 from ..parallel import exchange as exchange_mod
@@ -183,6 +184,10 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                      else jax.default_backend() == "tpu")
     use_fft_mm = (cfg.fft_matmul if cfg.fft_matmul is not None
                   else dftmm.auto_enabled())
+    # ranked streaming-window fine NGP deposit/gather (ops/fine_pallas.py)
+    use_fine_pallas = cfg.ngp and (
+        cfg.fine_pallas if cfg.fine_pallas is not None
+        else fine_pallas_mod.auto_enabled())
     # Pallas segmented coarse deposit: opt-in only (fails Mosaic lowering
     # on real TPUs — dynamic lane-dim column RMW; see config.py)
     use_coarse_pallas = (cfg.coarse_sort and not cfg.coarse_from_fine
@@ -326,7 +331,14 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         w = jnp.where(valid, jnp.float32(mass_p * (1.0 - fb)), 0.0)
 
         # ---- fine level (NGP/CIC deposit, halo, FFT force, kick) ----
-        if cfg.ngp:
+        fine_plan = None
+        if cfg.ngp and use_fine_pallas:
+            # ranked streaming-window kernels: the plan (per-rank sums +
+            # occupied keys) is shared by the deposit and the gather
+            fine_plan = fine_pallas_mod.make_plan(sp.cell, w, ncells_fine)
+            rho = fine_pallas_mod.deposit_from_plan(fine_plan,
+                                                    (nf, nf, nf))
+        elif cfg.ngp:
             rho = deposit.ngp_deposit(x, w, (nf, nf, nf), sorted_cells=True)
         else:
             # CIC fine build (the reference's non-NGP makefile variant)
@@ -357,7 +369,10 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             f_fine = fftconv.fine_force(rho_halo, kern_f_im, nf_buf, nf,
                                         use_mm=use_fft_mm)
         fmax2_f = jnp.max(jnp.sum(f_fine * f_fine, axis=0))
-        if cfg.ngp:
+        if fine_plan is not None:
+            fp = exchange_mod.colmajor(
+                fine_pallas_mod.gather_from_plan(fine_plan, f_fine).T)
+        elif cfg.ngp:
             fp = deposit.ngp_gather(
                 f_fine, x, flat_cells=jnp.clip(sp.cell, 0, ncells_fine - 1))
         else:
@@ -651,6 +666,9 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                      else jax.default_backend() == "tpu")
     use_fft_mm = (cfg.fft_matmul if cfg.fft_matmul is not None
                   else dftmm.auto_enabled())
+    use_fine_pallas = cfg.ngp and (
+        cfg.fine_pallas if cfg.fine_pallas is not None
+        else fine_pallas_mod.auto_enabled())
     use_coarse_pallas = (cfg.coarse_sort and not cfg.coarse_from_fine
                          and bool(cfg.coarse_pallas))
     use_coarse_csum = (cfg.coarse_sort and not cfg.coarse_from_fine
@@ -739,7 +757,13 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         xT = packed[0:3]
         valid = cell < ncells_fine
         w = jnp.where(valid, jnp.float32(mass_dm), 0.0)
-        if cfg.ngp:
+        if cfg.ngp and use_fine_pallas:
+            # single-op stages can't share the rank plan with B3 without
+            # widening the stage interface by ~3 rank arrays; the dup'd
+            # plan build is ~1/4 of the kernel's own cost
+            rho = fine_pallas_mod.ngp_deposit_ranked(cell, w,
+                                                     (nf, nf, nf))
+        elif cfg.ngp:
             rho = deposit.ngp_deposit_t(xT, w, (nf, nf, nf),
                                         sorted_cells=True)
         else:
@@ -778,7 +802,10 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         valid = cell < ncells_fine
         fmax2_f = jnp.max(jnp.sum(f_fine * f_fine, axis=0))
         flat_cells = jnp.clip(cell, 0, ncells_fine - 1)
-        if cfg.ngp:
+        if cfg.ngp and use_fine_pallas:
+            fpT = fine_pallas_mod.ngp_gather_ranked(
+                f_fine, cell, valid.astype(jnp.float32))
+        elif cfg.ngp:
             fpT = deposit.ngp_gather_t(f_fine, flat_cells)
         else:
             fpT = deposit.cic_gather_t(halo_mod.halo_pad(f_fine, 1), xT,
