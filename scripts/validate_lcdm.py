@@ -86,6 +86,16 @@ def main():
                          "~160 s mid-run pp_autosize recompile (the r3 "
                          "256^3 run grew 0.25 -> 0.5 at a=0.47; start "
                          "legs that pass a=0.47 at 0.5+)")
+    ap.add_argument("--autosize-headroom", type=float, default=0.7,
+                    help="pp_autosize growth trigger: grow when the "
+                         "occupancy BOUND exceeds headroom*(band+1).  The "
+                         "bound is a shake-invariant 2x2x2-block sum (an "
+                         "over-estimate); r3's 256^3 run reached a=0.5 on "
+                         "band 4096 with the bound at 2693-2892, so 0.9+ "
+                         "avoids the band-doubling rebuild that crashed "
+                         "the r4c TPU worker twice while staying safely "
+                         "under the true window (reactive backstop "
+                         "remains)")
     ap.add_argument("--pp-dense-band", type=int, default=4096,
                     help="dense-tail pair window: must exceed the max "
                          "same-fine-cell occupancy at z=0 (cluster cores "
@@ -128,6 +138,7 @@ def main():
                     shake=True, pid=False,
                     pp_dense_band=args.pp_dense_band,
                     pp_dense_cap_frac=args.pp_cap_frac,
+                    pp_autosize_headroom=args.autosize_headroom,
                     # realization-dependent cluster cores can exceed any
                     # static dense band (a 64^3/100Mpc box packs >4096
                     # particles into one fine cell by z=0); let the driver
