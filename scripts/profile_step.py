@@ -37,9 +37,9 @@ def main():
                          "tiled fine FFTs) instead of the validation config")
     ap.add_argument("--only", default="",
                     help="comma-separated phase keys to run (default all): "
-                         "sort,reorder,deposit,fine,gather,pp,ppallas,"
-                         "coarse8,coarsecorner,coarsefft,coarsegather,"
-                         "exchange")
+                         "sort,reorder,deposit,depositrk,fine,gather,"
+                         "gatherrk,pp,ppallas,coarse8,coarsecorner,"
+                         "coarsefft,coarsegather,exchange")
     args = ap.parse_args()
 
     import jax
@@ -140,6 +140,33 @@ def main():
         dep = jax.jit(lambda xx: deposit.ngp_deposit(
             xx, w, (nf, nf, nf), sorted_cells=True))
         timeit("ngp_deposit(sorted)", dep, xs)
+
+    if want("depositrk") or want("gatherrk"):
+        # ranked streaming-window Pallas kernels (ops/fine_pallas.py);
+        # lowering failures must not kill the rest of the table
+        from cubep3m_tpu.ops import fine_pallas
+        skey = jnp.asarray(skey_h)
+        if want("depositrk"):
+            try:
+                deprk = jax.jit(lambda k, ww: fine_pallas.ngp_deposit_ranked(
+                    k, ww, (nf, nf, nf), interpret=args.cpu))
+                timeit("ngp_deposit (RANKED)", deprk, skey, w)
+            except Exception as e:  # noqa: BLE001
+                print(f"       ngp_deposit (RANKED): FAILED {e!r}",
+                      flush=True)
+        if want("gatherrk"):
+            try:
+                fld = jnp.asarray(rng.normal(
+                    size=(3, nf, nf, nf)).astype(np.float32))
+                gatrk = jax.jit(lambda f, k, ww:
+                                fine_pallas.ngp_gather_ranked(
+                                    f, k, ww, interpret=args.cpu))
+                timeit("ngp_gather (RANKED)", gatrk, fld, skey, w)
+                del fld
+            except Exception as e:  # noqa: BLE001
+                print(f"        ngp_gather (RANKED): FAILED {e!r}",
+                      flush=True)
+        del skey
 
     if want("fine") or want("gather"):
         kern_f, _ = km.build_kernels(cfg)
