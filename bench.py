@@ -176,6 +176,12 @@ def main():
                     help="cfg.coarse_gather_pallas: ranked-window Pallas "
                          "coarse force gather (None = auto: on for TPU "
                          "with --coarse-sort)")
+    ap.add_argument("--fine-pallas", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="cfg.fine_pallas: ranked streaming-window fine "
+                         "NGP deposit/gather kernels (None = auto: on "
+                         "only with a recorded ok probe verdict, "
+                         "scripts/fine_probe.py)")
     ap.add_argument("--fft-matmul", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="cfg.fft_matmul: force-solve c2c transforms as "
@@ -223,6 +229,7 @@ def main():
                     merged_exchange_sort=args.merged_sort,
                     coarse_sort=args.coarse_sort,
                     coarse_gather_pallas=args.gather_pallas,
+                    fine_pallas=args.fine_pallas,
                     fft_matmul=args.fft_matmul,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
