@@ -189,7 +189,8 @@ def _table_kernel(a0_ref, f_ref, k0_ref, k1_ref, lo_ref, hi_ref):
             accs.append(jax.lax.dot_general(
                 fwin, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI))
-        out[:, :, :] += jnp.stack(accs, axis=1)         # (3, _WROWS, 128)
+        out[:, :, :] += jnp.concatenate(accs, axis=1).reshape(
+            3, _WROWS, _LANES)
 
 
 # --------------------------------------------------------------- kernel A'
@@ -212,7 +213,8 @@ def _pick_kernel(m_ref, rank_ref, t0_ref, t1_ref, out_ref):
                                    preferred_element_type=jnp.float32,
                                    precision=_HI))      # (3, 128)
         rows.append(v)
-    out_ref[:, :, :] = jnp.stack(rows, axis=1)          # (3, 8, 128)
+    out_ref[:, :, :] = jnp.concatenate(rows, axis=1).reshape(
+        3, _ROWS, _LANES)
 
 
 def make_plan(skey: jnp.ndarray, weight: jnp.ndarray, nflat: int,
