@@ -79,6 +79,11 @@ class Simulation:
         self.on_projection: List[Callable] = []
         self.on_halofind: List[Callable] = []
         self.on_kill: List[Callable] = []
+        # fired with the CURRENT state right before any pp_autosize sweep
+        # recompile: three TPU worker crashes this round happened exactly
+        # inside mid-run rebuilds (campaign_r4c.log), so the state is
+        # checkpointed first and a crashed rebuild loses nothing
+        self.on_prerebuild: List[Callable] = []
 
     # ------------------------------------------------------------------
     def attach_outputs(self, outdir: str, reference_format: bool = False,
@@ -149,12 +154,17 @@ class Simulation:
                 ckpt_mod.write_reference_checkpoint(outdir, sim.cfg, state,
                                                     sim.cursors, kill=True)
 
+        def _prerebuild(sim, state, dec):
+            ckpt_mod.save_native(f"{outdir}/ckpt_prerebuild.npz", sim.cfg,
+                                 state, sim.cursors)
+
         self.on_checkpoint.append(_ckpt)
         if projections:
             self.on_projection.append(_proj)
         if halofinds:
             self.on_halofind.append(_halo)
         self.on_kill.append(_kill)
+        self.on_prerebuild.append(_prerebuild)
 
     def finish(self) -> None:
         """Drain any in-flight async checkpoint write."""
@@ -277,6 +287,16 @@ class Simulation:
                 state, _ = self.step(state)
         return state
 
+    def _fire_prerebuild(self, state: SimState) -> None:
+        """Safety checkpoint before a sweep recompile (see on_prerebuild).
+        Never raises: losing the safety net must not kill a healthy run."""
+        for cb in self.on_prerebuild:
+            try:
+                cb(self, state, None)
+            except Exception as e:  # noqa: BLE001
+                print(f"# prerebuild checkpoint failed (continuing): "
+                      f"{e!r}", flush=True)
+
     def _rebuild_sweep(self) -> None:
         """Recompile the sweep after a config change (pp_autosize); cached
         chunk programs and the staged stepper are invalidated with it."""
@@ -347,6 +367,7 @@ class Simulation:
                           f"(recompiling sweep)", flush=True)
                 self.cfg = cfg = dataclasses.replace(
                     cfg, pp_coarse_capacity=newcap)
+            self._fire_prerebuild(state)
             self._rebuild_sweep()
         self._steps_since_occ_probe += steps
         if (not overflowed
@@ -383,6 +404,7 @@ class Simulation:
                   f"(recompiling sweep)", flush=True)
         self.cfg = dataclasses.replace(cfg, pp_dense_band=new_band,
                                        pp_dense_cap_frac=new_frac)
+        self._fire_prerebuild(state)
         self._rebuild_sweep()
 
     # chunk sizes compiled on demand (device-side dt control between

@@ -220,3 +220,21 @@ def test_presize_noop_when_sparse():
     st = state_mod.particles_ic(cfg, x, np.zeros_like(x))
     sim.presize_from_state(st)
     assert sim.cfg.pp_dense_band == 64
+
+
+def test_prerebuild_safety_checkpoint(tmp_path):
+    """Any autosize sweep recompile must first checkpoint the state:
+    three TPU worker crashes (campaign_r4c.log) happened exactly inside
+    mid-run rebuilds, and the safety file makes them resumable."""
+    from cubep3m_tpu.io import checkpoint as ck
+    cfg = small_config(z_i=50.0, pp_dense_band=8, pp_autosize=True,
+                       pp_autosize_every=1, verbosity=0)
+    sim = Simulation(cfg)
+    sim.attach_outputs(str(tmp_path), projections=False, halofinds=False)
+    st = _state_with_dense_cell(cfg, n_dense=20)
+    st = sim.run(st, max_steps=2, use_chunks=False)
+    assert sim.cfg.pp_dense_band > 8
+    path = tmp_path / "ckpt_prerebuild.npz"
+    assert path.exists(), "no pre-rebuild safety checkpoint written"
+    st2, cur = ck.load_native(str(path), sim.cfg)
+    assert int(st2.np_local.sum()) == int(st.np_local.sum())
