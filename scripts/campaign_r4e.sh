@@ -1,13 +1,17 @@
 #!/bin/bash
-# Round-4e extras: runs AFTER campaign_r4d (waits on its pid file).
-# Spends any remaining TPU window on the BASELINE config-3 demo AT 256^3
-# (bounded lattice-pp_ext continuation of the acceptance checkpoint —
-# ROADMAP queue item 8) and re-tries anything r4d had to skip.
+# Round-4e QUEUE RUNNER: waits for campaign_r4d to exit, then executes
+# lines from bench_logs/r4_queue.txt (NAME|BUDGET_S|SHELL_COMMAND, run
+# from a synced worktree of main).  The queue file can be APPENDED TO at
+# any time — the runner polls for new lines until the window closes, so
+# TPU work can be scheduled without editing a running script (bash reads
+# scripts incrementally; editing one mid-run corrupts it).
 #
 # Run: CAMPAIGN_END=<epoch s> nohup bash scripts/campaign_r4e.sh &
 set -u
 REPO=/root/repo
 TREE=/tmp/campaign_r4_tree
+QUEUE=$REPO/bench_logs/r4_queue.txt
+CURSOR=/tmp/r4_queue.cursor
 cd "$REPO"
 mkdir -p bench_logs bench_cache
 LOG=$REPO/bench_logs/campaign_r4e.log
@@ -18,7 +22,7 @@ say() { echo "=== $(date '+%F %T') $*"; }
 if [ -f /tmp/campaign_r4d.pid ]; then
     P=$(cat /tmp/campaign_r4d.pid)
     while kill -0 "$P" 2>/dev/null; do sleep 60; done
-    say "r4d (pid $P) exited; starting r4e"
+    say "r4d (pid $P) exited; starting r4e queue runner"
     sleep 60
 fi
 
@@ -33,55 +37,45 @@ sync_tree() {
     say "tree synced to $(git -C "$TREE" rev-parse --short HEAD)"
 }
 
-run_step() {
-    local name="$1" budget="$2"; shift 2
-    local remain=$(( END - $(date +%s) ))
-    if [ "$remain" -le 600 ]; then
-        say "step $name SKIPPED: window exhausted (${remain}s left)"
-        return 99
+END=${CAMPAIGN_END:-$(( $(date +%s) + 7200 ))}
+say "campaign r4e: window $(( END - $(date +%s) ))s, queue $QUEUE"
+export CUBEP3M_FINE_PROBE_FILE="$REPO/bench_cache/fine_pallas_probe.json"
+[ -f "$CURSOR" ] || echo 0 > "$CURSOR"
+
+while true; do
+    REMAIN=$(( END - $(date +%s) ))
+    if [ "$REMAIN" -le 600 ]; then
+        say "window exhausted (${REMAIN}s left); exiting"
+        break
     fi
-    if [ "$budget" -gt $(( remain - 360 )) ]; then
-        budget=$(( remain - 360 ))
+    N=$(cat "$CURSOR")
+    LINE=$(sed -n "$(( N + 1 ))p" "$QUEUE" 2>/dev/null || true)
+    if [ -z "$LINE" ]; then
+        sleep 60
+        continue
+    fi
+    echo $(( N + 1 )) > "$CURSOR"
+    case "$LINE" in \#*) continue ;; esac
+    NAME=${LINE%%|*}
+    REST=${LINE#*|}
+    BUDGET=${REST%%|*}
+    CMD=${REST#*|}
+    if [ "$BUDGET" -gt $(( REMAIN - 360 )) ]; then
+        BUDGET=$(( REMAIN - 360 ))
     fi
     sync_tree
-    say "step $name (budget ${budget}s): $*"
-    local t0=$SECONDS
-    (cd "$TREE" && timeout "$budget" "$@")
-    local rc=$?
-    say "step $name: rc=$rc in $((SECONDS - t0))s"
+    say "queue[$((N + 1))] $NAME (budget ${BUDGET}s): $CMD"
+    t0=$SECONDS
+    (cd "$TREE" && timeout "$BUDGET" bash -c "$CMD")
+    rc=$?
+    say "queue[$((N + 1))] $NAME: rc=$rc in $(( SECONDS - t0 ))s"
     if [ $rc -ne 0 ]; then
-        say "step $name failed; waiting 330s for TPU worker recovery"
+        say "$NAME failed; waiting 330s for TPU worker recovery"
         sleep 330
     else
         sleep 20
     fi
-    return $rc
-}
-
-END=${CAMPAIGN_END:-$(( $(date +%s) + 7200 ))}
-say "campaign r4e: window $(( END - $(date +%s) ))s"
-VCK=$REPO/bench_logs/vck256
-export CUBEP3M_FINE_PROBE_FILE="$REPO/bench_cache/fine_pallas_probe.json"
-
-# ---- retry: fine probe / bench exe if r4d never got to them ----------
-if [ ! -f "$REPO/bench_cache/fine_pallas_probe.json" ]; then
-    run_step fineprobe 1800 python scripts/fine_probe.py --np-dim 256 --reps 3
-fi
-if [ ! -f "$REPO/bench_cache/fused256_chunk5_csort.exe" ]; then
-    run_step bench256 2400 python bench.py --np-dim 256 --steps 10 --chunk 5 \
-        --coarse-sort --save-exe "$REPO/bench_cache/fused256_chunk5_csort.exe"
-fi
-
-# ---- BASELINE config-3 demo at 256^3: bounded pp_ext continuation ----
-SRC=$(ls -t "$VCK"/ckpt_*.npz 2>/dev/null | head -1)
-if [ -n "$SRC" ] && ! grep -q "step ppext256: rc=0" "$LOG"; then
-    run_step ppext256 3000 python scripts/validate_lcdm.py \
-        --np-dim 256 --bench-geom --coarse-sort --chunks --ic-host \
-        --pk-grid 256 --pp-ext --halo-refine 2 --max-steps 10 \
-        --pp-dense-band 4096 --pp-cap-frac 0.5 --autosize-headroom 0.92 \
-        --out "$REPO/bench_logs/validate_lcdm_256_ppext10_r4.npz" \
-        --resume-from "$SRC"
-fi
+done
 
 git -C "$REPO" worktree remove --force "$TREE" 2>/dev/null
 say "campaign r4e done"
