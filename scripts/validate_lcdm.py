@@ -96,6 +96,15 @@ def main():
                          "the r4c TPU worker twice while staying safely "
                          "under the true window (reactive backstop "
                          "remains)")
+    ap.add_argument("--pp-ext-band", type=int, default=0,
+                    help="lattice PP_EXT same-super-cell window (0 = auto "
+                         "4x mean occupancy).  The lattice growth path is "
+                         "REACTIVE only — a resumed late-time leg should "
+                         "pass the band its crashed predecessor grew to "
+                         "(campaign log 'pp_ext_band 64 -> 128') so the "
+                         "rebuild happens at t=0, not mid-run")
+    ap.add_argument("--pp-ext-ghost-cap", type=int, default=0,
+                    help="lattice PP_EXT per-face ghost buffer (0 = auto)")
     ap.add_argument("--pp-dense-band", type=int, default=4096,
                     help="dense-tail pair window: must exceed the max "
                          "same-fine-cell occupancy at z=0 (cluster cores "
@@ -139,6 +148,8 @@ def main():
                     pp_dense_band=args.pp_dense_band,
                     pp_dense_cap_frac=args.pp_cap_frac,
                     pp_autosize_headroom=args.autosize_headroom,
+                    pp_ext_band=args.pp_ext_band,
+                    pp_ext_ghost_cap=args.pp_ext_ghost_cap,
                     # realization-dependent cluster cores can exceed any
                     # static dense band (a 64^3/100Mpc box packs >4096
                     # particles into one fine cell by z=0); let the driver
