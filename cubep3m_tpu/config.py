@@ -136,6 +136,16 @@ class SimConfig:
     pp_autosize_every: int = 25  # probe cadence in sweeps (occupancy grows
                                  # smoothly with structure formation)
     pp_autosize_headroom: float = 0.7  # grow when occ > headroom*(band+1)
+    rebuild_policy: str = "inplace"  # what a pp_autosize growth does once
+                                     # a sweep has executed: "inplace" =
+                                     # recompile in this process (the
+                                     # default); "exit" = checkpoint +
+                                     # raise driver.RebuildRequired so a
+                                     # FRESH process resumes with the
+                                     # grown sizing — mid-run recompiles
+                                     # crashed the tunneled TPU worker
+                                     # 5/5 times in round 4
+                                     # (bench_logs/campaign_r4c.log)
     pp_cell_capacity: int = 32   # max particles per fine cell for pp bucketing
     pp_coarse_capacity: int = 256  # max particles per coarse cell (pp bucket)
     pp_ext_impl: str = "lattice"  # "lattice": 8 shifted super-cell sorts,

@@ -27,6 +27,18 @@ from . import step as step_mod
 from .timestep import Cursors, OutputSchedule, StepDecision, decide_timestep
 
 
+class RebuildRequired(RuntimeError):
+    """pp_autosize grew the sizing under cfg.rebuild_policy == "exit".
+
+    The pre-rebuild checkpoint (ckpt_prerebuild.npz, written by
+    attach_outputs' on_prerebuild hook with the GROWN config already in
+    repr(cfg)) is on disk; the caller should exit and relaunch, resuming
+    from it — io.checkpoint.stored_sizing(path) recovers the grown knobs
+    so the fresh process compiles ONCE at the right sizing.  The
+    reference instead aborts outright on list overflow
+    (particle_mesh_threaded.f90:280-284) and is restarted by hand."""
+
+
 @dataclasses.dataclass
 class StepLog:
     """Per-sweep log record (rank-0 stdout analog, timestep.f90:170-192)."""
@@ -69,6 +81,7 @@ class Simulation:
                                              pp_band=self.pp_band)
         self.kill_time_s = kill_time_s
         self._steps_since_occ_probe = 0
+        self._sweep_executed = False
         self._start_wall = time.time()
         self.logs: List[StepLog] = []
         # per-step coarse P(k) records (coarse_power.f90 `ps_c` role):
@@ -202,6 +215,7 @@ class Simulation:
         t_new = float(state.t) + dec.dt
         state = self.sweep(state, self.kern_f, self.kern_c,
                            dec.a_mid, dec.dt, dec.a_new, tau_new, t_new)
+        self._sweep_executed = True
         # the dt-limit scalars force one small device sync per step
         limits = self.dt_limits(state)
         wall = time.time() - t0
@@ -287,6 +301,27 @@ class Simulation:
                 state, _ = self.step(state)
         return state
 
+    def _rebuild_or_raise(self, state: SimState) -> None:
+        """Pre-rebuild checkpoint, then either recompile in place or —
+        under cfg.rebuild_policy == "exit", once a sweep has actually
+        executed — raise RebuildRequired so the PROCESS can exit and a
+        fresh one resume with the grown sizing.  Mid-run recompiles
+        crashed the tunneled TPU worker 4/4 times this round
+        (campaign_r4c.log); the safety checkpoint carries the GROWN
+        config (save_native stores repr(cfg)), so the relaunch adopts it
+        via io.checkpoint.stored_sizing."""
+        self._fire_prerebuild(state)
+        if self.cfg.rebuild_policy == "exit" and self._sweep_executed:
+            raise RebuildRequired(
+                f"pp_autosize grew the sizing (pp_dense_band="
+                f"{self.cfg.pp_dense_band}, pp_dense_cap_frac="
+                f"{self.cfg.pp_dense_cap_frac}, pp_ext_band="
+                f"{self.cfg.pp_ext_band}, pp_ext_ghost_cap="
+                f"{self.cfg.pp_ext_ghost_cap}, pp_coarse_capacity="
+                f"{self.cfg.pp_coarse_capacity}); resume from the "
+                f"pre-rebuild checkpoint in a fresh process")
+        self._rebuild_sweep()
+
     def _fire_prerebuild(self, state: SimState) -> None:
         """Safety checkpoint before a sweep recompile (see on_prerebuild).
         Never raises: losing the safety net must not kill a healthy run."""
@@ -367,8 +402,7 @@ class Simulation:
                           f"(recompiling sweep)", flush=True)
                 self.cfg = cfg = dataclasses.replace(
                     cfg, pp_coarse_capacity=newcap)
-            self._fire_prerebuild(state)
-            self._rebuild_sweep()
+            self._rebuild_or_raise(state)
         self._steps_since_occ_probe += steps
         if (not overflowed
                 and self._steps_since_occ_probe < cfg.pp_autosize_every):
@@ -404,8 +438,7 @@ class Simulation:
                   f"(recompiling sweep)", flush=True)
         self.cfg = dataclasses.replace(cfg, pp_dense_band=new_band,
                                        pp_dense_cap_frac=new_frac)
-        self._fire_prerebuild(state)
-        self._rebuild_sweep()
+        self._rebuild_or_raise(state)
 
     # chunk sizes compiled on demand (device-side dt control between
     # scheduled outputs; one host sync per chunk instead of per sweep)
@@ -491,6 +524,7 @@ class Simulation:
                 else:
                     state = self._get_chunk(size)(state, self.kern_f,
                                                   self.kern_c)
+                self._sweep_executed = True
                 steps_done += size
                 if cfg.verbosity >= 2:
                     print(f"chunk x{size}: a={float(state.a):.6f} "

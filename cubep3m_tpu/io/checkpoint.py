@@ -153,6 +153,36 @@ class AsyncWriter:
             raise err
 
 
+#: pp_autosize-grown knobs recoverable from a native checkpoint's stored
+#: config repr (driver.RebuildRequired relaunch contract)
+SIZING_KNOBS = ("pp_dense_band", "pp_dense_cap_frac", "pp_ext_band",
+                "pp_ext_ghost_cap", "pp_coarse_capacity")
+
+
+def stored_sizing(path: str) -> dict:
+    """Read the pp_autosize sizing knobs a native checkpoint was written
+    with, from the `__config` repr save_native embeds.
+
+    A run relaunched after driver.RebuildRequired (rebuild_policy="exit")
+    takes max(CLI knob, stored knob) so the fresh process compiles once
+    at the sizing the crashed-out leg had already grown to, instead of
+    rediscovering it through another mid-run rebuild.  Returns {} for
+    format-1 files (no stored config)."""
+    import re
+    with np.load(path, allow_pickle=False) as data:
+        if "__config" not in data:
+            return {}
+        rep = str(data["__config"])
+    out = {}
+    for name in SIZING_KNOBS:
+        m = re.search(rf"\b{name}=([0-9eE.+-]+)", rep)
+        if m:
+            v = m.group(1)
+            out[name] = float(v) if ("." in v or "e" in v or "E" in v) \
+                else int(v)
+    return out
+
+
 def load_native(path: str, cfg: SimConfig) -> Tuple[SimState, Cursors]:
     data = np.load(path, allow_pickle=False)
     fmt = int(data["__fmt"]) if "__fmt" in data else 1

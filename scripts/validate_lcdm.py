@@ -105,6 +105,15 @@ def main():
                          "rebuild happens at t=0, not mid-run")
     ap.add_argument("--pp-ext-ghost-cap", type=int, default=0,
                     help="lattice PP_EXT per-face ghost buffer (0 = auto)")
+    ap.add_argument("--rebuild-policy", choices=("inplace", "exit"),
+                    default="inplace",
+                    help="what a pp_autosize growth does mid-run: "
+                         "'inplace' recompiles the sweep in this process; "
+                         "'exit' checkpoints + RE-EXECS this script fresh, "
+                         "resuming from ckpt_prerebuild.npz with the grown "
+                         "sizing (requires --ckpt-dir) — in-process "
+                         "recompiles crashed the tunneled TPU worker 5/5 "
+                         "times in round 4 (bench_logs/campaign_r4c.log)")
     ap.add_argument("--pp-dense-band", type=int, default=4096,
                     help="dense-tail pair window: must exceed the max "
                          "same-fine-cell occupancy at z=0 (cluster cores "
@@ -112,6 +121,10 @@ def main():
                          "resolution; the tail pass is lax.cond-skipped "
                          "until halos collapse, so early steps pay nothing)")
     args = ap.parse_args()
+    t_proc = time.time()
+    if args.rebuild_policy == "exit" and not args.ckpt_dir:
+        ap.error("--rebuild-policy exit requires --ckpt-dir (the "
+                 "pre-rebuild checkpoint is what the re-exec resumes from)")
 
     if args.cpu and args.nodes_dim > 1:
         # must precede CPU backend creation (conftest.py does the same)
@@ -128,11 +141,36 @@ def main():
 
     from cubep3m_tpu.config import SimConfig
     from cubep3m_tpu import state as sm
-    from cubep3m_tpu.core.driver import Simulation
+    from cubep3m_tpu.core.driver import RebuildRequired, Simulation
     from cubep3m_tpu.core.timestep import OutputSchedule
     from cubep3m_tpu.core import step as step_mod
     from cubep3m_tpu.ic import zeldovich as zl, transfer as tr
     from cubep3m_tpu.analysis import power as pw, halofind as hf
+
+    if args.resume_from:
+        # a resumed leg adopts any sizing its predecessor grew to
+        # (max with the CLI knobs), so the one sweep compile happens at
+        # the right windows — see driver.RebuildRequired
+        from cubep3m_tpu.io import checkpoint as _ck
+        stored = _ck.stored_sizing(args.resume_from)
+        grown = {}
+        for knob, cur in (("pp_dense_band", args.pp_dense_band),
+                          ("pp_dense_cap_frac", args.pp_cap_frac),
+                          ("pp_ext_band", args.pp_ext_band),
+                          ("pp_ext_ghost_cap", args.pp_ext_ghost_cap)):
+            if knob in stored and stored[knob] > cur:
+                grown[knob] = stored[knob]
+        if grown:
+            print(f"# adopted stored sizing from {args.resume_from}: "
+                  f"{grown}", flush=True)
+            args.pp_dense_band = int(grown.get("pp_dense_band",
+                                               args.pp_dense_band))
+            args.pp_cap_frac = float(grown.get("pp_dense_cap_frac",
+                                               args.pp_cap_frac))
+            args.pp_ext_band = int(grown.get("pp_ext_band",
+                                             args.pp_ext_band))
+            args.pp_ext_ghost_cap = int(grown.get("pp_ext_ghost_cap",
+                                                  args.pp_ext_ghost_cap))
 
     nf = 2 * args.np_dim
     # beyond nf=512 padded the axon backend's c2c transform limit bites:
@@ -159,6 +197,7 @@ def main():
                     coarse_sort=args.coarse_sort,
                     coarse_gather_pallas=args.gather_pallas,
                     staged_sweep=args.staged, pp_ext=args.pp_ext,
+                    rebuild_policy=args.rebuild_policy,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
     print(f"# {cfg.summary()}", flush=True)
@@ -259,7 +298,38 @@ def main():
         return out
 
     sim.step = _step
-    st = sim.run(st, max_steps=args.max_steps, use_chunks=args.chunks)
+    try:
+        st = sim.run(st, max_steps=args.max_steps, use_chunks=args.chunks)
+    except RebuildRequired as e:
+        # the pre-rebuild checkpoint (grown config embedded) is on disk;
+        # replace THIS process with a fresh one resuming from it — the
+        # sizing-adoption block above picks the grown knobs back up and
+        # the single fresh compile replaces the worker-killing recompile
+        ck = f"{args.ckpt_dir}/ckpt_prerebuild.npz"
+        remaining = None
+        if args.kill_after is not None:
+            remaining = args.kill_after - (time.time() - t_proc)
+            if remaining < 180:
+                print(f"# REBUILD-EXIT: {e} — but only {remaining:.0f}s "
+                      f"of budget left; resume manually from {ck}",
+                      flush=True)
+                return
+        print(f"# REBUILD-EXIT: {e}\n# re-exec resuming from {ck}"
+              + (f" (kill-after {remaining:.0f}s)" if remaining else ""),
+              flush=True)
+        argv = [a for a in sys.argv
+                if not a.startswith(("--resume-from=", "--kill-after="))]
+
+        def _set(argv, name, value):
+            if name in argv:
+                argv[argv.index(name) + 1] = str(value)
+            else:
+                argv += [name, str(value)]
+
+        _set(argv, "--resume-from", ck)
+        if remaining is not None:
+            _set(argv, "--kill-after", int(remaining))
+        os.execv(sys.executable, [sys.executable] + argv)
     n_steps = int(st.nts)
     if args.kill_after is not None and float(st.a) < a_target - 1e-3:
         print(f"# kill-after budget hit at a={float(st.a):.5f} "

@@ -12,7 +12,7 @@ import numpy as np
 from cubep3m_tpu import small_config
 from cubep3m_tpu import state as state_mod
 from cubep3m_tpu.core import step as step_mod
-from cubep3m_tpu.core.driver import Simulation
+from cubep3m_tpu.core.driver import RebuildRequired, Simulation
 from cubep3m_tpu.parallel.mesh import make_sim_mesh
 
 
@@ -238,3 +238,48 @@ def test_prerebuild_safety_checkpoint(tmp_path):
     assert path.exists(), "no pre-rebuild safety checkpoint written"
     st2, cur = ck.load_native(str(path), sim.cfg)
     assert int(st2.np_local.sum()) == int(st.np_local.sum())
+
+
+def test_rebuild_policy_exit_raises_resumable(tmp_path):
+    """rebuild_policy="exit": a mid-run growth must checkpoint + raise
+    RebuildRequired instead of recompiling in-process (in-process sweep
+    recompiles crashed the tunneled TPU worker 5/5 times in round 4);
+    the checkpoint must carry the GROWN sizing so a fresh process can
+    resume at the right windows via io.checkpoint.stored_sizing."""
+    import pytest
+    from cubep3m_tpu.io import checkpoint as ck
+    cfg = small_config(z_i=50.0, pp_dense_band=8, pp_autosize=True,
+                       pp_autosize_every=1, verbosity=0,
+                       rebuild_policy="exit")
+    sim = Simulation(cfg)
+    sim.attach_outputs(str(tmp_path), projections=False, halofinds=False)
+    st = _state_with_dense_cell(cfg, n_dense=20)
+    with pytest.raises(RebuildRequired):
+        sim.run(st, max_steps=3, use_chunks=False)
+    path = tmp_path / "ckpt_prerebuild.npz"
+    assert path.exists()
+    sizing = ck.stored_sizing(str(path))
+    assert sizing["pp_dense_band"] > 8, "checkpoint lacks the grown band"
+    # the relaunch contract: fresh Simulation at the stored sizing steps
+    # the resumed state without dropping pairs or growing again
+    cfg2 = small_config(z_i=50.0, pp_autosize=True, pp_autosize_every=1,
+                        verbosity=0, rebuild_policy="exit",
+                        pp_dense_band=sizing["pp_dense_band"],
+                        pp_dense_cap_frac=sizing["pp_dense_cap_frac"])
+    sim2 = Simulation(cfg2)
+    st2, _ = ck.load_native(str(path), cfg2)
+    st2 = sim2.run(st2, max_steps=2, use_chunks=False)
+    assert int(st2.pp_overflow) == 0
+    assert sim2.cfg.pp_dense_band == sizing["pp_dense_band"]
+
+
+def test_rebuild_policy_exit_presize_inplace():
+    """Pre-first-sweep growth (presize_from_state) must stay in-process
+    even under rebuild_policy="exit": nothing is compiled yet, so the
+    rebuild is free and raising would just burn a relaunch."""
+    cfg = small_config(z_i=50.0, pp_dense_band=8, pp_autosize=True,
+                       verbosity=0, rebuild_policy="exit")
+    sim = Simulation(cfg)
+    st = _state_with_dense_cell(cfg, n_dense=20)
+    sim.presize_from_state(st)  # must not raise
+    assert sim.cfg.pp_dense_band > 8
