@@ -53,8 +53,13 @@ from jax.experimental.pallas import tpu as pltpu
 _ROWS = 8            # sublane rows per particle/rank block
 _LANES = 128         # lanes per row
 _BP = _ROWS * _LANES  # particle block == rank window for kernels A/A'
-_WG = 512            # grid-window cells == rank window for kernels B/B'
-_WROWS = _WG // _LANES
+_WG = 1024           # grid-window cells == rank window for kernels B/B'.
+                     # Must be >= 8*_LANES: Mosaic requires the second-to-
+                     # last block dim divisible by 8, and the B/B' window
+                     # blocks are (_WG//_LANES, _LANES) — the original 512
+                     # window (4, 128) failed lowering on hardware
+                     # (bench_cache/fine_pallas_probe.json, r4).  Grids
+                     # smaller than _WG (tests) shrink the window per-plan.
 _KSPLIT = 4096       # key = khi*_KSPLIT + klo; both halves f32-exact
 
 _HI = jax.lax.Precision.HIGHEST
@@ -114,6 +119,8 @@ class FinePlan(NamedTuple):
     n: int                   # particle count
     nflat: int               # grid cells
     interpret: bool
+    wg: int                  # grid-window cells (== _WG; smaller only on
+                             # tiny test grids, interpret mode)
 
 
 def _block_index(q_rows: int) -> jnp.ndarray:
@@ -152,25 +159,27 @@ def _sums_kernel(m_ref, rank_ref, ch_ref, lo_ref, hi_ref):
 
 
 # ---------------------------------------------------------------- kernel B
-def _expand_kernel(a0_ref, k0_ref, k1_ref, s0_ref, s1_ref, out_ref):
+def _expand_kernel(wg, a0_ref, k0_ref, k1_ref, s0_ref, s1_ref, out_ref):
     k = pl.program_id(0)
-    base = k * _WG
-    iota = jax.lax.broadcasted_iota(jnp.int32, (_WG, _LANES), 0)
-    acc = jnp.zeros((1, _WG), jnp.float32)
+    base = k * wg
+    wrows = wg // _LANES
+    iota = jax.lax.broadcasted_iota(jnp.int32, (wg, _LANES), 0)
+    acc = jnp.zeros((1, wg), jnp.float32)
     for kr, sr in ((k0_ref, s0_ref), (k1_ref, s1_ref)):
-        for r in range(_WROWS):
+        for r in range(wrows):
             lr = kr[r:r + 1, :] - base                  # (1, 128)
-            oh = (iota == lr).astype(jnp.float32)       # (_WG, 128)
+            oh = (iota == lr).astype(jnp.float32)       # (wg, 128)
             acc = acc + jax.lax.dot_general(
                 sr[r:r + 1, :], oh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI)
-    out_ref[:, :] = acc.reshape(_WROWS, _LANES)
+    out_ref[:, :] = acc.reshape(wrows, _LANES)
 
 
 # --------------------------------------------------------------- kernel B'
-def _table_kernel(a0_ref, f_ref, k0_ref, k1_ref, lo_ref, hi_ref):
+def _table_kernel(wg, a0_ref, f_ref, k0_ref, k1_ref, lo_ref, hi_ref):
     k = pl.program_id(0)
-    base = k * _WG
+    base = k * wg
+    wrows = wg // _LANES
     new = jnp.logical_or(k == 0,
                          a0_ref[k] != a0_ref[jnp.maximum(k - 1, 0)])
 
@@ -179,18 +188,18 @@ def _table_kernel(a0_ref, f_ref, k0_ref, k1_ref, lo_ref, hi_ref):
         lo_ref[:, :, :] = jnp.zeros_like(lo_ref)
         hi_ref[:, :, :] = jnp.zeros_like(hi_ref)
 
-    fwin = f_ref[:, :, :].reshape(3, _WG)               # (3, _WG)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (_WG, _LANES), 0)
+    fwin = f_ref[:, :, :].reshape(3, wg)                # (3, wg)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (wg, _LANES), 0)
     for part, (kr, out) in enumerate(((k0_ref, lo_ref), (k1_ref, hi_ref))):
         accs = []
-        for r in range(_WROWS):
+        for r in range(wrows):
             lr = kr[r:r + 1, :] - base                  # (1, 128)
-            oh = (iota == lr).astype(jnp.float32)       # (_WG, 128)
+            oh = (iota == lr).astype(jnp.float32)       # (wg, 128)
             accs.append(jax.lax.dot_general(
                 fwin, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI))
         out[:, :, :] += jnp.concatenate(accs, axis=1).reshape(
-            3, _WROWS, _LANES)
+            3, wrows, _LANES)
 
 
 # --------------------------------------------------------------- kernel A'
@@ -284,12 +293,17 @@ def make_plan(skey: jnp.ndarray, weight: jnp.ndarray, nflat: int,
     keys_occ = (acc[1] * _KSPLIT + acc[2]).astype(jnp.int32)
     keys_occ = jnp.where(slot < n_occ_total, keys_occ, nflat)
 
-    n_wind = nflat // _WG
+    # grid-window size: _WG in production (every real fine mesh is a
+    # multiple of 1024 cells); shrink by powers of two for tiny test grids
+    wg = _WG
+    while wg > _LANES and nflat % wg:
+        wg //= 2
+    n_wind = nflat // wg
     r0 = jnp.searchsorted(keys_occ,
-                          jnp.arange(n_wind, dtype=jnp.int32) * _WG)
-    a0 = jnp.minimum((r0 // _WG).astype(jnp.int32), R // _WG - 2)
+                          jnp.arange(n_wind, dtype=jnp.int32) * wg)
+    a0 = jnp.minimum((r0 // wg).astype(jnp.int32), R // wg - 2)
     return FinePlan(rank_p, m, sums, keys_occ, a0, n, nflat,
-                    bool(interpret))
+                    bool(interpret), wg)
 
 
 def deposit_from_plan(plan: FinePlan,
@@ -297,23 +311,25 @@ def deposit_from_plan(plan: FinePlan,
     """Expand the per-rank sums onto the grid (sequential HBM writes)."""
     nflat = plan.nflat
     assert shape[0] * shape[1] * shape[2] == nflat
-    n_wind = nflat // _WG
+    wg = plan.wg
+    wrows = wg // _LANES
+    n_wind = nflat // wg
     R = plan.sums.shape[0]
     keys2 = plan.keys_occ.reshape(R // _LANES, _LANES)
     sums2 = plan.sums.reshape(R // _LANES, _LANES)
 
     def wspec(off):
-        return pl.BlockSpec((_WROWS, _LANES),
+        return pl.BlockSpec((wrows, _LANES),
                             lambda k, a_: (a_[k] + off, 0),
                             memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((_WROWS, _LANES), lambda k, a_: (k, 0),
+    ospec = pl.BlockSpec((wrows, _LANES), lambda k, a_: (k, 0),
                          memory_space=pltpu.VMEM)
     gspec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(n_wind,),
         in_specs=[wspec(0), wspec(1), wspec(0), wspec(1)],
         out_specs=ospec)
     grid = pl.pallas_call(
-        _expand_kernel, grid_spec=gspec,
+        functools.partial(_expand_kernel, wg), grid_spec=gspec,
         out_shape=jax.ShapeDtypeStruct((nflat // _LANES, _LANES),
                                        jnp.float32),
         interpret=plan.interpret)(plan.a0, keys2, keys2, sums2, sums2)
@@ -324,21 +340,23 @@ def gather_from_plan(plan: FinePlan, field: jnp.ndarray) -> jnp.ndarray:
     """(3, N) per-particle values of a (3, nx, ny, nz) field at the
     particles' fine cells (NGP), via a sequential-read rank table."""
     nflat = plan.nflat
-    n_wind = nflat // _WG
+    wg = plan.wg
+    wrows = wg // _LANES
+    n_wind = nflat // wg
     R = plan.sums.shape[0]
     keys2 = plan.keys_occ.reshape(R // _LANES, _LANES)
     f2 = field.reshape(3, nflat // _LANES, _LANES)
 
-    fspec = pl.BlockSpec((3, _WROWS, _LANES), lambda k, a_: (0, k, 0),
+    fspec = pl.BlockSpec((3, wrows, _LANES), lambda k, a_: (0, k, 0),
                          memory_space=pltpu.VMEM)
 
     def kspec(off):
-        return pl.BlockSpec((_WROWS, _LANES),
+        return pl.BlockSpec((wrows, _LANES),
                             lambda k, a_: (a_[k] + off, 0),
                             memory_space=pltpu.VMEM)
 
     def tspec(off):
-        return pl.BlockSpec((3, _WROWS, _LANES),
+        return pl.BlockSpec((3, wrows, _LANES),
                             lambda k, a_: (0, a_[k] + off, 0),
                             memory_space=pltpu.VMEM)
     tsh = jax.ShapeDtypeStruct((3, R // _LANES, _LANES), jnp.float32)
@@ -346,15 +364,16 @@ def gather_from_plan(plan: FinePlan, field: jnp.ndarray) -> jnp.ndarray:
         num_scalar_prefetch=1, grid=(n_wind,),
         in_specs=[fspec, kspec(0), kspec(1)],
         out_specs=(tspec(0), tspec(1)))
-    tlo, thi = pl.pallas_call(_table_kernel, grid_spec=gspec,
+    tlo, thi = pl.pallas_call(functools.partial(_table_kernel, wg),
+                              grid_spec=gspec,
                               out_shape=(tsh, tsh),
                               interpret=plan.interpret)(
         plan.a0, f2, keys2, keys2)
 
     a0 = plan.a0
-    # a0 counts _WROWS-row windows (not the _ROWS-row windows of kernel A)
+    # a0 counts wrows-row windows (not the _ROWS-row windows of kernel A)
     bidx = (jnp.arange(R // _LANES, dtype=jnp.int32)
-            // _WROWS)[None, :, None]
+            // wrows)[None, :, None]
     mask_lo = (bidx >= a0[0]) & (bidx <= a0[-1])
     mask_hi = (bidx >= a0[0] + 1) & (bidx <= a0[-1] + 1)
     table = (jnp.where(mask_lo, tlo, 0.0)

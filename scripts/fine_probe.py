@@ -77,15 +77,16 @@ def main():
         return out, dt * 1e3
 
     dep_x = gat_x = None
+    ms_dep_x = ms_gat_x = None
     if args.only in ("", "xla"):
         dx = jax.jit(lambda k, ww: jnp.zeros(nflat, jnp.float32).at[
             jnp.minimum(k, nflat - 1)].add(
                 jnp.where(k < nflat, ww, 0.0),
                 indices_are_sorted=True).reshape(nf, nf, nf))
-        dep_x, _ = timeit("XLA scatter-add deposit", dx, skey, w)
+        dep_x, ms_dep_x = timeit("XLA scatter-add deposit", dx, skey, w)
         gx = jax.jit(lambda f, k: deposit.ngp_gather_t(
             f, jnp.clip(k, 0, nflat - 1)))
-        gat_x, _ = timeit("XLA 3-comp NGP gather", gx, fld, skey)
+        gat_x, ms_gat_x = timeit("XLA 3-comp NGP gather", gx, fld, skey)
 
     if args.only in ("", "pallas"):
         backend = jax.default_backend()
@@ -116,11 +117,23 @@ def main():
             print(f"# deposit max abs diff {err_d:.3e}, gather "
                   f"{err_g:.3e} -> {'EXACT' if exact else 'INEXACT'}",
                   flush=True)
+            # speed gate: the kernels sit on the production deposit path,
+            # so an exact-but-slower A/B must NOT auto-enable them
+            faster = True
+            msg = ""
+            if ms_dep_x is not None:
+                faster = (ms_dep + ms_gat) < (ms_dep_x + ms_gat_x)
+                msg = (f"pallas {ms_dep + ms_gat:.1f} ms vs xla "
+                       f"{ms_dep_x + ms_gat_x:.1f} ms")
+                print(f"# A/B: {msg} -> "
+                      f"{'FASTER' if faster else 'SLOWER'}", flush=True)
+            ok = exact and faster
             if args.record:
                 fine_pallas.record_probe_verdict(
-                    backend, exact, ms_deposit=ms_dep, ms_gather=ms_gat,
-                    error="" if exact else
-                    f"inexact: deposit {err_d:.3e} gather {err_g:.3e}")
+                    backend, ok, ms_deposit=ms_dep, ms_gather=ms_gat,
+                    error="" if ok else
+                    (f"inexact: deposit {err_d:.3e} gather {err_g:.3e}"
+                     if not exact else f"slower: {msg}"))
                 print(f"# recorded ok={exact} verdict for backend "
                       f"{backend}", file=sys.stderr, flush=True)
         except Exception as e:
