@@ -210,7 +210,13 @@ def main():
     ckpts = [zf]
     if args.ckpt_dir:
         os.makedirs(args.ckpt_dir, exist_ok=True)
-        ckpts = [z for z in (10.0, 5.0, 3.0, 2.0, 1.0, 0.5)
+        # dense low-z rungs: the tunneled TPU worker can crash
+        # spontaneously mid-leg (campaign_r4e.log 16:28 — no rebuild, no
+        # OOM), and with rungs only at z=1/0.5 such a crash loses the
+        # whole z=2->1 segment; ~45 s of extra async writes per rung is
+        # cheap insurance
+        ckpts = [z for z in (10.0, 5.0, 3.0, 2.0, 1.5, 1.25, 1.0,
+                             0.75, 0.5, 0.3, 0.15)
                  if z > zf + 1e-9] + [zf]
     sched = OutputSchedule.from_redshifts(checkpoints=ckpts,
                                           halofinds=[zf])
