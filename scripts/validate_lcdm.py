@@ -304,38 +304,50 @@ def main():
         return out
 
     sim.step = _step
-    try:
-        st = sim.run(st, max_steps=args.max_steps, use_chunks=args.chunks)
-    except RebuildRequired as e:
-        # the pre-rebuild checkpoint (grown config embedded) is on disk;
-        # replace THIS process with a fresh one resuming from it — the
-        # sizing-adoption block above picks the grown knobs back up and
-        # the single fresh compile replaces the worker-killing recompile
-        ck = f"{args.ckpt_dir}/ckpt_prerebuild.npz"
-        remaining = None
-        if args.kill_after is not None:
-            remaining = args.kill_after - (time.time() - t_proc)
-            if remaining < 180:
-                print(f"# REBUILD-EXIT: {e} — but only {remaining:.0f}s "
-                      f"of budget left; resume manually from {ck}",
-                      flush=True)
-                return
-        print(f"# REBUILD-EXIT: {e}\n# re-exec resuming from {ck}"
-              + (f" (kill-after {remaining:.0f}s)" if remaining else ""),
-              flush=True)
-        argv = [a for a in sys.argv
-                if not a.startswith(("--resume-from=", "--kill-after="))]
+    if args.resume_from and float(st.a) >= a_target - 1e-5:
+        # resumed AT (or past) the target: Cursors.for_resume counts the
+        # final trigger as already passed, so sim.run would never see
+        # final_step and would burn max_steps — measure directly instead
+        # (this is the cheap "z-artifact from an existing rung" path)
+        print(f"# resumed at a={float(st.a):.5f} >= target "
+              f"{a_target:.5f}; measuring directly", flush=True)
+        args.kill_after = None
+    else:
+        try:
+            st = sim.run(st, max_steps=args.max_steps,
+                         use_chunks=args.chunks)
+        except RebuildRequired as e:
+            # the pre-rebuild checkpoint (grown config embedded) is on
+            # disk; replace THIS process with a fresh one resuming from
+            # it — the sizing-adoption block above picks the grown knobs
+            # back up and the single fresh compile replaces the
+            # worker-killing recompile
+            ck = f"{args.ckpt_dir}/ckpt_prerebuild.npz"
+            remaining = None
+            if args.kill_after is not None:
+                remaining = args.kill_after - (time.time() - t_proc)
+                if remaining < 180:
+                    print(f"# REBUILD-EXIT: {e} — but only "
+                          f"{remaining:.0f}s of budget left; resume "
+                          f"manually from {ck}", flush=True)
+                    return
+            print(f"# REBUILD-EXIT: {e}\n# re-exec resuming from {ck}"
+                  + (f" (kill-after {remaining:.0f}s)" if remaining
+                     else ""), flush=True)
+            argv = [a for a in sys.argv
+                    if not a.startswith(("--resume-from=",
+                                         "--kill-after="))]
 
-        def _set(argv, name, value):
-            if name in argv:
-                argv[argv.index(name) + 1] = str(value)
-            else:
-                argv += [name, str(value)]
+            def _set(argv, name, value):
+                if name in argv:
+                    argv[argv.index(name) + 1] = str(value)
+                else:
+                    argv += [name, str(value)]
 
-        _set(argv, "--resume-from", ck)
-        if remaining is not None:
-            _set(argv, "--kill-after", int(remaining))
-        os.execv(sys.executable, [sys.executable] + argv)
+            _set(argv, "--resume-from", ck)
+            if remaining is not None:
+                _set(argv, "--kill-after", int(remaining))
+            os.execv(sys.executable, [sys.executable] + argv)
     n_steps = int(st.nts)
     if args.kill_after is not None and float(st.a) < a_target - 1e-3:
         print(f"# kill-after budget hit at a={float(st.a):.5f} "
