@@ -11,10 +11,20 @@ import os as _os
 from .config import SimConfig, Cosmology, G, small_config
 
 
-def enable_compilation_cache(path: str = "/tmp/cubep3m_tpu_jax_cache"):
+def enable_compilation_cache(path: str = None):
     """Persistent XLA compilation cache: sweeps/chunks compile once per
-    config across processes (remote TPU compiles take minutes)."""
+    config across processes (remote TPU compiles take minutes).
+
+    Default location is REPO-LOCAL (bench_cache/jax_cache, gitignored),
+    not /tmp: the repo directory outlives driver sessions, so a warm
+    cache survives into the next session/round — the r3 BENCH paid
+    245.9 s of first-step compile at 256^3 every session because the
+    /tmp cache died with it.  Override with $CUBEP3M_JAX_CACHE."""
     import jax
+    if path is None:
+        path = _os.environ.get("CUBEP3M_JAX_CACHE") or _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "bench_cache", "jax_cache")
     try:
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
