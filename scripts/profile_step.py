@@ -106,18 +106,27 @@ def main():
         np.asarray(jax.device_get(leaf.ravel()[:1]))
 
     def timeit(name, fn, *a):
-        t0 = time.time()
-        out = fn(*a)           # compile
-        sync(out)
-        tc = time.time() - t0
-        t0 = time.time()
-        for _ in range(args.reps):
-            out = fn(*a)
+        # a failed phase must not kill the whole profile (r4d: the seg
+        # kernel's remote-compile HTTP 500 aborted profile256 after only
+        # half the phases); note that on axon a failed COMPILE can poison
+        # later compiles in-process, so phases known to fail on real TPU
+        # are additionally gated at their call sites
+        try:
+            t0 = time.time()
+            out = fn(*a)           # compile
             sync(out)
-        dt = (time.time() - t0) / args.reps
-        print(f"{name:>28}: {dt * 1e3:9.2f} ms   (compile {tc:.1f}s)",
-              flush=True)
-        del out
+            tc = time.time() - t0
+            t0 = time.time()
+            for _ in range(args.reps):
+                out = fn(*a)
+                sync(out)
+            dt = (time.time() - t0) / args.reps
+            print(f"{name:>28}: {dt * 1e3:9.2f} ms   (compile {tc:.1f}s)",
+                  flush=True)
+            del out
+        except Exception as e:
+            print(f"{name:>28}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
 
     if want("sort"):
         x = jnp.asarray(x_h)
@@ -272,7 +281,13 @@ def main():
                    hist_d)
             del hist_d
 
-        if want("coarseseg"):
+        # the seg kernel's dynamic lane-dim column RMW fails Mosaic
+        # lowering on real TPUs (config.coarse_pallas doc) and the HTTP
+        # 500 from the remote compile helper can wedge the tunneled
+        # worker (campaign_r4d.log 14:52) — run it only when explicitly
+        # requested or on CPU (interpret-capable) backends
+        if want("coarseseg") and ("coarseseg" in only
+                                  or jax.default_backend() == "cpu"):
             from cubep3m_tpu.ops import deposit_pallas as dpp
             segd = jax.jit(lambda xx: fold_pads(dpp.cic_deposit_corner_seg(
                 xx.T, wc, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1))
