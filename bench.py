@@ -126,6 +126,17 @@ def auto_main():
                            "--chunk", "5", "--coarse-sort",
                            "--no-gather-pallas"], budget)
     if out is None:
+        # the fused 256^3 chunk program crashed the tunneled worker on
+        # four consecutive runs late in round 4 (campaign_r4e.log
+        # 15:17-17:05) while the STAGED dispatch ran clean the same day
+        # at 512^3 bench geometry (campaign_r4c.log 14:08, 5.08M
+        # p-steps/s) — smaller compile units, same physics
+        print("# bench auto: waiting 330s for TPU worker recovery",
+              file=sys.stderr, flush=True)
+        time.sleep(330)
+        out = _run_config(["--np-dim", "256", "--steps", "3", "--staged",
+                           "--coarse-sort", "--buffer", "1.30"], budget)
+    if out is None:
         print("# bench auto: waiting 330s for TPU worker recovery",
               file=sys.stderr, flush=True)
         time.sleep(330)
