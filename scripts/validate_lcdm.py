@@ -386,8 +386,11 @@ def main():
         cat = hf.find_halos(cfg, final, mesh=sim.mesh)
     print(f"# halos found: {cat.size}", flush=True)
 
+    from cubep3m_tpu.analysis import halofit as hft
+    nl_delta2 = hft.nonlinear_delta2(lin, ps.k)
     np.savez(args.out, k=ps.k, delta2=ps.delta2, pk=ps.pk,
              nmodes=ps.nmodes, lin_delta2=lin.delta2(ps.k),
+             nl_delta2=nl_delta2,
              halo_mass=cat["halo_mass"], halo_imass=cat["imass"],
              n_steps=n_steps, a_final=float(final.a))
 
