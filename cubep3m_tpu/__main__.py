@@ -111,13 +111,22 @@ def _load_snapshot(args):
 
 
 def cmd_power(args):
+    from .analysis import halofit as hft
     from .analysis import power as pw
+    from .ic import transfer as tr
     cfg, st, x, v, _ = _load_snapshot(args)
     ps = pw.power_of_particles(cfg, x, assignment="cic",
                                subtract_shot=args.shot_noise)
+    # theory columns at the snapshot epoch: linear + HALOFIT nonlinear
+    # (the reference workflow diffs cic_power output against CAMB tables;
+    # these two columns make the file self-contained)
+    lin = tr.linear_power(cfg.cosmo, float(st.a))
+    nl = hft.nonlinear_delta2(lin, ps.k)
     out = args.out or args.snapshot.replace(".npz", "_pk.txt")
-    np.savetxt(out, np.column_stack([ps.k, ps.pk, ps.delta2, ps.nmodes]),
-               header="k[h/Mpc]  P(k)[(Mpc/h)^3]  Delta2  modes")
+    np.savetxt(out, np.column_stack([ps.k, ps.pk, ps.delta2, ps.nmodes,
+                                     lin.delta2(ps.k), nl]),
+               header="k[h/Mpc]  P(k)[(Mpc/h)^3]  Delta2  modes  "
+                      "Delta2_linear  Delta2_halofit")
     print(f"wrote {out}")
 
 
