@@ -65,6 +65,24 @@ V=$REPO/bench_logs
 STAGED="--bench-geom --coarse-sort --chunks --staged --pk-grid 256 \
 --pp-cap-frac 0.5 --autosize-headroom 0.92 --rebuild-policy exit"
 
+# Pick the FURTHEST-evolved rung in a checkpoint dir.  Rung files are
+# keyed by redshift (ckpt_<z>.npz), so "latest" = LOWEST numeric z —
+# mtime ordering (ls -t) is meaningless after a fresh clone checkout
+# (all files share the checkout mtime; round-5 opener resumed z=1
+# instead of z=0.15).  Non-numeric names (ckpt_prerebuild.npz) sort
+# first via sort -g, which is correct only when they are the sole rung,
+# so prefer numeric rungs when any exist.
+best_rung() {
+    local dir=$1 numeric
+    numeric=$(ls "$dir"/ckpt_[0-9]*.npz 2>/dev/null \
+        | sed 's/.*ckpt_//; s/\.npz//' | sort -g | head -1)
+    if [ -n "$numeric" ]; then
+        echo "$dir/ckpt_${numeric}.npz"
+    else
+        ls -t "$dir"/ckpt_*.npz 2>/dev/null | head -1
+    fi
+}
+
 # ---- leg 1: finish the 256^3 z=0 acceptance (kill-after self-scaled) ----
 if [ ! -f "$V/validate_lcdm_256_z0_r4.npz" ]; then
     REM=$(( END - $(date +%s) - 700 )); [ "$REM" -gt 3600 ] && REM=3600
@@ -72,7 +90,7 @@ if [ ! -f "$V/validate_lcdm_256_z0_r4.npz" ]; then
         --np-dim 256 --z-final 0.0 $STAGED \
         --ckpt-dir "$V/vck256" --out "$V/validate_lcdm_256_z0_r4.npz" \
         --kill-after "$REM" \
-        --resume-from "$(ls -t "$V"/vck256/ckpt_*.npz 2>/dev/null | head -1)"
+        --resume-from "$(best_rung "$V/vck256")"
 fi
 
 # ---- leg 2: 128^3 lattice pp_ext continuation (BASELINE config 3) ----
@@ -84,7 +102,7 @@ if [ ! -f "$V/validate_lcdm_128_ppext_r4.npz" ]; then
             --coarse-sort --chunks --staged --rebuild-policy exit \
             --autosize-headroom 0.92 --ckpt-dir "$V/vck128ppext" \
             --out "$V/validate_lcdm_128_ppext_r4.npz" --kill-after "$REM" \
-            --resume-from "$(ls -t "$V"/vck128ppext/ckpt_*.npz 2>/dev/null | head -1)"
+            --resume-from "$(best_rung "$V/vck128ppext")"
     fi
 fi
 
