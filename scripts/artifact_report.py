@@ -43,7 +43,7 @@ def main():
     k, d2, nm = d["k"], d["delta2"], d["nmodes"]
     # older artifacts predate the stored theory columns — recompute
     cosmo = SimConfig(nodes_dim=1, tiles_node_dim=2, nf_tile=96,
-                      nf_cutoff=16, box=args.box).cosmo
+                      nf_cutoff=16, buf_extra=0, box=args.box).cosmo
     lin = tr.linear_power(cosmo, min(a, 1.0))
     lin2 = d["lin_delta2"] if "lin_delta2" in d else lin.delta2(k)
     nl2 = (d["nl_delta2"] if "nl_delta2" in d
@@ -78,7 +78,7 @@ def main():
     # --- halo mass function vs Sheth-Tormen at a_final ------------------
     nf = 2 * args.np_dim
     cfg = SimConfig(nodes_dim=1, tiles_node_dim=2, nf_tile=nf // 2 + 32,
-                    nf_cutoff=16, box=args.box)
+                    nf_cutoff=16, buf_extra=0, box=args.box)
     meas = mf.measured_dndlnm(cfg, d["halo_mass"], nbins=12,
                               min_particles=args.min_particles)
     st = mf.theory_dndlnm(meas.m, cfg.cosmo, a=a, kind="st")
