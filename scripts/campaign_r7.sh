@@ -21,7 +21,7 @@ say() { echo "=== $(date '+%F %T') $*"; }
 
 sync_tree() {
     if [ ! -d "$TREE" ]; then
-        git -C "$REPO" worktree add --detach "$TREE" main >/dev/null
+        git -C "$REPO" worktree add --quiet --detach "$TREE" main
     fi
     git -C "$TREE" checkout --detach -f "$(git -C "$REPO" rev-parse main)" \
         >/dev/null 2>&1
@@ -60,15 +60,25 @@ run_step() {  # NAME BUDGET CMD...
 V=$REPO/bench_logs
 
 best_rung() {  # see campaign_r6.sh for the rationale
+    # ckpt_kill.npz and ckpt_prerebuild.npz both outrank the numeric
+    # rungs when they are the newest file: leg 2 runs with --kill-after,
+    # so EVERY window ends by writing ckpt_kill.npz — resuming from the
+    # older numeric rung would discard the whole window's progress
+    # (rungs are sparse at low z; ADVICE r4)
     local dir=$1 numeric newest
     numeric=$(ls "$dir"/ckpt_[0-9]*.npz 2>/dev/null \
         | sed 's/.*ckpt_//; s/\.npz//' | sort -g | head -1)
     newest=$(ls -t "$dir"/ckpt_*.npz 2>/dev/null | head -1)
-    if [ -n "$numeric" ] && [ "$newest" != "$dir/ckpt_prerebuild.npz" ]; then
-        echo "$dir/ckpt_${numeric}.npz"
-    else
-        echo "$newest"
-    fi
+    case "$newest" in
+        "$dir/ckpt_prerebuild.npz"|"$dir/ckpt_kill.npz")
+            echo "$newest" ;;
+        *)
+            if [ -n "$numeric" ]; then
+                echo "$dir/ckpt_${numeric}.npz"
+            else
+                echo "$newest"
+            fi ;;
+    esac
 }
 
 # ---- leg 1: bounded 256^3 pp_ext + halo-refine demo (6 sweeps) ----
