@@ -166,6 +166,25 @@ class SimConfig:
                                  # band below the MEAN occupancy would
                                  # classify half the box "dense" and swamp
                                  # the tail buffer
+    pp_ext_band_cap: int = 512   # ceiling on pp_ext_band growth: a band
+                                 # pass costs O(8 * band * N) per sweep
+                                 # REGARDLESS of clustering (every
+                                 # particle pays every offset), so
+                                 # occupancy beyond the cap must spill to
+                                 # the dense tail (cost O(8 * dense_band
+                                 # * dense_cap) — only dense-cell
+                                 # particles pay).  The r4/r7 reactive
+                                 # ladder doubled the band to 8192, whose
+                                 # single-dispatch wall time killed the
+                                 # tunneled TPU worker 3/3 times
+                                 # (bench_logs/r8_ppext128_leg1.log b5)
+    pp_ext_tail_band: int = 0    # lattice PP_EXT dense-tail window (max
+                                 # supported SUPER-cell occupancy): 0 =
+                                 # share pp_dense_band.  Separate knob
+                                 # because super-cell occupancy (64 fine
+                                 # cells) runs ~4x the fine-cell max, and
+                                 # a shared window would make the PPINT
+                                 # tail pay the super-cell ceiling
     pp_ext_ghost_cap: int = 0    # lattice PP_EXT per-face ghost-copy
                                  # buffer; 0 = auto from the face-skin
                                  # volume with 4x clustering headroom
@@ -269,7 +288,22 @@ class SimConfig:
     mhd: bool = False
     gas_gamma: float = 5.0 / 3.0
     gas_p_init: float = 1.0e-8   # initial gas pressure (cold start)
-    gas_from_delta: bool = True  # gas ICs trace the matter field (mhd_init)
+    gas_from_delta: bool = True  # gas ICs trace the matter field (mhd_init);
+                                 # False forces gas_ic="uniform"
+    gas_ic: str = "particles"    # structured-gas IC construction
+                                 # (utils/mhd_init/mhd_init.f90):
+                                 # "particles" = CIC-deposit the DISPLACED
+                                 #   Zel'dovich particles' mass/momentum/
+                                 #   kinetic energy onto the gas grid
+                                 #   (GetU, mhd_init.f90:774-885 — the
+                                 #   reference's production construction)
+                                 # "delta" = Eulerian delta-traced fields
+                                 #   (rho = 1+delta, mom = rho vf psi) —
+                                 #   the round-3 approximation, kept for
+                                 #   comparison
+    gas_cmb_coupling: bool = True  # z_i > 150 thermal floor from the CMB
+                                 # temperature (mhd_init.f90 CMB_coupling
+                                 # flag; no-op at lower starting z)
     ic_correct_kernel: bool = False  # Ewald-matched IC potential kernel
                                      # (dist_init correct_kernel option)
 
@@ -358,12 +392,29 @@ class SimConfig:
         """Resolved lattice PP_EXT band: explicit `pp_ext_band`, or 4x the
         mean super-cell occupancy ((2*pp_range)^3 fine cells each), rounded
         up to a multiple of 32.  At standard loading (1 particle / 8 fine
-        cells) and pp_range=2 the mean is 8 and the floor of 64 governs."""
+        cells) and pp_range=2 the mean is 8 and the floor of 64 governs.
+        CLAMPED to `pp_ext_band_cap`: a band pays O(band) on EVERY
+        particle, so occupancy beyond the cap belongs in the dense tail
+        (which only dense-cell particles pay for) — a resumed checkpoint
+        whose stored sizing predates the cap (e.g. the band-8192 r7
+        ratchet leg) is silently re-routed to the band+tail split, with
+        the stored pp_dense_band (>= 2x the stored band under the old
+        growth rule) covering the same occupancy."""
         if self.pp_ext_band:
-            return self.pp_ext_band
+            return min(self.pp_ext_band, self.pp_ext_band_cap)
         mean = ((2 * self.pp_range) ** 3 * float(self.np_total)
                 / float(self.nf_physical_dim) ** 3)
-        return max(64, int(-(-4.0 * mean // 32)) * 32)
+        return min(max(64, int(-(-4.0 * mean // 32)) * 32),
+                   self.pp_ext_band_cap)
+
+    @property
+    def pp_ext_tail_band_eff(self) -> int:
+        """Resolved lattice PP_EXT tail window: explicit
+        `pp_ext_tail_band` or the shared `pp_dense_band`, floored at 2x
+        the band (a tail narrower than the band would silently cover
+        nothing — the lattice counts but cannot absorb the residual)."""
+        base = self.pp_ext_tail_band or self.pp_dense_band
+        return max(base, 2 * self.pp_ext_band_eff)
 
     def pp_ext_ghost_cap_auto(self) -> int:
         """Per-face ghost buffer for the lattice PP_EXT: the mean
@@ -395,6 +446,9 @@ class SimConfig:
             raise ValueError("pp_range+1 must be < nf_cutoff")
         if self.nf_physical_node_dim % self.fine_fft_tiles != 0:
             raise ValueError("fine_fft_tiles must divide the node size")
+        if self.gas_ic not in ("particles", "delta"):
+            raise ValueError(f"gas_ic={self.gas_ic!r} must be "
+                             "'particles' or 'delta'")
 
     def memory_estimate(self) -> dict:
         """Static per-device memory budget in bytes (mem_usage.f90 analog)."""

@@ -344,6 +344,9 @@ class Simulation:
         self._chunks = {}
         if hasattr(self, "_staged_stepper"):
             del self._staged_stepper
+        # the ext probe bakes in pp_ext_band_eff; rebuild it lazily
+        if hasattr(self, "_ext_probe"):
+            del self._ext_probe
 
     def pp_autosize_check(self, state: SimState, steps: int = 1,
                           overflowed: bool = False,
@@ -375,24 +378,29 @@ class Simulation:
             # instead — double the binding capacity and rebuild)
             if cfg.pp_ext_impl == "lattice":
                 # overflow mixes ghost-buffer drops and dense-tail
-                # residuals; grow both (cheap: the ghost skin is thin and
-                # the band only pays where super cells are actually dense)
-                newband = cfg.pp_ext_band_eff * 2
-                # the tail window must stay AHEAD of the band (a tail
-                # narrower than the band silently covers nothing; the
-                # lattice counts but cannot absorb the residual)
-                newdense = max(cfg.pp_dense_band, 2 * newband)
+                # residuals; grow all three knobs (reactive = blind).
+                # The band is CAPPED (pp_ext_band_cap): its cost is
+                # O(band) on EVERY particle, so occupancy beyond the cap
+                # spills to the tail window, which only dense-cell
+                # particles pay for — an uncapped band doubling reached
+                # 8192 in round 4, whose single-dispatch wall time
+                # killed the TPU worker (r8_ppext128_leg1.log)
+                newband = min(cfg.pp_ext_band_eff * 2,
+                              cfg.pp_ext_band_cap)
+                newtail = cfg.pp_ext_tail_band_eff * 2
                 newghost = (cfg.pp_ext_ghost_cap
                             or cfg.pp_ext_ghost_cap_auto()) * 2
+                newfrac = min(1.0, cfg.pp_dense_cap_frac * 2)
                 if self.cfg.verbosity >= 1:
                     print(f"pp_autosize: lattice pp_ext overflow -> "
                           f"pp_ext_band {cfg.pp_ext_band_eff} -> {newband}, "
-                          f"pp_dense_band -> {newdense}, "
+                          f"pp_ext_tail_band -> {newtail}, "
+                          f"pp_dense_cap_frac -> {newfrac}, "
                           f"pp_ext_ghost_cap -> {newghost} "
                           f"(recompiling sweep)", flush=True)
                 self.cfg = cfg = dataclasses.replace(
-                    cfg, pp_ext_band=newband, pp_dense_band=newdense,
-                    pp_ext_ghost_cap=newghost)
+                    cfg, pp_ext_band=newband, pp_ext_tail_band=newtail,
+                    pp_dense_cap_frac=newfrac, pp_ext_ghost_cap=newghost)
             else:
                 newcap = cfg.pp_coarse_capacity * 2
                 if self.cfg.verbosity >= 1:
@@ -421,7 +429,52 @@ class Simulation:
         while (n_dense > head * max(64, int(cfg.max_np * new_frac))
                and new_frac < 1.0):
             new_frac = min(1.0, new_frac * 2)
-        if new_band == cfg.pp_dense_band and new_frac == cfg.pp_dense_cap_frac:
+
+        # preemptive lattice PP_EXT sizing (same contract as the dense
+        # probe: grow BEFORE any pair or ghost copy is dropped; the
+        # reactive branch above becomes a pure backstop).  Policy: the
+        # band grows only to pp_ext_band_cap (cost O(band) on every
+        # particle), the TAIL window takes the rest (cost only on
+        # dense-cell particles), the dense-cap fraction covers the tail
+        # population and the ghost cap the face skin.
+        new_ext_band = cfg.pp_ext_band_eff if cfg.pp_ext else 0
+        new_ext_tail = cfg.pp_ext_tail_band_eff if cfg.pp_ext else 0
+        new_ghost = (cfg.pp_ext_ghost_cap or cfg.pp_ext_ghost_cap_auto()
+                     ) if cfg.pp_ext else 0
+        ext_msg = ""
+        if cfg.pp_ext and cfg.pp_ext_impl == "lattice":
+            if not hasattr(self, "_ext_probe"):
+                self._ext_probe = step_mod.make_pp_ext_probe(cfg, self.mesh)
+            if self._ext_probe is not None:
+                ext_occ, ext_dense, skin = (int(v) for v in
+                                            self._ext_probe(state.x,
+                                                            state.np_local))
+                while (ext_occ > head * (new_ext_band + 1)
+                       and new_ext_band < cfg.pp_ext_band_cap):
+                    new_ext_band = min(2 * new_ext_band,
+                                       cfg.pp_ext_band_cap)
+                while ext_occ > head * (new_ext_tail + 1):
+                    new_ext_tail *= 2
+                while skin > head * new_ghost:
+                    new_ghost *= 2
+                # the shared dense-tail buffer must also hold the ext
+                # pass's dense population
+                while (ext_dense > head * max(64, int(cfg.max_np * new_frac))
+                       and new_frac < 1.0):
+                    new_frac = min(1.0, new_frac * 2)
+                ext_msg = (f", ext occ/dense/skin bounds {ext_occ}/"
+                           f"{ext_dense}/{skin} -> pp_ext_band "
+                           f"{cfg.pp_ext_band_eff} -> {new_ext_band}, "
+                           f"tail {cfg.pp_ext_tail_band_eff} -> "
+                           f"{new_ext_tail}, ghost_cap -> {new_ghost}")
+
+        ext_grew = cfg.pp_ext and (
+            new_ext_band > cfg.pp_ext_band_eff
+            or new_ext_tail > cfg.pp_ext_tail_band_eff
+            or new_ghost > (cfg.pp_ext_ghost_cap
+                            or cfg.pp_ext_ghost_cap_auto()))
+        if (new_band == cfg.pp_dense_band
+                and new_frac == cfg.pp_dense_cap_frac and not ext_grew):
             if not overflowed:
                 return
             new_band = min(cfg.pp_dense_band * 2, cfg.max_np)
@@ -434,10 +487,14 @@ class Simulation:
                   f"{n_dense}/device{' (reactive)' if overflowed else ''}"
                   f" -> pp_dense_band "
                   f"{cfg.pp_dense_band} -> {new_band}, pp_dense_cap_frac "
-                  f"{cfg.pp_dense_cap_frac} -> {new_frac} "
+                  f"{cfg.pp_dense_cap_frac} -> {new_frac}{ext_msg} "
                   f"(recompiling sweep)", flush=True)
-        self.cfg = dataclasses.replace(cfg, pp_dense_band=new_band,
-                                       pp_dense_cap_frac=new_frac)
+        repl = dict(pp_dense_band=new_band, pp_dense_cap_frac=new_frac)
+        if ext_grew:
+            repl.update(pp_ext_band=new_ext_band,
+                        pp_ext_tail_band=new_ext_tail,
+                        pp_ext_ghost_cap=new_ghost)
+        self.cfg = dataclasses.replace(cfg, **repl)
         self._rebuild_or_raise(state)
 
     # chunk sizes compiled on demand (device-side dt control between

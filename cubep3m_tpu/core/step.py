@@ -33,7 +33,7 @@ from jax import shard_map
 from ..config import SimConfig, G
 from ..state import SimState
 from ..ops import binning, deposit, dftmm, fftconv, pp, pp_lattice
-from ..ops import fine_pallas as fine_pallas_mod
+from ..experiments import fine_pallas as fine_pallas_mod
 from ..ops import gather_pallas as gather_pallas_mod
 from ..parallel import halo as halo_mod
 from ..parallel import exchange as exchange_mod
@@ -163,6 +163,89 @@ def make_occupancy_probe(cfg: SimConfig, mesh: Mesh, band: int = 0):
 
     return jax.jit(shard_map(local, mesh=mesh, in_specs=(P(AXES), P(AXES)),
                              out_specs=(P(), P()), check_vma=False))
+
+
+def make_pp_ext_probe(cfg: SimConfig, mesh: Mesh):
+    """Jitted lattice-PP_EXT sizing probe: probe(x, np_local) ->
+    (ext_occ_bound, ext_dense_bound, skin_bound) — shake-invariant upper
+    bounds that let the driver grow `pp_ext_band` / `pp_ext_ghost_cap` /
+    the dense tail BEFORE the lattice pass drops a single pair.
+
+    The lattice growth trigger was previously REACTIVE only: the one
+    detecting sweep retained its counted drops (~0.1% of particles
+    missing some sub-cutoff pair forces for one sweep at each band
+    growth of the 128^3 ratchet) — a weaker contract than the reference,
+    which aborts outright on list overflow
+    (`particle_pass.f90:96-99`).  This probe restores the
+    no-silent-physics-loss contract preemptively, like the dense-band
+    probe (`make_occupancy_probe`).
+
+    Bounds:
+    * `ext_occ_bound` >= the max super-cell occupancy over ALL 8 shifted
+      lattices at ANY grid alignment (shake re-aligns the lattice every
+      sweep).  Super cells have edge s = 2*pp_range; any axis-aligned
+      cube of edge s at any alignment is contained in a 2s-edge block at
+      one of the 8 {0, s}-parity offsets, so the max 2s-block count over
+      parities bounds every shift's occupancy.  Counts include ghost
+      copies: blocks straddling device faces are completed by one halo
+      fold+pad round (periodic wrap on a 1^3 mesh).
+    * `ext_dense_bound` >= the per-device population of super cells
+      denser than pp_ext_band_eff+1 (what the shared dense-tail buffer
+      must hold for the ext pass).
+    * `skin_bound` >= the per-face ghost-copy population
+      (`ghost_copies_t` cap) for any sweep in the next probe period: the
+      resident count in a face skin of depth pp_range + margin, where
+      margin = 4*mesh_scale + 8 covers the bounded shake swing
+      (cumulative offset lives in +-2*mesh_scale, update_position.f90:57)
+      plus drift between probes.  The later-axis re-pass of received
+      ghosts adds a (1 + 2*pp_range/nf)^2 factor, folded into the same
+      margin.
+    """
+    nf = cfg.nf_physical_node_dim
+    s = 2 * cfg.pp_range
+    bs = 2 * s                      # probe block edge (2 super cells)
+    if nf % bs != 0:
+        return None                 # driver keeps the reactive backstop
+    nb = nf // bs
+    npd = nb + 2
+    band = cfg.pp_ext_band_eff
+    skin = min(nf // 2, cfg.pp_range + 4 * cfg.mesh_scale + 8)
+
+    def local(x, np_local):
+        valid = jnp.arange(x.shape[0]) < np_local[0]
+        ci = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nf - 1)
+        occ_bound = jnp.asarray(0, jnp.int32)
+        dense_bound = jnp.asarray(0, jnp.int32)
+        for ox in (0, s):
+            for oy in (0, s):
+                for oz in (0, s):
+                    b = (ci + jnp.array([[ox, oy, oz]], jnp.int32)) // bs
+                    key = (((b[:, 0] + 1) * npd + (b[:, 1] + 1)) * npd
+                           + (b[:, 2] + 1))
+                    key = jnp.where(valid, key, npd ** 3)
+                    cnt = jnp.zeros((npd ** 3 + 1,), jnp.int32
+                                    ).at[key].add(1)
+                    folded = halo_mod.halo_fold(
+                        cnt[:-1].reshape(npd, npd, npd), 1)
+                    occ_bound = jnp.maximum(occ_bound, jnp.max(folded))
+                    full = halo_mod.halo_pad(folded, 1).reshape(-1)
+                    pc = full[jnp.where(valid, key, 0)]
+                    nd = jnp.sum((valid & (pc > band + 1))
+                                 .astype(jnp.int32))
+                    dense_bound = jnp.maximum(dense_bound, nd)
+        # face-skin population (ghost buffer bound), max over 6 faces
+        skin_bound = jnp.asarray(0, jnp.int32)
+        for ax in range(3):
+            c = x[:, ax]
+            lo = jnp.sum((valid & (c < skin)).astype(jnp.int32))
+            hi = jnp.sum((valid & (c >= nf - skin)).astype(jnp.int32))
+            skin_bound = jnp.maximum(skin_bound, jnp.maximum(lo, hi))
+        return (jax.lax.pmax(occ_bound, AXES),
+                jax.lax.pmax(dense_bound, AXES),
+                jax.lax.pmax(skin_bound, AXES))
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(P(AXES), P(AXES)),
+                             out_specs=(P(), P(), P()), check_vma=False))
 
 
 def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
@@ -425,7 +508,7 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                 res = pp_lattice.pp_ext_lattice_force(
                     x, valid, nf, cfg.pp_range, cfg.nf_cutoff, mass_pp,
                     cfg.rsoft, cfg.pp_bias, cfg.pp_ext_band_eff,
-                    cfg.pp_dense_band, dense_cap, ghost_cap)
+                    cfg.pp_ext_tail_band_eff, dense_cap, ghost_cap)
             else:
                 buckets = pp.bucket_by_coarse_cell(x, valid, nc, ms,
                                                    cfg.pp_coarse_capacity)
@@ -485,7 +568,7 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             if coarse_sorted and use_coarse_pallas:
                 # segmented Pallas reduction over the sorted runs (the
                 # XLA scatter ignores sortedness; ops/deposit_pallas.py)
-                from ..ops import deposit_pallas as dpp
+                from ..experiments import deposit_pallas as dpp
                 rho_c_pad = dpp.cic_deposit_corner_seg(
                     xT_c, w, (ncp, ncp, ncp), scale=ms, offset=-0.5,
                     pad=1)
@@ -836,26 +919,17 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     def b5_local(packed, cell, vT, a_mid, dt):
         """PP_EXT extended-range pair force + kick (SoA; the reference's
         extended-range pair loop,
-        particle_mesh_threaded.f90:488-615) — lattice-shift sorts
-        (production) or the dense bucket scan (small boxes)."""
+        particle_mesh_threaded.f90:488-615) — dense bucket scan (small
+        boxes; the lattice impl runs as the b5g/b5s/b5k split below)."""
         a_mid = jnp.asarray(a_mid, jnp.float32)
         kick = a_mid * G * jnp.asarray(dt, jnp.float32)
         xT = packed[0:3]
         valid = cell < ncells_fine
-        if cfg.pp_ext_impl == "lattice":
-            dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
-            ghost_cap = (cfg.pp_ext_ghost_cap
-                         or cfg.pp_ext_ghost_cap_auto())
-            res = pp_lattice.pp_ext_lattice_force_t(
-                xT, valid, nf, cfg.pp_range, cfg.nf_cutoff, mass_dm,
-                cfg.rsoft, cfg.pp_bias, cfg.pp_ext_band_eff,
-                cfg.pp_dense_band, dense_cap, ghost_cap)
-        else:
-            buckets = pp.bucket_by_coarse_cell_t(xT, valid, nc, ms,
-                                                 cfg.pp_coarse_capacity)
-            res = pp.pp_ext_force_t(xT, buckets, nc, ms, cfg.pp_range,
-                                    cfg.nf_cutoff, mass_dm, cfg.rsoft,
-                                    cfg.pp_bias)
+        buckets = pp.bucket_by_coarse_cell_t(xT, valid, nc, ms,
+                                             cfg.pp_coarse_capacity)
+        res = pp.pp_ext_force_t(xT, buckets, nc, ms, cfg.pp_range,
+                                cfg.nf_cutoff, mass_dm, cfg.rsoft,
+                                cfg.pp_bias)
         vT = vT + jnp.where(valid[None, :], res.force * kick, 0.0)
         fmax_ppe = jax.lax.pmax(res.fmax, AXES)
         dt_pp_ext_acc = (jnp.sqrt(cfg.dt_pp_ext_scale * cfg.rsoft)
@@ -863,6 +937,49 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                                        1e-3))
         return (vT, dt_pp_ext_acc.astype(jnp.float32),
                 jax.lax.psum(res.overflow, AXES))
+
+    # lattice PP_EXT as THREE small modules — ghosts once, then ONE
+    # compiled per-shift program dispatched 8 times, then the kick.
+    # The all-8-shifts-in-one-module form at a grown band was the
+    # r7/r8 TPU-worker-crash site (a single dispatch's wall time scales
+    # as 8*band*N and the tunnel kills executions beyond ~30 s;
+    # bench_logs/r8_ppext128_leg1.log stage b5): the split keeps every
+    # dispatch at 1/8 of that and compiles ~8x less code.
+    ext_ghost_cap = (cfg.pp_ext_ghost_cap or cfg.pp_ext_ghost_cap_auto())
+    ext_dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
+
+    def b5g_local(packed, cell):
+        """Ghost-skin build + force accumulator allocation."""
+        xT = packed[0:3]
+        valid = cell < ncells_fine
+        ax, aval, g_ovfl = pp_lattice.ghosted_positions_t(
+            xT, valid, nf, cfg.pp_range, ext_ghost_cap)
+        facc = jnp.zeros((3, n_slots_cap), jnp.float32)
+        return (ax, aval, facc, jax.lax.psum(g_ovfl, AXES))
+
+    def b5s_local(ax, aval, facc, ovfl, shift):
+        """One shifted lattice's band+tail pair forces, accumulated into
+        the donated resident-slot accumulator."""
+        f, ov = pp_lattice.pp_ext_shift_force_t(
+            ax, aval, shift, nf, cfg.pp_range, cfg.nf_cutoff, mass_dm,
+            cfg.rsoft, cfg.pp_bias, cfg.pp_ext_band_eff,
+            cfg.pp_ext_tail_band_eff, ext_dense_cap)
+        return (facc + f[:, :n_slots_cap],
+                jnp.maximum(ovfl, jax.lax.psum(ov, AXES)))
+
+    def b5k_local(cell, vT, facc, a_mid, dt):
+        """PP_EXT kick + dt limiter from the accumulated shift forces."""
+        a_mid = jnp.asarray(a_mid, jnp.float32)
+        kick = a_mid * G * jnp.asarray(dt, jnp.float32)
+        valid = cell < ncells_fine
+        force = jnp.where(valid[None, :], facc, 0.0)
+        vT = vT + force * kick
+        fmax = jnp.sqrt(jnp.max(jnp.sum(force * force, axis=0)))
+        fmax_ppe = jax.lax.pmax(fmax, AXES)
+        dt_pp_ext_acc = (jnp.sqrt(cfg.dt_pp_ext_scale * cfg.rsoft)
+                         / jnp.maximum(jnp.sqrt(fmax_ppe * a_mid * G),
+                                       1e-3))
+        return vT, dt_pp_ext_acc.astype(jnp.float32)
 
     csort = cfg.coarse_sort and not cfg.coarse_from_fine
     ncp_cells = (nc + 2) ** 3
@@ -900,7 +1017,7 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             rho_c_pad = cst.coarse_deposit_from_fine(rho, ms)
             rho_c = halo_mod.halo_fold(rho_c_pad, 1)
         elif csort and use_coarse_pallas:
-            from ..ops import deposit_pallas as dpp
+            from ..experiments import deposit_pallas as dpp
             rho_c = halo_mod.halo_fold(dpp.cic_deposit_corner_seg(
                 xT, w, (ncp, ncp, ncp), scale=ms, offset=-0.5, pad=1), 1)
         elif csort and use_coarse_csum:
@@ -1060,6 +1177,15 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     b5_jit = jax.jit(shard_map(
         b5_local, mesh=mesh, in_specs=(prow, pa, prow, r, r),
         out_specs=(prow, r, r), check_vma=False))
+    b5g_jit = jax.jit(shard_map(
+        b5g_local, mesh=mesh, in_specs=(prow, pa),
+        out_specs=(prow, pa, prow, r), check_vma=False))
+    b5s_jit = jax.jit(shard_map(
+        b5s_local, mesh=mesh, in_specs=(prow, pa, prow, r, r),
+        out_specs=(prow, r), check_vma=False), donate_argnums=(2,))
+    b5k_jit = jax.jit(shard_map(
+        b5k_local, mesh=mesh, in_specs=(pa, prow, prow, r, r),
+        out_specs=(prow, r), check_vma=False))
     c0a_jit = jax.jit(shard_map(
         c0a_local, mesh=mesh, in_specs=(prow, pa),
         out_specs=(pa, pa), check_vma=False))
@@ -1123,6 +1249,9 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         b3_jit = _logged("b3", b3_jit)
         b4_jit = _logged("b4", b4_jit)
         b5_jit = _logged("b5", b5_jit)
+        b5g_jit = _logged("b5g", b5g_jit)
+        b5s_jit = _logged("b5s", b5s_jit)
+        b5k_jit = _logged("b5k", b5k_jit)
         c0a_jit = _logged("c0a", c0a_jit)
         c0b_jit = _logged("c0b", c0b_jit)
         c1_jit = _logged("c1", c1_jit)
@@ -1138,6 +1267,11 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
                    for ix in range(cfg.fine_fft_tiles)
                    for iy in range(cfg.fine_fft_tiles)
                    for iz in range(cfg.fine_fft_tiles)]
+    # the 8 lattice shifts the ONE b5s program is dispatched with
+    hh = float(cfg.pp_range)
+    shift_list = [jnp.array([sx, sy, sz], jnp.float32)
+                  for sx in (0.0, hh) for sy in (0.0, hh)
+                  for sz in (0.0, hh)]
 
     def staged_sweep(state: SimState, kern_f_im, kern_c_im, a_mid, dt,
                      a_new, tau_new, t_new) -> SimState:
@@ -1168,7 +1302,14 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         if cfg.pp:
             vT2, dt_pp_acc, pp_overflow = b4_jit(packed, cell, rank, vT2,
                                                  a_mid, dt)
-        if cfg.pp_ext:
+        if cfg.pp_ext and cfg.pp_ext_impl == "lattice":
+            ax, aval, facc, g_ovfl = b5g_jit(packed, cell)
+            ovfl = jnp.asarray(0, jnp.int32)
+            for shift in shift_list:
+                facc, ovfl = b5s_jit(ax, aval, facc, ovfl, shift)
+            vT2, dt_pp_ext_acc = b5k_jit(cell, vT2, facc, a_mid, dt)
+            bucket_overflow = g_ovfl + ovfl
+        elif cfg.pp_ext:
             vT2, dt_pp_ext_acc, bucket_overflow = b5_jit(packed, cell,
                                                          vT2, a_mid, dt)
         if csort:
@@ -1207,6 +1348,7 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     staged_sweep._stages = {
         "a1": a1_jit, "a2a": a2a_jit, "a2b": a2b_jit, "b1": b1_jit,
         "b2": b2_jit, "b3": b3_jit, "b4": b4_jit, "b5": b5_jit,
+        "b5g": b5g_jit, "b5s": b5s_jit, "b5k": b5k_jit,
         "c0a": c0a_jit, "c0b": c0b_jit,
         "c1": c1_jit, "c2": c2_jit}   # for probes / precompile campaigns
     if cfg.mhd:
@@ -1393,7 +1535,7 @@ def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,
             res = pp_lattice.pp_ext_lattice_force(
                 x, valid, nf, cfg.pp_range, cfg.nf_cutoff, mass_p,
                 cfg.rsoft, cfg.pp_bias, cfg.pp_ext_band_eff,
-                cfg.pp_dense_band, dense_cap, ghost_cap)
+                cfg.pp_ext_tail_band_eff, dense_cap, ghost_cap)
         else:
             buckets = pp.bucket_by_coarse_cell(x, valid, nc, ms,
                                                cfg.pp_coarse_capacity)

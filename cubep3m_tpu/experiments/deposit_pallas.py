@@ -146,7 +146,7 @@ def cic_deposit_corner_seg(pos_t: jnp.ndarray, weight: jnp.ndarray,
     cfg.coarse_sort path guarantees this); weight is zero on padding.
     Equivalent to `deposit.cic_deposit_corner_t(..., valid, sorted)`.
     """
-    from . import deposit as dep
+    from ..ops import deposit as dep
     nx, ny, nz = shape
     c0, w0, w1 = dep._cic_weights_t(pos_t, scale, offset)
     c0 = jnp.clip(c0 + pad, 0, jnp.array(shape)[:, None] - 2)

@@ -187,8 +187,10 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
     npd = nf // 2
     from ..ops.deposit import cic_gather_t
     # delta/psi fields are only materialized as jit outputs when a caller
-    # needs them (1.6+ GB residents at 256^3 otherwise)
-    want_fields = bool(return_delta or (cfg.mhd and cfg.gas_from_delta))
+    # needs them (1.6+ GB residents at 256^3 otherwise); the "particles"
+    # gas IC deposits from x/v directly and needs neither
+    want_fields = bool(return_delta or (cfg.mhd and cfg.gas_from_delta
+                                        and cfg.gas_ic == "delta"))
 
     # jitted, fully device-resident: eager complex ops with weak python
     # scalars are unsupported on the axon TPU backend, and host<->device
@@ -301,8 +303,18 @@ def zeldovich_ic(cfg: SimConfig, seed: int = 0,
         return _ifftn(delta_k).real.astype(jnp.float32)
 
     if cfg.mhd and cfg.gas_from_delta:
-        st = dataclasses.replace(st, gas_u=gas_ic_from_delta(
-            cfg, _delta_real(), jnp.asarray(psi), vf))
+        if cfg.gas_ic == "particles":
+            # reference-faithful construction: CIC-deposit the displaced
+            # particles (mhd_init.f90 GetU); periodic pad fold on the
+            # single global grid
+            from ..core.step import fold_pads
+            u_pad = gas_ic_from_particles(cfg, jnp.asarray(x_dev).T,
+                                          jnp.asarray(v_dev).T)
+            u = jnp.stack([fold_pads(u_pad[i], 1) for i in range(5)])
+            st = dataclasses.replace(st, gas_u=gas_ic_finalize(cfg, u))
+        else:
+            st = dataclasses.replace(st, gas_u=gas_ic_from_delta(
+                cfg, _delta_real(), jnp.asarray(psi), vf))
     if return_delta:
         return st, np.asarray(_delta_real())
     return st
@@ -421,7 +433,8 @@ def zeldovich_ic_distributed(cfg: SimConfig, mesh, seed: int = 0,
         psi = jnp.stack(psi)
 
         delta = None
-        if cfg.ic_correct_kernel or return_delta or mhd_gas:
+        if (cfg.ic_correct_kernel or return_delta
+                or (mhd_gas and cfg.gas_ic == "delta")):
             delta = pfft_mod.pfft3d(delta_k, inverse=True).real.astype(
                 jnp.float32)
         if cfg.ic_correct_kernel:
@@ -474,7 +487,16 @@ def zeldovich_ic_distributed(cfg: SimConfig, mesh, seed: int = 0,
         overflow = jax.lax.psum(ex.overflow, AXES)
         outs = (ex.x, ex.v, ex.pid, np_local, overflow)
         if mhd_gas:
-            outs = outs + (gas_ic_from_delta(cfg, delta, psi, vf),)
+            if cfg.gas_ic == "particles":
+                # deposit from the post-exchange resident particles;
+                # pad mass folds to the owning neighbor (GetU +
+                # mhd_init's pass_particles roles combined)
+                u_pad = gas_ic_from_particles(cfg, ex.x.T, ex.v.T,
+                                              valid=ex.valid)
+                outs = outs + (gas_ic_finalize(
+                    cfg, halo_mod.halo_fold(u_pad, 1)),)
+            else:
+                outs = outs + (gas_ic_from_delta(cfg, delta, psi, vf),)
         if return_delta:
             outs = outs + (delta,)
         return outs
@@ -509,11 +531,89 @@ def zeldovich_ic_distributed(cfg: SimConfig, mesh, seed: int = 0,
 
 
 def gas_ic_from_delta(cfg: SimConfig, delta, psi, vf):
-    """Gas conserved fields tracing the matter field (mhd_init.f90 role):
-    rho_gas = 1 + delta (clipped), momentum = rho * vfactor * psi, thermal
-    energy from cfg.gas_p_init (cold start)."""
+    """Gas conserved fields tracing the matter field (Eulerian
+    approximation of mhd_init): rho_gas = 1 + delta (clipped), momentum =
+    rho * vfactor * psi, thermal energy from cfg.gas_p_init (cold
+    start).  The reference-faithful construction is
+    `gas_ic_from_particles` (cfg.gas_ic = "particles")."""
     rho = jnp.maximum(1.0 + delta, 0.05)
     mom = rho[None] * (vf * psi)
     eth = cfg.gas_p_init / (cfg.gas_gamma - 1.0)
     e = eth + 0.5 * jnp.sum(mom * mom, axis=0) / rho
     return jnp.concatenate([rho[None], mom, e[None]]).astype(jnp.float32)
+
+
+def cmb_thermal_specific(cfg: SimConfig) -> float:
+    """Specific (per unit sim mass) thermal energy of CMB-coupled gas at
+    z_i, in simulation units (mhd_init.f90:793-807, flag CMB_coupling).
+
+    The reference's formula computes the per-particle thermal energy
+    E_thermal = Econst * Nprime * k_B * T_CMB * (1+z_i) * Ephys2sim and
+    only applies it for z_i > 150 (above Compton-decoupling, where gas
+    still tracks T_CMB; below, the cold start + first shocks dominate).
+    Deviation (documented): the reference adds E_thermal UNWEIGHTED to
+    all 8 CIC corners of every particle (GetU :873-880), an ~8x
+    overcount of the intended per-particle budget; we deposit it with
+    the same CIC mass weights (u5 gains rho * e_specific), which is the
+    physically-normalized version of the same floor.
+    """
+    if not (cfg.gas_cmb_coupling and cfg.z_i > 150.0):
+        return 0.0
+    c = cfg.cosmo
+    ncr = cfg.nf_physical_dim           # gas grid == fine mesh
+    box = cfg.box                       # Mpc/h
+    a_i = cfg.a_i
+    mu, mproton, k_B, T_CMB = 1.22, 1.6726e-27, 1.38065e-23, 2.725
+    econst = (4.0 / 9.0) * 1e-10
+    nprime = c.omega_b * box ** 3 / mu / mproton / ncr ** 3
+    ephys2sim = a_i ** 2 * ncr ** 5 / c.omega_m ** 2 / box ** 5
+    e_particle = econst * nprime * k_B * T_CMB * (1.0 + cfg.z_i) * ephys2sim
+    return float(e_particle / cfg.mass_p)
+
+
+def gas_ic_from_particles(cfg: SimConfig, xT, vT, valid=None):
+    """Gas conserved fields CIC-deposited from the DISPLACED Zel'dovich
+    particles — the reference's production gas IC (mhd_init.f90 GetU,
+    :774-885): u1 = CIC(mass), u2:4 = CIC(mass*v), u5 = CIC(mass*v^2/2)
+    + thermal floor.  Mean density normalizes to 1 exactly (mass_p *
+    np_total = nf^3); the baryon fraction is applied at the coupling
+    points, not here, exactly like the reference (mp carries no omega_b
+    factor, GetU:776).
+
+    `xT`, `vT`: SoA (3, N) positions/velocities on the LOCAL gas grid
+    (single-device: the global grid).  Local-grid deposit with a 1-layer
+    pad; the caller folds pads across devices (single-device: periodic
+    fold).  Gas cells are [i, i+1) with center i+0.5, hence the -0.5 CIC
+    offset (our TVD solver's cell convention; the reference deposits on
+    integer nodes of its node-local grid, the same stencil one half-cell
+    convention apart)."""
+    from ..ops.deposit import cic_deposit_t
+    nf = cfg.nf_physical_node_dim
+    shape = (nf + 2, nf + 2, nf + 2)
+    mass = jnp.float32(cfg.mass_p)
+    if valid is None:
+        w = jnp.full((xT.shape[1],), mass, jnp.float32)
+    else:
+        w = jnp.where(valid, mass, 0.0)
+    e_spec = cmb_thermal_specific(cfg)
+
+    def dep(weights):
+        return cic_deposit_t(xT, weights, shape, scale=1.0, offset=-0.5,
+                             pad=1)
+
+    rho = dep(w)
+    mom = jnp.stack([dep(w * vT[0]), dep(w * vT[1]), dep(w * vT[2])])
+    ekin = dep(w * 0.5 * jnp.sum(vT * vT, axis=0))
+    # every term here is a deposit (fold-linear); the CONSTANT
+    # gas_p_init floor is added by `gas_ic_finalize` AFTER the pads are
+    # folded (a constant on pad cells would double-count at faces)
+    e = ekin + jnp.float32(e_spec) * rho
+    return jnp.concatenate([rho[None], mom, e[None]]).astype(jnp.float32)
+
+
+def gas_ic_finalize(cfg: SimConfig, u_folded):
+    """Post-fold constants for the particle-deposited gas ICs: the cold
+    pressure floor (and nothing else — all density/momentum/energy terms
+    fold linearly)."""
+    return u_folded.at[4].add(
+        jnp.float32(cfg.gas_p_init / (cfg.gas_gamma - 1.0)))

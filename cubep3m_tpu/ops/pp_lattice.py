@@ -185,6 +185,105 @@ def _ext_band_pass_cols(cx, cy, cz, cell: jnp.ndarray, lo: int, hi: int,
     return jnp.stack([fxp[:n] - fxm, fyp[:n] - fym, fzp[:n] - fzm])
 
 
+def ghosted_positions_t(pos_t: jnp.ndarray, valid: jnp.ndarray,
+                        nf_node: int, pp_range: int, ghost_cap: int,
+                        axis_names=AXES):
+    """Wrap resident positions into [0, nf_node) and append ghost copies
+    of the pp_range-deep face skin: (ax (3, N+6*cap), aval, g_ovfl).
+
+    Contract: resident positions live in [0, nf_node) — the sweep wraps
+    (1 device) or exchanges (multi-device) before forces.  Wrap anyway:
+    it is the identity for in-contract input, makes the single-device
+    path exact for ANY periodic input (e.g. compute_forces on raw user
+    positions, where a particle at y=-0.45 needs partners one cell
+    deeper than the pp_range ghost skin), and guards the f32 mod edge
+    where -eps wraps to exactly nf."""
+    nff = float(nf_node)
+    xw = jnp.mod(pos_t, nff)
+    xw = jnp.where(xw >= nff, xw - nff, xw)
+    pos_t = jnp.where(valid[None, :], xw, 0.0)
+    gpos, gval, g_ovfl = ghost_copies_t(pos_t, valid, nf_node, pp_range,
+                                        ghost_cap, axis_names)
+    ax = jnp.concatenate([pos_t, gpos], axis=1)          # (3, M)
+    aval = jnp.concatenate([valid, gval])
+    return ax, aval, g_ovfl
+
+
+def pp_ext_shift_force_t(ax: jnp.ndarray, aval: jnp.ndarray,
+                         shift, nf_node: int, pp_range: int,
+                         nf_cutoff: int, mass_p: float, rsoft: float,
+                         pp_bias: float, band: int, dense_band: int,
+                         dense_cap: int):
+    """ONE shifted lattice's contribution to the PP_EXT force, on the
+    ghost-augmented SoA positions from `ghosted_positions_t`.
+
+    `shift` is a (3,) per-axis lattice offset (each 0 or pp_range) and
+    may be a TRACED array: the staged sweep compiles this ONCE and
+    dispatches it 8 times with different shift values, keeping every
+    dispatch under the tunnel's per-execution wall-time ceiling (the
+    all-8-shifts-in-one-module form at a grown band was the r7/r8
+    TPU-worker-crash site, bench_logs/r8_ppext128_leg1.log: stage b5).
+
+    Returns (force (3, M) in input order, tail_ovfl) — sum over the 8
+    shifts (with the pointwise 1/m de-duplication inside the pair term)
+    to get the full PP_EXT force.
+    """
+    m_tot = ax.shape[1]
+    s = 2 * pp_range
+    pad = float(s)
+    ncs = (nf_node + 2 * s) // s + 1
+    sentinel = ncs ** 3
+    from .binning import rank_from_sorted
+
+    kx = jnp.floor((ax[0] + pad - shift[0]) / s).astype(jnp.int32)
+    ky = jnp.floor((ax[1] + pad - shift[1]) / s).astype(jnp.int32)
+    kz = jnp.floor((ax[2] + pad - shift[2]) / s).astype(jnp.int32)
+    key = jnp.where(aval, (kx * ncs + ky) * ncs + kz, sentinel)
+    order = jnp.argsort(key)
+    cl = key[order]
+    cx, cy, cz = ax[0][order], ax[1][order], ax[2][order]
+    f = _ext_band_pass_cols(cx, cy, cz, cl, 1, band, pp_range,
+                            nf_cutoff, mass_p, rsoft, pp_bias)
+    tail_ovfl = jnp.asarray(0, jnp.int32)
+    if dense_band <= band:
+        # no tail: pairs beyond the band are dropped — count them so
+        # pp_autosize can react (never drop silently)
+        rank = rank_from_sorted(cl)
+        tail_ovfl = jnp.sum(((rank > band) & (cl < sentinel))
+                            .astype(jnp.int32))
+    else:
+        rank = rank_from_sorted(cl)
+        occ = cell_occupancy(cl, rank)
+        dense = (cl < sentinel) & (occ > band + 1)
+        n_dense = jnp.sum(dense.astype(jnp.int32))
+
+        def run(_):
+            idx = jnp.nonzero(dense, size=dense_cap,
+                              fill_value=m_tot)[0]
+            cx_p = jnp.concatenate([cx, jnp.zeros(1)])
+            cy_p = jnp.concatenate([cy, jnp.zeros(1)])
+            cz_p = jnp.concatenate([cz, jnp.zeros(1)])
+            cl_p = jnp.concatenate(
+                [cl, jnp.full((1,), sentinel + 1, cl.dtype)])
+            fc = _ext_band_pass_cols(
+                cx_p[idx], cy_p[idx], cz_p[idx], cl_p[idx],
+                band + 1, dense_band, pp_range, nf_cutoff,
+                mass_p, rsoft, pp_bias)
+            fc = jnp.where((idx < m_tot)[None, :], fc, 0.0)
+            return jnp.zeros((3, m_tot), jnp.float32).at[
+                :, jnp.clip(idx, 0, m_tot - 1)].add(fc)
+
+        f = f + jax.lax.cond(
+            n_dense > 0, run,
+            lambda _: jnp.zeros((3, m_tot), jnp.float32), None)
+        tail_ovfl = (jnp.maximum(n_dense - dense_cap, 0)
+                     + jnp.sum(((rank > dense_band) & (cl < sentinel))
+                               .astype(jnp.int32)))
+    # undo the sort (order is a permutation: scatter-set)
+    force = jnp.zeros((3, m_tot), jnp.float32).at[:, order].add(f)
+    return force, tail_ovfl
+
+
 def pp_ext_lattice_force_t(pos_t: jnp.ndarray, valid: jnp.ndarray,
                            nf_node: int, pp_range: int, nf_cutoff: int,
                            mass_p: float, rsoft: float, pp_bias: float,
@@ -201,87 +300,21 @@ def pp_ext_lattice_force_t(pos_t: jnp.ndarray, valid: jnp.ndarray,
     residuals.
     """
     n = pos_t.shape[1]
-    h = pp_range
-    s = 2 * pp_range
-    # Contract: resident positions live in [0, nf_node) — the sweep wraps
-    # (1 device) or exchanges (multi-device) before forces.  Wrap anyway:
-    # it is the identity for in-contract input, makes the single-device
-    # path exact for ANY periodic input (e.g. compute_forces on raw user
-    # positions, where a particle at y=-0.45 needs partners one cell
-    # deeper than the pp_range ghost skin), and guards the f32 mod edge
-    # where -eps wraps to exactly nf.
-    nff = float(nf_node)
-    xw = jnp.mod(pos_t, nff)
-    xw = jnp.where(xw >= nff, xw - nff, xw)
-    pos_t = jnp.where(valid[None, :], xw, 0.0)
-    gpos, gval, g_ovfl = ghost_copies_t(pos_t, valid, nf_node, h,
-                                        ghost_cap, axis_names)
-    ax = jnp.concatenate([pos_t, gpos], axis=1)          # (3, M)
-    aval = jnp.concatenate([valid, gval])
-    m_tot = ax.shape[1]
-    # super-cell key domain covers [-h, nf_node + h) shifted by up to h,
-    # re-based by one super cell of padding
-    pad = float(s)
-    ncs = (nf_node + 2 * s) // s + 1
-    sentinel = ncs ** 3
-
-    force = jnp.zeros((3, m_tot), jnp.float32)
+    h = float(pp_range)
+    ax, aval, g_ovfl = ghosted_positions_t(pos_t, valid, nf_node,
+                                           pp_range, ghost_cap,
+                                           axis_names)
+    force = jnp.zeros((3, ax.shape[1]), jnp.float32)
     tail_ovfl = jnp.asarray(0, jnp.int32)
-    from .binning import rank_from_sorted
-
-    for sx in (0.0, float(h)):
-        for sy in (0.0, float(h)):
-            for sz in (0.0, float(h)):
-                kx = jnp.floor((ax[0] + pad - sx) / s).astype(jnp.int32)
-                ky = jnp.floor((ax[1] + pad - sy) / s).astype(jnp.int32)
-                kz = jnp.floor((ax[2] + pad - sz) / s).astype(jnp.int32)
-                key = jnp.where(aval, (kx * ncs + ky) * ncs + kz,
-                                sentinel)
-                order = jnp.argsort(key)
-                cl = key[order]
-                cx, cy, cz = ax[0][order], ax[1][order], ax[2][order]
-                f = _ext_band_pass_cols(cx, cy, cz, cl, 1, band, pp_range,
-                                        nf_cutoff, mass_p, rsoft, pp_bias)
-                if dense_band <= band:
-                    # no tail: pairs beyond the band are dropped — count
-                    # them so pp_autosize can react (never drop silently)
-                    rank = rank_from_sorted(cl)
-                    tail_ovfl = jnp.maximum(
-                        tail_ovfl,
-                        jnp.sum(((rank > band) & (cl < sentinel))
-                                .astype(jnp.int32)))
-                if dense_band > band:
-                    rank = rank_from_sorted(cl)
-                    occ = cell_occupancy(cl, rank)
-                    dense = (cl < sentinel) & (occ > band + 1)
-                    n_dense = jnp.sum(dense.astype(jnp.int32))
-
-                    def run(_):
-                        idx = jnp.nonzero(dense, size=dense_cap,
-                                          fill_value=m_tot)[0]
-                        cx_p = jnp.concatenate([cx, jnp.zeros(1)])
-                        cy_p = jnp.concatenate([cy, jnp.zeros(1)])
-                        cz_p = jnp.concatenate([cz, jnp.zeros(1)])
-                        cl_p = jnp.concatenate(
-                            [cl, jnp.full((1,), sentinel + 1, cl.dtype)])
-                        fc = _ext_band_pass_cols(
-                            cx_p[idx], cy_p[idx], cz_p[idx], cl_p[idx],
-                            band + 1, dense_band, pp_range, nf_cutoff,
-                            mass_p, rsoft, pp_bias)
-                        fc = jnp.where((idx < m_tot)[None, :], fc, 0.0)
-                        return jnp.zeros((3, m_tot), jnp.float32).at[
-                            :, jnp.clip(idx, 0, m_tot - 1)].add(fc)
-
-                    f = f + jax.lax.cond(
-                        n_dense > 0, run,
-                        lambda _: jnp.zeros((3, m_tot), jnp.float32), None)
-                    tail_ovfl = jnp.maximum(
-                        tail_ovfl,
-                        jnp.maximum(n_dense - dense_cap, 0)
-                        + jnp.sum(((rank > dense_band) & (cl < sentinel))
-                                  .astype(jnp.int32)))
-                # undo the sort (order is a permutation: scatter-set)
-                force = force.at[:, order].add(f)
+    for sx in (0.0, h):
+        for sy in (0.0, h):
+            for sz in (0.0, h):
+                f, ov = pp_ext_shift_force_t(
+                    ax, aval, jnp.array([sx, sy, sz], jnp.float32),
+                    nf_node, pp_range, nf_cutoff, mass_p, rsoft,
+                    pp_bias, band, dense_band, dense_cap)
+                force = force + f
+                tail_ovfl = jnp.maximum(tail_ovfl, ov)
 
     force = force[:, :n]
     force = jnp.where(valid[None, :], force, 0.0)

@@ -33,7 +33,8 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from cubep3m_tpu.ops import deposit, fine_pallas
+    from cubep3m_tpu.ops import deposit
+from cubep3m_tpu.experiments import fine_pallas
 
     nf = 2 * args.np_dim
     nflat = nf ** 3

@@ -153,7 +153,7 @@ def main():
     if want("depositrk") or want("gatherrk"):
         # ranked streaming-window Pallas kernels (ops/fine_pallas.py);
         # lowering failures must not kill the rest of the table
-        from cubep3m_tpu.ops import fine_pallas
+        from cubep3m_tpu.experiments import fine_pallas
         skey = jnp.asarray(skey_h)
         if want("depositrk"):
             try:
@@ -288,7 +288,7 @@ def main():
         # requested or on CPU (interpret-capable) backends
         if want("coarseseg") and ("coarseseg" in only
                                   or jax.default_backend() == "cpu"):
-            from cubep3m_tpu.ops import deposit_pallas as dpp
+            from cubep3m_tpu.experiments import deposit_pallas as dpp
             segd = jax.jit(lambda xx: fold_pads(dpp.cic_deposit_corner_seg(
                 xx.T, wc, (ncp,) * 3, scale=ms, offset=-0.5, pad=1), 1))
             timeit("coarse deposit (PALLAS seg)", segd, xc)

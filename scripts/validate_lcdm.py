@@ -49,6 +49,12 @@ def main():
                          "instead of the conservative 320^3/1.3 default")
     ap.add_argument("--pp-ext", action="store_true",
                     help="extended-range PP (BASELINE config 3 mode)")
+    ap.add_argument("--mhd", action="store_true",
+                    help="couple the TVD-CT gas solver: cosmological "
+                         "DM+gas with particle-deposited gas ICs "
+                         "(mhd_init.f90 GetU) and a gas P(k) "
+                         "measurement at the end (utils/gas_power "
+                         "role; reference coupling cubepm.f90:113-165)")
     ap.add_argument("--halo-refine", type=int, default=1,
                     help="halofinder density-mesh refinement "
                          "(halofind_finer_grid.f90 variant; BASELINE "
@@ -105,6 +111,14 @@ def main():
                          "rebuild happens at t=0, not mid-run")
     ap.add_argument("--pp-ext-ghost-cap", type=int, default=0,
                     help="lattice PP_EXT per-face ghost buffer (0 = auto)")
+    ap.add_argument("--pp-ext-tail-band", type=int, default=0,
+                    help="lattice PP_EXT dense-tail window (max super-"
+                         "cell occupancy; 0 = share pp_dense_band).  "
+                         "Occupancy beyond pp_ext_band_cap spills here: "
+                         "the tail only costs on dense-cell particles, "
+                         "while the band costs on ALL particles (the "
+                         "band-8192 single-dispatch wall time killed "
+                         "the TPU worker, r8_ppext128_leg1.log)")
     ap.add_argument("--rebuild-policy", choices=("inplace", "exit"),
                     default="inplace",
                     help="what a pp_autosize growth does mid-run: "
@@ -157,6 +171,7 @@ def main():
         for knob, cur in (("pp_dense_band", args.pp_dense_band),
                           ("pp_dense_cap_frac", args.pp_cap_frac),
                           ("pp_ext_band", args.pp_ext_band),
+                          ("pp_ext_tail_band", args.pp_ext_tail_band),
                           ("pp_ext_ghost_cap", args.pp_ext_ghost_cap)):
             if knob in stored and stored[knob] > cur:
                 grown[knob] = stored[knob]
@@ -169,8 +184,17 @@ def main():
                                                args.pp_cap_frac))
             args.pp_ext_band = int(grown.get("pp_ext_band",
                                              args.pp_ext_band))
+            args.pp_ext_tail_band = int(grown.get("pp_ext_tail_band",
+                                                  args.pp_ext_tail_band))
             args.pp_ext_ghost_cap = int(grown.get("pp_ext_ghost_cap",
                                                   args.pp_ext_ghost_cap))
+        # a pre-cap checkpoint may store a band beyond pp_ext_band_cap
+        # (e.g. the r7 band-8192 ratchet leg); pp_ext_band_eff clamps it,
+        # and the TAIL window must then cover the occupancy the oversized
+        # band was absorbing
+        if args.pp_ext and args.pp_ext_band:
+            args.pp_ext_tail_band = max(args.pp_ext_tail_band,
+                                        2 * args.pp_ext_band)
 
     nf = 2 * args.np_dim
     # beyond nf=512 padded the axon backend's c2c transform limit bites:
@@ -187,6 +211,7 @@ def main():
                     pp_dense_cap_frac=args.pp_cap_frac,
                     pp_autosize_headroom=args.autosize_headroom,
                     pp_ext_band=args.pp_ext_band,
+                    pp_ext_tail_band=args.pp_ext_tail_band,
                     pp_ext_ghost_cap=args.pp_ext_ghost_cap,
                     # realization-dependent cluster cores can exceed any
                     # static dense band (a 64^3/100Mpc box packs >4096
@@ -197,6 +222,7 @@ def main():
                     coarse_sort=args.coarse_sort,
                     coarse_gather_pallas=args.gather_pallas,
                     staged_sweep=args.staged, pp_ext=args.pp_ext,
+                    mhd=args.mhd,
                     rebuild_policy=args.rebuild_policy,
                     coarse_from_fine=args.fast, fine_potential=args.fast)
     cfg.validate()
@@ -388,11 +414,31 @@ def main():
 
     from cubep3m_tpu.analysis import halofit as hft
     nl_delta2 = hft.nonlinear_delta2(lin, ps.k)
+    extra = {}
+    if args.mhd:
+        # gas P(k) + baryon/matter ratio (utils/gas_power role): the gas
+        # spectrum tracks matter on large scales and is pressure/shock-
+        # suppressed below the gas mesh scale
+        gas_u = np.asarray(final.gas_u)
+        gps = pw.gas_power(cfg, gas_u)
+        gl = np.interp(gps.k, ps.k, ps.delta2)
+        sel_g = (gps.k < 1.0) & (gl > 0) & (gps.nmodes > 0)
+        gratio = (float(np.average(gps.delta2[sel_g] / gl[sel_g],
+                                   weights=gps.nmodes[sel_g]))
+                  if sel_g.any() else float("nan"))
+        extra.update(gas_k=gps.k, gas_delta2=gps.delta2,
+                     gas_nmodes=gps.nmodes,
+                     gas_rho_max=float(gas_u[0].max()),
+                     gas_mass_mean=float(gas_u[0].mean()))
+        print(f"# gas/matter Delta^2 weighted ratio (k<1): "
+              f"{gratio:.3f}; max gas overdensity "
+              f"{gas_u[0].max():.1f}; mean gas density "
+              f"{gas_u[0].mean():.6f}", flush=True)
     np.savez(args.out, k=ps.k, delta2=ps.delta2, pk=ps.pk,
              nmodes=ps.nmodes, lin_delta2=lin.delta2(ps.k),
              nl_delta2=nl_delta2,
              halo_mass=cat["halo_mass"], halo_imass=cat["imass"],
-             n_steps=n_steps, a_final=float(final.a))
+             n_steps=n_steps, a_final=float(final.a), **extra)
 
     sel = ps.k < 0.3
     ratio = np.average(ps.delta2[sel] / lin.delta2(ps.k[sel]),

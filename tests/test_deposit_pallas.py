@@ -12,7 +12,7 @@ from cubep3m_tpu import state as state_mod
 from cubep3m_tpu import kernels as kernels_mod
 from cubep3m_tpu.core import step as step_mod
 from cubep3m_tpu.ops import deposit as dep
-from cubep3m_tpu.ops import deposit_pallas as dpp
+from cubep3m_tpu.experiments import deposit_pallas as dpp
 from cubep3m_tpu.parallel.mesh import make_sim_mesh
 
 

@@ -11,7 +11,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from cubep3m_tpu.ops import deposit, fine_pallas
+from cubep3m_tpu.ops import deposit
+from cubep3m_tpu.experiments import fine_pallas
 
 
 def _sorted_keys(n, nf, nvalid, seed=0, cluster=0):

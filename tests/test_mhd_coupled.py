@@ -107,3 +107,58 @@ def test_mhd_pp_force_scaled_by_dm_fraction():
     fb = 0.04 / 0.24  # small_config default cosmology omega_b/omega_m
     ratio = np.linalg.norm(kick[True]) / np.linalg.norm(kick[False])
     np.testing.assert_allclose(ratio, 1.0 - fb, rtol=0.05)
+
+
+def test_gas_ic_from_particles_conserves_and_traces():
+    """The reference-faithful gas IC (mhd_init.f90 GetU: CIC deposit of
+    the displaced Zel'dovich particles): exact mean density 1, momentum
+    consistent with the particle momenta, energy >= kinetic + floor."""
+    import dataclasses
+    import jax.numpy as jnp
+    from cubep3m_tpu.ic import zeldovich as zl
+    cfg = small_config(mhd=True, z_i=50.0, gas_p_init=1e-6,
+                       gas_ic="particles")
+    st = zl.zeldovich_ic(cfg, seed=3)
+    u = np.asarray(st.gas_u)
+    nf = cfg.nf_physical_node_dim
+    assert u.shape == (5, nf, nf, nf)
+    # total deposited mass mass_p * np == nf^3 exactly (mean rho 1)
+    assert abs(u[0].mean() - 1.0) < 1e-5
+    assert np.all(u[0] >= 0)
+    # total gas momentum == total particle momentum (CIC weights sum 1)
+    n = int(st.np_local[0])
+    v = np.asarray(st.x * 0 + st.v)[:n]
+    pm = cfg.mass_p * v.sum(axis=0)
+    gm = u[1:4].sum(axis=(1, 2, 3))
+    assert np.allclose(gm, pm, rtol=1e-3, atol=1e-2)
+    # energy >= kinetic part, with the pressure floor everywhere
+    floor = cfg.gas_p_init / (cfg.gas_gamma - 1.0)
+    assert np.all(u[4] >= floor * 0.999)
+    # gas overdensity traces the displaced-particle clustering: the
+    # delta-traced variant must agree ABOVE the particle-lattice scale
+    # (the CIC deposit of 1-per-8-cells lattice particles carries the
+    # discreteness pattern pointwise, exactly as the reference's GetU
+    # does; the LPT perturbation lives at larger scales) — pool both
+    # fields over 4^3 blocks (64 particles) before correlating
+    cfg_d = dataclasses.replace(cfg, gas_ic="delta")
+    st_d = zl.zeldovich_ic(cfg_d, seed=3)
+    ud = np.asarray(st_d.gas_u)
+
+    def pool(f):
+        nb = f.shape[0] // 4
+        return f.reshape(nb, 4, nb, 4, nb, 4).mean(axis=(1, 3, 5))
+
+    a = pool(u[0]) - 1.0
+    b = pool(ud[0]) - 1.0
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.8, f"particle- and delta-traced gas decorrelated: {corr}"
+
+
+def test_gas_ic_cmb_thermal_floor():
+    """z_i > 150 turns on the CMB-coupled thermal floor
+    (mhd_init.f90:793-807); below, it is exactly zero."""
+    from cubep3m_tpu.ic import zeldovich as zl
+    cfg_hot = small_config(mhd=True, z_i=200.0)
+    cfg_cold = small_config(mhd=True, z_i=100.0)
+    assert zl.cmb_thermal_specific(cfg_hot) > 0
+    assert zl.cmb_thermal_specific(cfg_cold) == 0.0

@@ -222,6 +222,126 @@ def test_presize_noop_when_sparse():
     assert sim.cfg.pp_dense_band == 64
 
 
+def _ext_observed_occ(cfg, x, n_valid, shake):
+    """Max super-cell occupancy over the 8 lattice shifts at a given
+    shake offset (what pp_ext_lattice_force_t actually bins)."""
+    nf = cfg.nf_physical_node_dim
+    s = 2 * cfg.pp_range
+    h = cfg.pp_range
+    xs = np.mod(np.asarray(x[:n_valid]) + np.asarray(shake)[None, :], nf)
+    worst = 0
+    for ox in (0.0, h):
+        for oy in (0.0, h):
+            for oz in (0.0, h):
+                k = np.floor((xs + s - np.array([ox, oy, oz])) / s
+                             ).astype(np.int64)
+                ncs = (nf + 2 * s) // s + 1
+                key = (k[:, 0] * ncs + k[:, 1]) * ncs + k[:, 2]
+                _, cnt = np.unique(key, return_counts=True)
+                worst = max(worst, int(cnt.max()))
+    return worst
+
+
+def test_pp_ext_probe_bounds_under_shake():
+    """The ext probe's occupancy bound must dominate the OBSERVED max
+    super-cell occupancy at every shake alignment (the lattice origin
+    moves with the per-sweep shake; VERDICT r4 weak #2: the reactive
+    path retained drops at each growth)."""
+    cfg = small_config(pp_ext=True)
+    mesh = make_sim_mesh(1)
+    rng = np.random.default_rng(7)
+    nf = cfg.nf_physical_dim
+    n = cfg.np_total
+    x = rng.uniform(0, nf, (n, 3)).astype(np.float32)
+    # clump straddling a super-cell corner (edge s=4): worst alignment
+    # sees all 24 in one super cell
+    x[:24] = (np.array([8.0, 8.0, 8.0])
+              + rng.uniform(-0.4, 0.4, (24, 3))).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, np.zeros_like(x))
+    probe = step_mod.make_pp_ext_probe(cfg, mesh)
+    assert probe is not None
+    occ, n_dense, skin = (int(v) for v in probe(st.x, st.np_local))
+    # observed occupancy at 32 random shake alignments never exceeds it
+    for seed in range(32):
+        sh = np.random.default_rng(seed).uniform(
+            -2 * cfg.mesh_scale, 2 * cfg.mesh_scale, 3)
+        obs = _ext_observed_occ(cfg, x, n, sh)
+        assert obs <= occ, (obs, occ, seed)
+    assert occ >= 24
+    # every clump particle is in a super cell denser than band+1
+    assert n_dense >= 24
+
+
+def test_pp_ext_probe_skin_bound():
+    """The skin bound must dominate the per-face ghost population for
+    any shake alignment in the probe period."""
+    cfg = small_config(pp_ext=True)
+    mesh = make_sim_mesh(1)
+    rng = np.random.default_rng(8)
+    nf = cfg.nf_physical_dim
+    n = cfg.np_total
+    x = rng.uniform(0, nf, (n, 3)).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, np.zeros_like(x))
+    probe = step_mod.make_pp_ext_probe(cfg, mesh)
+    occ, n_dense, skin = (int(v) for v in probe(st.x, st.np_local))
+    h = cfg.pp_range
+    worst = 0
+    for seed in range(32):
+        sh = np.random.default_rng(100 + seed).uniform(
+            -2 * cfg.mesh_scale, 2 * cfg.mesh_scale, 3)
+        xs = np.mod(x + sh[None, :], nf)
+        for ax in range(3):
+            worst = max(worst, int(np.sum(xs[:, ax] < h)),
+                        int(np.sum(xs[:, ax] >= nf - h)))
+    assert skin >= worst
+
+
+def test_driver_grows_ext_band_preemptively():
+    """Lattice PP_EXT: the scheduled probe must grow pp_ext_band BEFORE
+    any sweep drops pairs — zero bucket_overflow across the growth
+    (VERDICT r4 'make PP_EXT sizing preemptive')."""
+    # 12 particles spread over a 2-cell neighborhood: super-cell occ 12
+    # stays under band+1=17 (no drops) but the probe's 2s-block bound
+    # (>= 12 > 0.7*17) triggers growth
+    cfg = small_config(z_i=50.0, pp_ext=True, pp_ext_band=16,
+                       pp_dense_band=64, pp_autosize=True,
+                       pp_autosize_every=1, verbosity=0)
+    assert cfg.pp_ext_impl == "lattice"
+    sim = Simulation(cfg)
+    rng = np.random.default_rng(9)
+    nf = cfg.nf_physical_dim
+    n = cfg.np_total
+    x = rng.uniform(0, nf, (n, 3)).astype(np.float32)
+    x[:12] = (np.array([9.0, 9.0, 9.0])
+              + rng.uniform(-1.0, 1.0, (12, 3))).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, np.zeros_like(x))
+    st = sim.run(st, max_steps=3, use_chunks=False)
+    assert sim.cfg.pp_ext_band_eff > 16, "ext probe never grew the band"
+    assert all(l.bucket_overflow == 0 for l in sim.logs), \
+        "preemptive sizing must never let a sweep drop pairs"
+
+
+def test_driver_grows_ext_ghost_cap_preemptively():
+    """A face-hugging population must grow pp_ext_ghost_cap via the skin
+    bound BEFORE the first sweep drops ghost copies (the presize path —
+    the same t=0 growth a resumed leg gets)."""
+    cfg = small_config(z_i=50.0, pp_ext=True, pp_ext_band=64,
+                       pp_dense_band=128, pp_ext_ghost_cap=256,
+                       pp_autosize=True, pp_autosize_every=1, verbosity=0)
+    sim = Simulation(cfg)
+    rng = np.random.default_rng(10)
+    nf = cfg.nf_physical_dim
+    n = cfg.np_total
+    # everything within 2 cells of the x=0 face: skin bound ~ n >> cap
+    x = rng.uniform(0, nf, (n, 3)).astype(np.float32)
+    x[:, 0] = rng.uniform(0, 2.0, n).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, np.zeros_like(x))
+    sim.presize_from_state(st)
+    assert sim.cfg.pp_ext_ghost_cap > 256, "skin bound never grew the cap"
+    st = sim.run(st, max_steps=3, use_chunks=False)
+    assert all(l.bucket_overflow == 0 for l in sim.logs)
+
+
 def test_prerebuild_safety_checkpoint(tmp_path):
     """Any autosize sweep recompile must first checkpoint the state:
     three TPU worker crashes (campaign_r4c.log) happened exactly inside
