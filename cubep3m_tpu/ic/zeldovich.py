@@ -583,10 +583,14 @@ def gas_ic_from_particles(cfg: SimConfig, xT, vT, valid=None):
     `xT`, `vT`: SoA (3, N) positions/velocities on the LOCAL gas grid
     (single-device: the global grid).  Local-grid deposit with a 1-layer
     pad; the caller folds pads across devices (single-device: periodic
-    fold).  Gas cells are [i, i+1) with center i+0.5, hence the -0.5 CIC
-    offset (our TVD solver's cell convention; the reference deposits on
-    integer nodes of its node-local grid, the same stencil one half-cell
-    convention apart)."""
+    fold).  CIC nodes sit at INTEGER coordinates (offset 0.0), exactly
+    the reference's convention (GetU: i1=floor(x)+1, dx1=i1-x) — this
+    matters: lattice particles live at half-integer cell centers, so
+    integer nodes spread each particle evenly over its 2^3 cell block
+    and the undisplaced lattice deposits EXACTLY uniform density 1,
+    while half-integer nodes would degenerate to NGP (frac = 0) and
+    leave 7/8 of the gas cells at rho = 0, which the TVD solver cannot
+    evolve (1/rho)."""
     from ..ops.deposit import cic_deposit_t
     nf = cfg.nf_physical_node_dim
     shape = (nf + 2, nf + 2, nf + 2)
@@ -598,7 +602,7 @@ def gas_ic_from_particles(cfg: SimConfig, xT, vT, valid=None):
     e_spec = cmb_thermal_specific(cfg)
 
     def dep(weights):
-        return cic_deposit_t(xT, weights, shape, scale=1.0, offset=-0.5,
+        return cic_deposit_t(xT, weights, shape, scale=1.0, offset=0.0,
                              pad=1)
 
     rho = dep(w)
@@ -612,8 +616,12 @@ def gas_ic_from_particles(cfg: SimConfig, xT, vT, valid=None):
 
 
 def gas_ic_finalize(cfg: SimConfig, u_folded):
-    """Post-fold constants for the particle-deposited gas ICs: the cold
-    pressure floor (and nothing else — all density/momentum/energy terms
-    fold linearly)."""
+    """Post-fold finalization for the particle-deposited gas ICs: the
+    cold pressure floor, plus a tiny density floor (1e-3 of mean) for
+    cells left empty by large z_i displacements — the TVD solver divides
+    by rho (the reference's Emin floor guards energy only,
+    mpi_tvd_mhd.f90:591).  All deposit terms fold linearly; only these
+    constants must come after the fold."""
+    u_folded = u_folded.at[0].set(jnp.maximum(u_folded[0], 1e-3))
     return u_folded.at[4].add(
         jnp.float32(cfg.gas_p_init / (cfg.gas_gamma - 1.0)))

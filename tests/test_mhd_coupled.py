@@ -134,12 +134,14 @@ def test_gas_ic_from_particles_conserves_and_traces():
     # energy >= kinetic part, with the pressure floor everywhere
     floor = cfg.gas_p_init / (cfg.gas_gamma - 1.0)
     assert np.all(u[4] >= floor * 0.999)
-    # gas overdensity traces the displaced-particle clustering: the
-    # delta-traced variant must agree ABOVE the particle-lattice scale
-    # (the CIC deposit of 1-per-8-cells lattice particles carries the
-    # discreteness pattern pointwise, exactly as the reference's GetU
-    # does; the LPT perturbation lives at larger scales) — pool both
-    # fields over 4^3 blocks (64 particles) before correlating
+    # At z_i the Zel'dovich displacements are sub-half-cell, so every
+    # particle's CIC cloud stays inside its 2-cell home block and the
+    # deposited DENSITY is exactly uniform above the lattice scale
+    # (measured pooled std ~ 3e-8 = fp32 noise) — identical to the
+    # reference's GetU construction, where the IC perturbation enters
+    # through the MOMENTUM field and density contrast develops
+    # dynamically.  So the cross-check against the delta-traced variant
+    # (same realization) is on the momentum field.
     cfg_d = dataclasses.replace(cfg, gas_ic="delta")
     st_d = zl.zeldovich_ic(cfg_d, seed=3)
     ud = np.asarray(st_d.gas_u)
@@ -148,10 +150,11 @@ def test_gas_ic_from_particles_conserves_and_traces():
         nb = f.shape[0] // 4
         return f.reshape(nb, 4, nb, 4, nb, 4).mean(axis=(1, 3, 5))
 
-    a = pool(u[0]) - 1.0
-    b = pool(ud[0]) - 1.0
-    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
-    assert corr > 0.8, f"particle- and delta-traced gas decorrelated: {corr}"
+    for ax in range(3):
+        a = pool(u[1 + ax])
+        b = pool(ud[1 + ax])
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.9, (ax, corr)
 
 
 def test_gas_ic_cmb_thermal_floor():
