@@ -178,6 +178,18 @@ class SimConfig:
                                  # single-dispatch wall time killed the
                                  # tunneled TPU worker 3/3 times
                                  # (bench_logs/r8_ppext128_leg1.log b5)
+    pp_ext_dense_cap: int = 0    # lattice PP_EXT dense-tail COMPACTION
+                                 # buffer (particles living in super
+                                 # cells denser than the band): 0 =
+                                 # share the PPINT cap (max_np *
+                                 # pp_dense_cap_frac).  Sized separately
+                                 # because the tail pass costs
+                                 # O(tail_band * cap) per shift whether
+                                 # or not the slots are used — the probe
+                                 # right-sizes it from the measured
+                                 # dense-population bound (4x tighter
+                                 # than the shared cap at the 128^3
+                                 # ratchet's resume point)
     pp_ext_tail_band: int = 0    # lattice PP_EXT dense-tail window (max
                                  # supported SUPER-cell occupancy): 0 =
                                  # share pp_dense_band.  Separate knob
@@ -406,6 +418,13 @@ class SimConfig:
                 / float(self.nf_physical_dim) ** 3)
         return min(max(64, int(-(-4.0 * mean // 32)) * 32),
                    self.pp_ext_band_cap)
+
+    @property
+    def pp_ext_dense_cap_eff(self) -> int:
+        """Resolved lattice PP_EXT tail buffer: explicit or the shared
+        PPINT dense cap."""
+        return self.pp_ext_dense_cap or max(
+            64, int(self.max_np * self.pp_dense_cap_frac))
 
     @property
     def pp_ext_tail_band_eff(self) -> int:

@@ -350,7 +350,8 @@ class Simulation:
 
     def pp_autosize_check(self, state: SimState, steps: int = 1,
                           overflowed: bool = False,
-                          bucket_overflowed: bool = False) -> None:
+                          bucket_overflowed: bool = False,
+                          allow_shrink: bool = False) -> None:
         """Adaptive dense-tail sizing (cfg.pp_autosize): every
         `pp_autosize_every` sweeps, probe (a) a shake-invariant bound on
         the max same-fine-cell occupancy and (b) a bound on the
@@ -390,17 +391,17 @@ class Simulation:
                 newtail = cfg.pp_ext_tail_band_eff * 2
                 newghost = (cfg.pp_ext_ghost_cap
                             or cfg.pp_ext_ghost_cap_auto()) * 2
-                newfrac = min(1.0, cfg.pp_dense_cap_frac * 2)
+                newcap = min(cfg.pp_ext_dense_cap_eff * 2, cfg.max_np)
                 if self.cfg.verbosity >= 1:
                     print(f"pp_autosize: lattice pp_ext overflow -> "
                           f"pp_ext_band {cfg.pp_ext_band_eff} -> {newband}, "
                           f"pp_ext_tail_band -> {newtail}, "
-                          f"pp_dense_cap_frac -> {newfrac}, "
+                          f"pp_ext_dense_cap -> {newcap}, "
                           f"pp_ext_ghost_cap -> {newghost} "
                           f"(recompiling sweep)", flush=True)
                 self.cfg = cfg = dataclasses.replace(
                     cfg, pp_ext_band=newband, pp_ext_tail_band=newtail,
-                    pp_dense_cap_frac=newfrac, pp_ext_ghost_cap=newghost)
+                    pp_ext_dense_cap=newcap, pp_ext_ghost_cap=newghost)
             else:
                 newcap = cfg.pp_coarse_capacity * 2
                 if self.cfg.verbosity >= 1:
@@ -439,6 +440,7 @@ class Simulation:
         # population and the ghost cap the face skin.
         new_ext_band = cfg.pp_ext_band_eff if cfg.pp_ext else 0
         new_ext_tail = cfg.pp_ext_tail_band_eff if cfg.pp_ext else 0
+        new_ext_cap = cfg.pp_ext_dense_cap_eff if cfg.pp_ext else 0
         new_ghost = (cfg.pp_ext_ghost_cap or cfg.pp_ext_ghost_cap_auto()
                      ) if cfg.pp_ext else 0
         ext_msg = ""
@@ -457,24 +459,37 @@ class Simulation:
                     new_ext_tail *= 2
                 while skin > head * new_ghost:
                     new_ghost *= 2
-                # the shared dense-tail buffer must also hold the ext
-                # pass's dense population
-                while (ext_dense > head * max(64, int(cfg.max_np * new_frac))
-                       and new_frac < 1.0):
-                    new_frac = min(1.0, new_frac * 2)
+                # the ext tail buffer must hold the dense population;
+                # its size is pure per-sweep COST (O(tail*cap) per
+                # shift, used or not), so the probe also RIGHT-SIZES it
+                # downward at presize time, where nothing is compiled
+                # yet and the rebuild is free
+                while ext_dense > head * new_ext_cap:
+                    new_ext_cap = min(new_ext_cap * 2, cfg.max_np)
+                if allow_shrink:
+                    # 2x the headroomed bound: enough slack that normal
+                    # clustering growth between presizes doesn't force a
+                    # rebuild-exit ladder, still ~2-4x cheaper than the
+                    # shared cap at production resume points
+                    tight = max(4096, 2 * (int(ext_dense / head) + 1))
+                    if tight < new_ext_cap:
+                        new_ext_cap = tight
                 ext_msg = (f", ext occ/dense/skin bounds {ext_occ}/"
                            f"{ext_dense}/{skin} -> pp_ext_band "
                            f"{cfg.pp_ext_band_eff} -> {new_ext_band}, "
                            f"tail {cfg.pp_ext_tail_band_eff} -> "
-                           f"{new_ext_tail}, ghost_cap -> {new_ghost}")
+                           f"{new_ext_tail}, dense_cap "
+                           f"{cfg.pp_ext_dense_cap_eff} -> {new_ext_cap}, "
+                           f"ghost_cap -> {new_ghost}")
 
-        ext_grew = cfg.pp_ext and (
+        ext_changed = cfg.pp_ext and (
             new_ext_band > cfg.pp_ext_band_eff
             or new_ext_tail > cfg.pp_ext_tail_band_eff
+            or new_ext_cap != cfg.pp_ext_dense_cap_eff
             or new_ghost > (cfg.pp_ext_ghost_cap
                             or cfg.pp_ext_ghost_cap_auto()))
         if (new_band == cfg.pp_dense_band
-                and new_frac == cfg.pp_dense_cap_frac and not ext_grew):
+                and new_frac == cfg.pp_dense_cap_frac and not ext_changed):
             if not overflowed:
                 return
             new_band = min(cfg.pp_dense_band * 2, cfg.max_np)
@@ -490,9 +505,10 @@ class Simulation:
                   f"{cfg.pp_dense_cap_frac} -> {new_frac}{ext_msg} "
                   f"(recompiling sweep)", flush=True)
         repl = dict(pp_dense_band=new_band, pp_dense_cap_frac=new_frac)
-        if ext_grew:
+        if ext_changed:
             repl.update(pp_ext_band=new_ext_band,
                         pp_ext_tail_band=new_ext_tail,
+                        pp_ext_dense_cap=new_ext_cap,
                         pp_ext_ghost_cap=new_ghost)
         self.cfg = dataclasses.replace(cfg, **repl)
         self._rebuild_or_raise(state)
@@ -549,7 +565,8 @@ class Simulation:
         yet, so growth is free.  No-op when pp_autosize is off or the
         probed bounds fit the current windows."""
         self._steps_since_occ_probe = 0
-        self.pp_autosize_check(state, steps=self.cfg.pp_autosize_every)
+        self.pp_autosize_check(state, steps=self.cfg.pp_autosize_every,
+                               allow_shrink=True)
 
     def run(self, state: SimState, max_steps: Optional[int] = None,
             use_chunks: bool = True) -> SimState:

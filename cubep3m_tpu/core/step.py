@@ -501,8 +501,7 @@ def make_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
             pp_overflow = jax.lax.psum(res.overflow, AXES)
         if cfg.pp_ext:
             if cfg.pp_ext_impl == "lattice":
-                dense_cap = max(64, int(cfg.max_np
-                                        * cfg.pp_dense_cap_frac))
+                dense_cap = cfg.pp_ext_dense_cap_eff
                 ghost_cap = (cfg.pp_ext_ghost_cap
                              or cfg.pp_ext_ghost_cap_auto())
                 res = pp_lattice.pp_ext_lattice_force(
@@ -946,7 +945,7 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     # bench_logs/r8_ppext128_leg1.log stage b5): the split keeps every
     # dispatch at 1/8 of that and compiles ~8x less code.
     ext_ghost_cap = (cfg.pp_ext_ghost_cap or cfg.pp_ext_ghost_cap_auto())
-    ext_dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
+    ext_dense_cap = cfg.pp_ext_dense_cap_eff
 
     def b5g_local(packed, cell):
         """Ghost-skin build + force accumulator allocation."""
@@ -1529,7 +1528,7 @@ def compute_forces(cfg: SimConfig, state: SimState, kern_f_im, kern_c_im,
         force = force + res.force[inv]
     if cfg.pp_ext:
         if cfg.pp_ext_impl == "lattice":
-            dense_cap = max(64, int(cfg.max_np * cfg.pp_dense_cap_frac))
+            dense_cap = cfg.pp_ext_dense_cap_eff
             ghost_cap = (cfg.pp_ext_ghost_cap
                          or cfg.pp_ext_ghost_cap_auto())
             res = pp_lattice.pp_ext_lattice_force(

@@ -156,7 +156,7 @@ class AsyncWriter:
 #: pp_autosize-grown knobs recoverable from a native checkpoint's stored
 #: config repr (driver.RebuildRequired relaunch contract)
 SIZING_KNOBS = ("pp_dense_band", "pp_dense_cap_frac", "pp_ext_band",
-                "pp_ext_tail_band", "pp_ext_ghost_cap",
+                "pp_ext_tail_band", "pp_ext_dense_cap", "pp_ext_ghost_cap",
                 "pp_coarse_capacity")
 
 

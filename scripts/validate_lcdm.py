@@ -111,6 +111,12 @@ def main():
                          "rebuild happens at t=0, not mid-run")
     ap.add_argument("--pp-ext-ghost-cap", type=int, default=0,
                     help="lattice PP_EXT per-face ghost buffer (0 = auto)")
+    ap.add_argument("--pp-ext-dense-cap", type=int, default=0,
+                    help="lattice PP_EXT tail compaction buffer (0 = "
+                         "share the PPINT cap); the tail pass costs "
+                         "O(tail_band * cap) per shift whether or not "
+                         "the slots are used, and the presize probe "
+                         "right-sizes it from the measured bound")
     ap.add_argument("--pp-ext-tail-band", type=int, default=0,
                     help="lattice PP_EXT dense-tail window (max super-"
                          "cell occupancy; 0 = share pp_dense_band).  "
@@ -172,6 +178,7 @@ def main():
                           ("pp_dense_cap_frac", args.pp_cap_frac),
                           ("pp_ext_band", args.pp_ext_band),
                           ("pp_ext_tail_band", args.pp_ext_tail_band),
+                          ("pp_ext_dense_cap", args.pp_ext_dense_cap),
                           ("pp_ext_ghost_cap", args.pp_ext_ghost_cap)):
             if knob in stored and stored[knob] > cur:
                 grown[knob] = stored[knob]
@@ -186,6 +193,8 @@ def main():
                                              args.pp_ext_band))
             args.pp_ext_tail_band = int(grown.get("pp_ext_tail_band",
                                                   args.pp_ext_tail_band))
+            args.pp_ext_dense_cap = int(grown.get("pp_ext_dense_cap",
+                                                  args.pp_ext_dense_cap))
             args.pp_ext_ghost_cap = int(grown.get("pp_ext_ghost_cap",
                                                   args.pp_ext_ghost_cap))
         # a pre-cap checkpoint may store a band beyond pp_ext_band_cap
@@ -212,6 +221,7 @@ def main():
                     pp_autosize_headroom=args.autosize_headroom,
                     pp_ext_band=args.pp_ext_band,
                     pp_ext_tail_band=args.pp_ext_tail_band,
+                    pp_ext_dense_cap=args.pp_ext_dense_cap,
                     pp_ext_ghost_cap=args.pp_ext_ghost_cap,
                     # realization-dependent cluster cores can exceed any
                     # static dense band (a 64^3/100Mpc box packs >4096

@@ -403,3 +403,24 @@ def test_rebuild_policy_exit_presize_inplace():
     st = _state_with_dense_cell(cfg, n_dense=20)
     sim.presize_from_state(st)  # must not raise
     assert sim.cfg.pp_dense_band > 8
+
+
+def test_presize_rightsizes_ext_dense_cap():
+    """The ext tail buffer costs O(tail_band * cap) per shift whether or
+    not the slots are used — presize must RIGHT-SIZE it to the measured
+    bound (shrink allowed only at t=0, growth preemptive after)."""
+    # band 256 >> the ~64 mean 2s-block occupancy of this toy box, so
+    # the dense-population bound is ~0 and the probe should shrink the
+    # buffer to its floor (or at least never grow it)
+    cfg = small_config(z_i=50.0, pp_ext=True, pp_ext_band=256,
+                       pp_autosize=True, verbosity=0)
+    sim = Simulation(cfg)
+    rng = np.random.default_rng(11)
+    nf = cfg.nf_physical_dim
+    x = rng.uniform(0, nf, (cfg.np_total, 3)).astype(np.float32)
+    st = state_mod.particles_ic(cfg, x, np.zeros_like(x))
+    shared = cfg.pp_ext_dense_cap_eff
+    sim.presize_from_state(st)
+    assert sim.cfg.pp_ext_dense_cap_eff <= max(shared, 4096)
+    st = sim.run(st, max_steps=2, use_chunks=False)
+    assert all(l.bucket_overflow == 0 for l in sim.logs)
