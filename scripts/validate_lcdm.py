@@ -86,6 +86,14 @@ def main():
                          "measurements — a timeout-killed TPU client "
                          "wedges the remote worker for minutes, a clean "
                          "exit does not; resume with --resume-from")
+    ap.add_argument("--ckpt-every-s", type=float, default=None,
+                    help="periodic rolling checkpoint cadence (s): write "
+                         "ckpt_kill.npz every N seconds of stepping "
+                         "(requires --ckpt-dir) so an external host/worker "
+                         "death mid-leg loses at most N seconds — the "
+                         "r8 leg at 10:48 lost 1400s of ratchet progress "
+                         "because only the end-of-window kill checkpoint "
+                         "was durable")
     ap.add_argument("--pp-cap-frac", type=float, default=0.25,
                     help="dense-tail buffer capacity as a fraction of "
                          "max_np: pre-size from run history to avoid the "
@@ -329,6 +337,9 @@ def main():
     # flaky with long scan programs, so chunked mode is opt-in)
     _orig_step = sim.step
     _hb = [0, time.time()]
+    _pc = [time.time()]
+    if args.ckpt_every_s is not None and not args.ckpt_dir:
+        ap.error("--ckpt-every-s requires --ckpt-dir")
 
     def _step(stt):
         out = _orig_step(stt)
@@ -337,6 +348,14 @@ def main():
             print(f"# step {_hb[0]}: a={float(out[0].a):.5f} "
                   f"wall={time.time() - t0:.0f}s", flush=True)
             _hb[1] = time.time()
+        if (args.ckpt_every_s is not None
+                and time.time() - _pc[0] > args.ckpt_every_s):
+            from cubep3m_tpu.io import checkpoint as _ck
+            _ck.save_native(f"{args.ckpt_dir}/ckpt_kill.npz", sim.cfg,
+                            out[0], sim.cursors)
+            print(f"# periodic ckpt at a={float(out[0].a):.5f} "
+                  f"wall={time.time() - t0:.0f}s", flush=True)
+            _pc[0] = time.time()
         return out
 
     sim.step = _step
