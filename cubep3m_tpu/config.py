@@ -197,6 +197,19 @@ class SimConfig:
                                  # cells) runs ~4x the fine-cell max, and
                                  # a shared window would make the PPINT
                                  # tail pay the super-cell ceiling
+    pp_ext_tail_chunk: int = 0   # staged lattice PP_EXT: split each
+                                 # shift's dense-tail pass into
+                                 # ceil(n_dense/chunk) separate
+                                 # dispatches of `chunk` lefts each
+                                 # (plus the tail-window overlap), so
+                                 # no dispatch exceeds the tunnel's
+                                 # per-execution ceiling at any
+                                 # clustering (the single-dispatch
+                                 # tail is O(dense_cap * tail_band) —
+                                 # ~6e11 lanes at 256^3 z<=1, the
+                                 # campaign_r9 ppext256-demo crash).
+                                 # 0 = single dispatch (fused path
+                                 # always single-dispatch)
     pp_ext_ghost_cap: int = 0    # lattice PP_EXT per-face ghost-copy
                                  # buffer; 0 = auto from the face-skin
                                  # volume with 4x clustering headroom

@@ -966,6 +966,38 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         return (facc + f[:, :n_slots_cap],
                 jnp.maximum(ovfl, jax.lax.psum(ov, AXES)))
 
+    # chunked dense tail (cfg.pp_ext_tail_chunk): the per-shift program
+    # splits further into band-only b5s + ceil(n_dense/chunk) bounded
+    # b5t dispatches — the single-dispatch tail is O(dense_cap *
+    # tail_band) pair lanes (~6e11 at 256³ z<=1 clustering) and crashed
+    # the worker at production scale (campaign_r9.log ppext256-demo)
+    tail_chunk = int(cfg.pp_ext_tail_chunk or 0)
+    tail_w = cfg.pp_ext_tail_band_eff
+
+    def b5sb_local(ax, aval, facc, ovfl, shift):
+        """Band pass + dense compaction only (tail runs as b5t chunks)."""
+        (f, dsx, dsy, dsz, dcl, gidx, n_dense,
+         ov) = pp_lattice.pp_ext_shift_band_t(
+            ax, aval, shift, nf, cfg.pp_range, cfg.nf_cutoff, mass_dm,
+            cfg.rsoft, cfg.pp_bias, cfg.pp_ext_band_eff,
+            tail_w, ext_dense_cap, pad_extra=tail_chunk)
+        return (facc + f[:, :n_slots_cap], dsx, dsy, dsz, dcl, gidx,
+                jax.lax.pmax(n_dense, AXES),
+                jnp.maximum(ovfl, jax.lax.psum(ov, AXES)))
+
+    def b5t_local(facc, dsx, dsy, dsz, dcl, gidx, c0):
+        """One bounded dense-tail chunk, scattered into the donated
+        accumulator (both partners of each owned pair; ghost-partner
+        entries masked like the single-dispatch truncation)."""
+        f = pp_lattice.pp_ext_tail_chunk_t(
+            dsx, dsy, dsz, dcl, c0, tail_chunk, cfg.pp_ext_band_eff,
+            tail_w, cfg.pp_range, cfg.nf_cutoff, mass_dm, cfg.rsoft,
+            cfg.pp_bias)
+        gi = jax.lax.dynamic_slice(gidx, (c0,), (tail_chunk + tail_w,))
+        ok = gi < n_slots_cap
+        f = jnp.where(ok[None, :], f, 0.0)
+        return facc.at[:, jnp.where(ok, gi, 0)].add(f)
+
     def b5k_local(cell, vT, facc, a_mid, dt):
         """PP_EXT kick + dt limiter from the accumulated shift forces."""
         a_mid = jnp.asarray(a_mid, jnp.float32)
@@ -1182,6 +1214,16 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
     b5s_jit = jax.jit(shard_map(
         b5s_local, mesh=mesh, in_specs=(prow, pa, prow, r, r),
         out_specs=(prow, r), check_vma=False), donate_argnums=(2,))
+    b5t_jit = None
+    if tail_chunk:
+        b5s_jit = jax.jit(shard_map(
+            b5sb_local, mesh=mesh, in_specs=(prow, pa, prow, r, r),
+            out_specs=(prow, pa, pa, pa, pa, pa, r, r),
+            check_vma=False), donate_argnums=(2,))
+        b5t_jit = jax.jit(shard_map(
+            b5t_local, mesh=mesh,
+            in_specs=(prow, pa, pa, pa, pa, pa, r),
+            out_specs=prow, check_vma=False), donate_argnums=(0,))
     b5k_jit = jax.jit(shard_map(
         b5k_local, mesh=mesh, in_specs=(pa, prow, prow, r, r),
         out_specs=(prow, r), check_vma=False))
@@ -1250,6 +1292,8 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         b5_jit = _logged("b5", b5_jit)
         b5g_jit = _logged("b5g", b5g_jit)
         b5s_jit = _logged("b5s", b5s_jit)
+        if b5t_jit is not None:
+            b5t_jit = _logged("b5t", b5t_jit)
         b5k_jit = _logged("b5k", b5k_jit)
         c0a_jit = _logged("c0a", c0a_jit)
         c0b_jit = _logged("c0b", c0b_jit)
@@ -1304,8 +1348,21 @@ def make_staged_sweep(cfg: SimConfig, mesh: Mesh, pp_band: int = 32):
         if cfg.pp_ext and cfg.pp_ext_impl == "lattice":
             ax, aval, facc, g_ovfl = b5g_jit(packed, cell)
             ovfl = jnp.asarray(0, jnp.int32)
-            for shift in shift_list:
-                facc, ovfl = b5s_jit(ax, aval, facc, ovfl, shift)
+            if tail_chunk:
+                # per-shift: band pass, then ceil(n_dense/chunk) bounded
+                # tail dispatches (n_dense is pmax'ed so every device
+                # runs the same chunk count; the int() is a scalar sync)
+                for shift in shift_list:
+                    (facc, dsx, dsy, dsz, dcl, gidx, nd,
+                     ovfl) = b5s_jit(ax, aval, facc, ovfl, shift)
+                    n_do = min(int(nd), ext_dense_cap)
+                    for k in range(-(-n_do // tail_chunk)):
+                        facc = b5t_jit(
+                            facc, dsx, dsy, dsz, dcl, gidx,
+                            jnp.asarray(k * tail_chunk, jnp.int32))
+            else:
+                for shift in shift_list:
+                    facc, ovfl = b5s_jit(ax, aval, facc, ovfl, shift)
             vT2, dt_pp_ext_acc = b5k_jit(cell, vT2, facc, a_mid, dt)
             bucket_overflow = g_ovfl + ovfl
         elif cfg.pp_ext:

@@ -104,7 +104,8 @@ def ghost_copies_t(pos_t: jnp.ndarray, valid: jnp.ndarray, nf_node: int,
 
 def _ext_band_pass_cols(cx, cy, cz, cell: jnp.ndarray, lo: int, hi: int,
                         pp_range: int, nf_cutoff: int, mass_p: float,
-                        rsoft: float, pp_bias: float) -> jnp.ndarray:
+                        rsoft: float, pp_bias: float,
+                        n_active: int = 0) -> jnp.ndarray:
     """Same-super-cell EXT pair forces for sorted-order offsets in
     [lo, hi], returning SoA (3, N) force.
 
@@ -114,6 +115,12 @@ def _ext_band_pass_cols(cx, cy, cz, cell: jnp.ndarray, lo: int, hi: int,
     force-matching taper, and each pair is weighted by 1/m where m is the
     number of the 8 shifted lattices in which the two particles share a
     super cell (exact de-duplication across shifts).
+
+    `n_active` > 0 restricts the LEFT partner of each pair to the first
+    `n_active` entries (rights still range over the whole input): the
+    chunked tail dispatch passes an overlapping window of `chunk + hi`
+    particles and owns exactly the pairs whose left index is inside its
+    chunk, so consecutive chunks partition the pair set.
     """
     n = cx.shape[0]
     px = jnp.concatenate([cx, jnp.zeros(hi, cx.dtype)])
@@ -130,6 +137,7 @@ def _ext_band_pass_cols(cx, cy, cz, cell: jnp.ndarray, lo: int, hi: int,
     s = 2.0 * h
     taper_cut = nf_cutoff + float(np.sqrt(3.0))
     tscale = pp_bias / nf_cutoff
+    active = (jnp.arange(n) < n_active) if n_active else None
 
     def maxis(f1, f2):
         """Per-axis count of shifts {0, h} where the two fine coords are
@@ -157,6 +165,8 @@ def _ext_band_pass_cols(cx, cy, cz, cell: jnp.ndarray, lo: int, hi: int,
         dcm = jnp.maximum(jnp.maximum(dcx, dcy), dcz)
         near = (dcm <= h) & (dcm > 0.0)
         ok = (cl[:n] == cj) & near & (r2 > rsoft2)
+        if n_active:
+            ok = ok & active
         m = jnp.maximum(maxis(fx[:n], fxj) * maxis(fy[:n], fyj)
                         * maxis(fz[:n], fzj), 1.0)
         rmag = jnp.sqrt(r2)
@@ -282,6 +292,99 @@ def pp_ext_shift_force_t(ax: jnp.ndarray, aval: jnp.ndarray,
     # undo the sort (order is a permutation: scatter-set)
     force = jnp.zeros((3, m_tot), jnp.float32).at[:, order].add(f)
     return force, tail_ovfl
+
+
+def pp_ext_shift_band_t(ax: jnp.ndarray, aval: jnp.ndarray,
+                        shift, nf_node: int, pp_range: int,
+                        nf_cutoff: int, mass_p: float, rsoft: float,
+                        pp_bias: float, band: int, dense_band: int,
+                        dense_cap: int, pad_extra: int = 0):
+    """Band-only half of `pp_ext_shift_force_t` for the CHUNKED-tail
+    staged path: runs the O(band) window over all particles and
+    COMPACTS the dense remainder (super-cell occupancy > band+1) into
+    fixed sorted-order buffers for `pp_ext_tail_chunk_t`, instead of
+    running the whole O(dense_band) tail inside this same dispatch.
+
+    Why: the single-dispatch tail is O(dense_cap * dense_band) pair
+    lanes — ~6e11 at 256³ production clustering (dense_cap 19.3M x
+    tail 32768), far beyond the tunnel's per-execution ceiling
+    (campaign_r9.log ppext256-demo crash at stage b5s), while the
+    completed 128³ history's largest tail dispatch (~3e10) ran fine.
+    Chunking bounds every dispatch at O((chunk + dense_band) *
+    dense_band) regardless of clustering.
+
+    Returns (force (3, M) band forces in input order,
+             dsx, dsy, dsz, dcl  — (dense_cap + dense_band,) compacted
+                 sorted-order dense coords/keys, padded with empty
+                 sentinel entries so every chunk slice is full-size,
+             gidx — (dense_cap + dense_band,) input-order index of each
+                 dense particle (fill M for padding),
+             n_dense, tail_ovfl).
+    """
+    from .binning import rank_from_sorted
+    m_tot = ax.shape[1]
+    s = 2 * pp_range
+    pad = float(s)
+    ncs = (nf_node + 2 * s) // s + 1
+    sentinel = ncs ** 3
+
+    kx = jnp.floor((ax[0] + pad - shift[0]) / s).astype(jnp.int32)
+    ky = jnp.floor((ax[1] + pad - shift[1]) / s).astype(jnp.int32)
+    kz = jnp.floor((ax[2] + pad - shift[2]) / s).astype(jnp.int32)
+    key = jnp.where(aval, (kx * ncs + ky) * ncs + kz, sentinel)
+    order = jnp.argsort(key)
+    cl = key[order]
+    cx, cy, cz = ax[0][order], ax[1][order], ax[2][order]
+    f = _ext_band_pass_cols(cx, cy, cz, cl, 1, band, pp_range,
+                            nf_cutoff, mass_p, rsoft, pp_bias)
+    rank = rank_from_sorted(cl)
+    occ = cell_occupancy(cl, rank)
+    dense = (cl < sentinel) & (occ > band + 1)
+    n_dense = jnp.sum(dense.astype(jnp.int32))
+    # compacted dense buffers, padded by dense_band (+ the caller's
+    # chunk size via pad_extra) so the chunked dynamic_slice never
+    # clamps its start back into real entries
+    idx = jnp.nonzero(dense, size=dense_cap, fill_value=m_tot)[0]
+    idx = jnp.concatenate(
+        [idx, jnp.full((dense_band + pad_extra,), m_tot, idx.dtype)])
+    cx_p = jnp.concatenate([cx, jnp.zeros(1, cx.dtype)])
+    cy_p = jnp.concatenate([cy, jnp.zeros(1, cy.dtype)])
+    cz_p = jnp.concatenate([cz, jnp.zeros(1, cz.dtype)])
+    cl_p = jnp.concatenate([cl, jnp.full((1,), sentinel + 1, cl.dtype)])
+    order_p = jnp.concatenate(
+        [order, jnp.full((1,), m_tot, order.dtype)])
+    tail_ovfl = (jnp.maximum(n_dense - dense_cap, 0)
+                 + jnp.sum(((rank > dense_band) & (cl < sentinel))
+                           .astype(jnp.int32)))
+    force = jnp.zeros((3, m_tot), jnp.float32).at[:, order].add(f)
+    return (force, cx_p[idx], cy_p[idx], cz_p[idx], cl_p[idx],
+            order_p[idx], n_dense, tail_ovfl)
+
+
+def pp_ext_tail_chunk_t(dsx, dsy, dsz, dcl, c0, chunk: int,
+                        band: int, dense_band: int, pp_range: int,
+                        nf_cutoff: int, mass_p: float, rsoft: float,
+                        pp_bias: float):
+    """ONE chunk of the dense-tail pair forces on the compacted buffers
+    from `pp_ext_shift_band_t`.
+
+    Slices [c0, c0 + chunk + dense_band) — chunk lefts plus the
+    dense_band-deep right-partner overlap — and runs the window pass at
+    offsets [band+1, dense_band] with lefts restricted to the chunk
+    (`n_active`), so consecutive chunks partition the pair set exactly.
+    `c0` may be TRACED: one compiled program serves every chunk of
+    every shift.  Returns (3, chunk + dense_band) forces in slice
+    order (both partners of each owned pair accumulated — scatter-add
+    slices into the force accumulator across dispatches).
+    """
+    w = chunk + dense_band
+    sx = jax.lax.dynamic_slice(dsx, (c0,), (w,))
+    sy = jax.lax.dynamic_slice(dsy, (c0,), (w,))
+    sz = jax.lax.dynamic_slice(dsz, (c0,), (w,))
+    scl = jax.lax.dynamic_slice(dcl, (c0,), (w,))
+    return _ext_band_pass_cols(sx, sy, sz, scl, band + 1, dense_band,
+                               pp_range, nf_cutoff, mass_p, rsoft,
+                               pp_bias, n_active=chunk)
 
 
 def pp_ext_lattice_force_t(pos_t: jnp.ndarray, valid: jnp.ndarray,

@@ -125,6 +125,12 @@ def main():
                          "O(tail_band * cap) per shift whether or not "
                          "the slots are used, and the presize probe "
                          "right-sizes it from the measured bound")
+    ap.add_argument("--pp-ext-tail-chunk", type=int, default=524288,
+                    help="staged lattice PP_EXT: bound every dense-tail "
+                         "dispatch at this many left partners (plus the "
+                         "tail-window overlap); 0 = single dispatch "
+                         "(crashes the tunnel worker at 256^3 "
+                         "production clustering — campaign_r9.log)")
     ap.add_argument("--pp-ext-tail-band", type=int, default=0,
                     help="lattice PP_EXT dense-tail window (max super-"
                          "cell occupancy; 0 = share pp_dense_band).  "
@@ -229,6 +235,8 @@ def main():
                     pp_autosize_headroom=args.autosize_headroom,
                     pp_ext_band=args.pp_ext_band,
                     pp_ext_tail_band=args.pp_ext_tail_band,
+                    pp_ext_tail_chunk=(args.pp_ext_tail_chunk
+                                       if args.staged else 0),
                     pp_ext_dense_cap=args.pp_ext_dense_cap,
                     pp_ext_ghost_cap=args.pp_ext_ghost_cap,
                     # realization-dependent cluster cores can exceed any

@@ -129,6 +129,47 @@ def test_lattice_sweep_runs():
     assert np.all(np.isfinite(np.asarray(st2.v)))
 
 
+def test_staged_tail_chunk_matches_single():
+    """`cfg.pp_ext_tail_chunk` splits each shift's dense-tail pass into
+    bounded b5t dispatches (the single-dispatch tail at 256³ production
+    clustering is ~6e11 pair lanes and crashes the tunnel worker —
+    campaign_r9.log ppext256-demo).  The chunked staged sweep must
+    reproduce the single-dispatch staged sweep exactly: chunks
+    partition the pair set by left index, so only f32 accumulation
+    order differs."""
+    import dataclasses
+    from cubep3m_tpu.parallel.mesh import make_sim_mesh
+    from cubep3m_tpu import kernels as kernels_mod
+    cfg = small_config(pp=True, pp_ext=True, pp_range=2,
+                       cosmo_expansion=False, pp_ext_band=4,
+                       pp_ext_tail_band=256)
+    assert cfg.pp_ext_impl == "lattice"
+    nf = cfg.nf_physical_node_dim
+    rng = np.random.default_rng(5)
+    x = np.vstack([
+        rng.uniform(0, nf, (200, 3)),
+        np.array([nf / 2, 2.0, nf / 2])
+        + rng.uniform(-1.8, 1.8, (120, 3)),
+    ]).astype(np.float32)
+    v = (0.05 * rng.normal(size=x.shape)).astype(np.float32)
+    mesh = make_sim_mesh(1)
+    kern_f, kern_c = kernels_mod.build_kernels(cfg)
+    outs = []
+    for chunk in (0, 16):
+        c = dataclasses.replace(cfg, pp_ext_tail_chunk=chunk)
+        c.validate()
+        st = state_mod.distribute_global(c, x, v)
+        st = step_mod.shard_state(st, mesh)
+        sweep = step_mod.make_staged_sweep(c, mesh)
+        out = sweep(st, jnp.asarray(kern_f), jnp.asarray(kern_c),
+                    jnp.float32(1.0), jnp.float32(0.1),
+                    jnp.float32(1.0), jnp.float32(0.1),
+                    jnp.float32(0.1))
+        assert int(out.bucket_overflow) == 0
+        outs.append(np.asarray(out.v))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_lattice_multidevice_matches_single():
     """Cross-boundary pairs via ghost copies: 8-device lattice PP_EXT
